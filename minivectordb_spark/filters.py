@@ -159,6 +159,25 @@ class TypedMapResolver(FieldResolver):
         return self.value(key, operand, in_op).isNotNull()
 
 
+class CompositeResolver(FieldResolver):
+    """Routes specific DSL keys to dedicated resolvers (e.g. ``k`` ->
+    JsonResolver('props')), everything else to a default resolver — lets the
+    DSL span flat columns and semi-structured columns in one filter."""
+
+    def __init__(self, routes: Mapping[str, FieldResolver], default: FieldResolver):
+        self._routes = dict(routes)
+        self._default = default
+
+    def _pick(self, key: str) -> FieldResolver:
+        return self._routes.get(key, self._default)
+
+    def value(self, key: str, operand: Any) -> Column:
+        return self._pick(key).value(key, operand)
+
+    def present(self, key: str, operand: Any) -> Column:
+        return self._pick(key).present(key, operand)
+
+
 def _lit(operand: Any) -> Column:
     if isinstance(operand, bool):
         return F.lit(operand)

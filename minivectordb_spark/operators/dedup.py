@@ -1,0 +1,281 @@
+"""Deduplication operators for training-data pipelines at scale.
+
+Four families (north-star surface; BASELINE.json):
+
+- exact:        content-hash groupBy — one shuffle on a 16-byte key.
+- MinHash+LSH:  shingle -> signature -> band -> bucket join.  Signatures are
+                computed WITHOUT exploding (per-row array expressions inside
+                codegen), so the only shuffle is the band-bucket self-join,
+                whose key cardinality ~ n_docs * n_bands.  At 100 TB this is
+                the standard near-dup pipeline: the candidate join touches
+                only colliding buckets, never the O(N^2) pair space.
+- SimHash:      per-token 32-bit hashes -> per-bit majority vote -> one
+                integer fingerprint per doc; Hamming-adjacent fingerprints
+                are near-dups.  Map-only.
+- embedding:    cosine near-dup over an embedding column, blocked by a
+                partition key so the self-join is per-block instead of
+                global cross-join.
+
+All hashes are the engine-portable md5i32 (operators/hashing.py) so the
+DuckDB oracle reproduces every value bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from minivectordb_spark.operators.hashing import MERSENNE_P, md5i32, minhash_coeffs
+from minivectordb_spark.operators.text import tokens
+from minivectordb_spark.scoring import cosine_sim_cols
+
+DEFAULT_N_HASHES = 16
+DEFAULT_SHINGLE = 3
+
+
+# ---------------- exact ----------------
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct content hash: (content_md5, keep_id, n_dups).
+    ``keep_id`` = min id — the canonical survivor.  Single shuffle on the
+    hash; partial aggregation makes the map side emit one row per distinct
+    hash per partition."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_md5"))
+        .agg(
+            F.min(F.col(id_col)).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per distinct text (the min-id survivor)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col).asc())
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+# ---------------- shingles / MinHash ----------------
+
+def shingles(text: Column, k: int = DEFAULT_SHINGLE) -> Column:
+    """Word k-gram shingles as strings, per row, no explode.
+    Docs shorter than k tokens yield a single whole-doc shingle."""
+    toks = tokens(text)
+    n = F.size(toks)
+    kgrams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(k)]
+        ),
+    )
+    return F.when(n >= k, kgrams).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def shingle_hashes(text: Column, k: int = DEFAULT_SHINGLE) -> Column:
+    """Distinct md5i32 hashes of the shingle set (the MinHash input set)."""
+    return F.array_distinct(F.transform(shingles(text, k), lambda s: md5i32(s)))
+
+
+def minhash_signature(
+    text: Column, n_hashes: int = DEFAULT_N_HASHES, k: int = DEFAULT_SHINGLE, seed: int = 42
+) -> Column:
+    """MinHash signature as array<long>, one universal-hash min per
+    permutation: sig[j] = min_h ( (a_j * (h mod P) + b_j) mod P ).
+
+    Entirely per-row array expressions — at 100 TB this stage is map-only;
+    nothing shuffles until the band join."""
+    hs = shingle_hashes(text, k)
+    coeffs = minhash_coeffs(n_hashes, seed)
+
+    def perm(a: int, b: int):
+        # factory: default-arg lambdas would change the inferred HOF arity
+        return lambda h: (F.lit(a) * (h % MERSENNE_P) + F.lit(b)) % MERSENNE_P
+
+    mins = [F.array_min(F.transform(hs, perm(a, b))) for a, b in coeffs]
+    return F.array(*mins)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = DEFAULT_N_HASHES,
+    k: int = DEFAULT_SHINGLE,
+    seed: int = 42,
+) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        minhash_signature(F.col(text_col), n_hashes, k, seed).alias("minhash"),
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = DEFAULT_N_HASHES,
+    band_size: int = 2,
+    k: int = DEFAULT_SHINGLE,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH banding: split the signature into bands of ``band_size`` rows;
+    docs sharing any (band_idx, band_hash) bucket become a candidate pair.
+
+    Plan: map-only signature -> posexplode of n_bands band hashes (rows grow
+    by n_bands only) -> self-join on the bucket key -> distinct (a < b)
+    pairs.  The join shuffles on (band_idx, band_hash): uniform unless the
+    corpus is degenerate, and AQE's skew-join handles hot buckets.
+    """
+    n_bands = n_hashes // band_size
+    sig = minhash_signature(F.col(text_col), n_hashes, k, seed)
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    F.lit(b),
+                    *[F.element_at(F.col("__sig"), b * band_size + j + 1).cast("string") for j in range(band_size)],
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+    buckets = (
+        df.select(F.col(id_col), sig.alias("__sig"))
+        .select(F.col(id_col), F.posexplode(bands).alias("band_idx", "band_hash"))
+    )
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_SHINGLE,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Verify candidate pairs with exact n-gram Jaccard over distinct
+    shingle-hash sets: |A ∩ B| / |A ∪ B|.  Two broadcast-able joins attach
+    the (small) shingle arrays to each side of the pair list; the heavy
+    corpus is scanned once per side."""
+    sh = df.select(
+        F.col(id_col),
+        shingle_hashes(F.col(text_col), k).alias("sh"),
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = DEFAULT_N_HASHES,
+    band_size: int = 2,
+    k: int = DEFAULT_SHINGLE,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates -> exact Jaccard verify."""
+    pairs = lsh_candidate_pairs(df, text_col, id_col, n_hashes, band_size, k, seed)
+    return jaccard_pairs(df, pairs, text_col, id_col, k, threshold)
+
+
+# ---------------- SimHash ----------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Per-doc SimHash fingerprint: majority vote of each hash bit over the
+    token multiset; bit b set iff more token hashes have bit b than not.
+    One integer per doc, map-only; near-dups = small Hamming distance."""
+    hs = F.transform(tokens(text), lambda t: md5i32(t))
+
+    def vote(b: int):
+        return lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
+
+    votes = [
+        F.aggregate(hs, F.lit(0).cast("long"), vote(b))
+        for b in range(bits)
+    ]
+    fp = None
+    for b, v in enumerate(votes):
+        term = F.when(v > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else (fp + term)
+    return fp
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return df.select(F.col(id_col), simhash(F.col(text_col)).alias("simhash"))
+
+
+# ---------------- embedding cosine near-dup ----------------
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = None,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Cosine near-dup pairs over an embedding column.
+
+    With ``block_col`` the self-join is equi-keyed on the block (shuffle on
+    the key, pairs only within blocks) — the pattern that survives scale
+    when a clustering/bucketing column exists.  Without it, a cross-join —
+    only for small corpora (the brute-force baseline).
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(emb_col).alias("emb_a"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(emb_col).alias("emb_b"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    if block_col:
+        joined = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    sim = cosine_sim_cols(F.col("emb_a"), F.col("emb_b"))
+    out_cols = ["id_a", "id_b"]
+    if block_col:
+        out_cols.append("blk")
+    return (
+        joined.withColumn("cosine", F.round(sim, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(*out_cols, "cosine")
+    )

@@ -1,0 +1,162 @@
+"""Text-analysis operators for training-data pipelines (north-star surface
+beyond the reference; BASELINE.json: "add the LLM-data-pipeline operators").
+
+All operators are pure built-in-function column expressions — no UDFs, no
+shuffles, fully pipelined inside whole-stage codegen next to the Parquet
+scan.  At 100 TB each of these is a map-only pass: cost = one scan,
+parallelism = input partitions, no data movement at all.
+
+Documents here are whitespace-tokenized (the driver corpus is single-space
+separated); every expression has an exact DuckDB-SQL twin used by the
+correctness oracle (see __spark_entry__.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from minivectordb_spark.operators.hashing import FNV_K, MERSENNE_P, md5i32
+
+# Deterministic per-language stopword profiles for the language-ID heuristic.
+# Real pipelines would use character-n-gram profiles; the operator shape
+# (per-language token-overlap score -> argmax with fixed priority) is the
+# same.  Lists are module constants so the oracle SQL inlines identical sets.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "is", "fast", "slow", "big", "small"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "por", "con", "no"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "ein", "nicht", "auf"),
+    "fr": ("le", "la", "de", "et", "un", "est", "pour", "que", "dans", "sur"),
+    "zh": ("de5", "shi4", "bu4", "le5", "ren2", "wo3", "zai4", "you3", "ta1", "zhe4"),
+}
+LANG_PRIORITY = ("en", "es", "de", "fr", "zh")  # deterministic argmax tiebreak
+
+EN_STOPWORDS = LANG_PROFILES["en"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens; empty text -> empty array (not [''])."""
+    return F.when(F.length(text) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(text, " ")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def type_token_ratio(text: Column) -> Column:
+    """Lexical diversity: distinct tokens / tokens (0 for empty)."""
+    toks = tokens(text)
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast("double")
+    )
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    toks = tokens(text)
+    stops = F.size(F.filter(toks, _isin_pred(tuple(stopwords))))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        stops.cast("double") / F.size(toks).cast("double")
+    )
+
+
+def avg_token_len(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / F.size(toks).cast("double")
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic document-quality heuristic in [0, 1]:
+    0.4 * min(1, tokens/100) + 0.3 * type-token-ratio + 0.3 * stopword signal
+    (stopword presence indicates natural language; capped at 3x ratio)."""
+    length_term = F.least(F.lit(1.0), token_count(text).cast("double") / F.lit(100.0))
+    stop_term = F.least(F.lit(1.0), F.lit(3.0) * stopword_ratio(text))
+    return F.lit(0.4) * length_term + F.lit(0.3) * type_token_ratio(text) + F.lit(0.3) * stop_term
+
+
+def _isin_pred(words: tuple[str, ...]):
+    # factory, NOT a default-arg lambda: PySpark derives higher-order-function
+    # arity from the Python signature, so `lambda t, w=words:` would bind as
+    # a two-argument (value, index) lambda
+    return lambda t: t.isin(*words)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    toks = tokens(text)
+    return {
+        lang: F.size(F.filter(toks, _isin_pred(words)))
+        for lang, words in LANG_PROFILES.items()
+    }
+
+
+def predicted_lang(text: Column) -> Column:
+    """Argmax over language profiles with the fixed LANG_PRIORITY tiebreak
+    (earlier language wins ties) — expressed as a nested CASE so the oracle
+    SQL is structurally identical."""
+    scores = lang_scores(text)
+    expr = F.lit(LANG_PRIORITY[-1])
+    for lang in reversed(LANG_PRIORITY[:-1]):
+        later = [scores[l2] for l2 in LANG_PRIORITY[LANG_PRIORITY.index(lang) + 1 :]]
+        cond = None
+        for o in later:
+            c = scores[lang] >= o
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-aware rolling document fingerprint in [0, P):
+
+        fp = SUM_i ( (h(tok_i) mod P) * ((i+1)*K mod P) mod P ) mod P
+
+    Position-weighted token hashes — reorderings change the fingerprint,
+    unlike a bag-of-words hash.  Pure column expressions (transform with
+    index + aggregate), identical arithmetic in the DuckDB oracle.  NOTE:
+    Spark's transform index is 0-based, DuckDB's is 1-based — both sides
+    use weight (pos1 * K) mod P where pos1 is the 1-based position.
+    """
+    toks = tokens(text)
+    terms = F.transform(
+        toks,
+        lambda t, i: ((md5i32(t) % MERSENNE_P) * (((i + 1) * FNV_K) % MERSENNE_P))
+        % MERSENNE_P,
+    )
+    return (
+        F.aggregate(terms, F.lit(0).cast("long"), lambda a, x: a + x) % MERSENNE_P
+    )
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document stats frame (the headline text-analysis operator)."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        F.length(t).alias("n_chars_actual"),
+        F.round(type_token_ratio(t), 6).alias("ttr"),
+        F.round(stopword_ratio(t), 6).alias("stop_ratio"),
+        F.round(avg_token_len(t), 6).alias("avg_tok_len"),
+        F.round(quality_score(t), 6).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        predicted_lang(F.col(text_col)).alias("pred_lang"),
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        fingerprint(F.col(text_col)).alias("fp"),
+        F.md5(F.col(text_col)).alias("content_md5"),
+    )

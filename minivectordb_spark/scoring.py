@@ -168,11 +168,14 @@ class CosineMatmulScorer:
     """
 
     def __init__(self, query_ids: Sequence, query_matrix: np.ndarray):
-        qm = np.asarray(query_matrix, dtype=np.float32)
+        # float64 throughout: BLAS dgemm is still one vectorized call per
+        # batch, and double precision keeps scores comparable (post-round)
+        # with the JVM/SQL double-fold scoring paths
+        qm = np.asarray(query_matrix, dtype=np.float64)
         norms = np.linalg.norm(qm, axis=1, keepdims=True)
         norms[norms == 0.0] = 1.0
         self.query_ids = list(query_ids)
-        self.qn = (qm / norms).astype(np.float32)
+        self.qn = qm / norms
 
     def score_topk(
         self,
@@ -204,7 +207,7 @@ class CosineMatmulScorer:
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                emb = np.vstack(pdf[emb_col].to_numpy()).astype(np.float32)
+                emb = np.vstack(pdf[emb_col].to_numpy()).astype(np.float64)
                 norms = np.linalg.norm(emb, axis=1, keepdims=True)
                 norms[norms == 0.0] = 1.0
                 sims = (emb / norms) @ qn.T  # (rows, |Q|) one BLAS call
