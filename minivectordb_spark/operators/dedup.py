@@ -78,23 +78,41 @@ def shingle_hashes(text: Column, k: int = DEFAULT_SHINGLE) -> Column:
     return F.array_distinct(F.transform(shingles(text, k), lambda s: md5i32(s)))
 
 
+def _barrier(df: DataFrame, expr: Column, name: str, keep: list[str]) -> DataFrame:
+    """Materialize ``expr`` as a real column behind a Generate node.
+
+    Higher-order functions run outside whole-stage codegen, so Catalyst's
+    subexpression elimination cannot dedupe them; worse, CollapseProject
+    inlines a projected HOF expression into every downstream use, multiplying
+    the work (16 consumers = 16 full recomputes).  ``explode(array(expr))``
+    is row-preserving but introduces a Generate node that CollapseProject
+    will not cross — the expression is evaluated exactly once per row.
+    """
+    return df.select(*keep, F.explode(F.array(expr)).alias(name))
+
+
 def minhash_signature(
     text: Column, n_hashes: int = DEFAULT_N_HASHES, k: int = DEFAULT_SHINGLE, seed: int = 42
 ) -> Column:
-    """MinHash signature as array<long>, one universal-hash min per
-    permutation: sig[j] = min_h ( (a_j * (h mod P) + b_j) mod P ).
+    """MinHash signature as array<long>:
+    sig[j] = min_h ( (a_j * (h mod P) + b_j) mod P ).
 
-    Entirely per-row array expressions — at 100 TB this stage is map-only;
-    nothing shuffles until the band join."""
+    SINGLE-PASS: one ``aggregate`` over the shingle hashes with an
+    array-of-running-minima accumulator (zip_with + least), so the expensive
+    shingle hashing is evaluated once per row regardless of n_hashes.
+    Entirely per-row expressions — at 100 TB this stage is map-only; nothing
+    shuffles until the band join."""
     hs = shingle_hashes(text, k)
     coeffs = minhash_coeffs(n_hashes, seed)
+    init = F.array(*[F.lit(MERSENNE_P).cast("long") for _ in coeffs])
 
-    def perm(a: int, b: int):
-        # factory: default-arg lambdas would change the inferred HOF arity
-        return lambda h: (F.lit(a) * (h % MERSENNE_P) + F.lit(b)) % MERSENNE_P
+    def step(acc: Column, h: Column) -> Column:
+        perms = F.array(
+            *[(F.lit(a) * (h % MERSENNE_P) + F.lit(b)) % MERSENNE_P for a, b in coeffs]
+        )
+        return F.zip_with(acc, perms, lambda x, y: F.least(x, y))
 
-    mins = [F.array_min(F.transform(hs, perm(a, b))) for a, b in coeffs]
-    return F.array(*mins)
+    return F.aggregate(hs, init, step)
 
 
 def minhash_signatures(
@@ -105,9 +123,11 @@ def minhash_signatures(
     k: int = DEFAULT_SHINGLE,
     seed: int = 42,
 ) -> DataFrame:
-    return df.select(
-        F.col(id_col),
-        minhash_signature(F.col(text_col), n_hashes, k, seed).alias("minhash"),
+    return _barrier(
+        df,
+        minhash_signature(F.col(text_col), n_hashes, k, seed),
+        "minhash",
+        [id_col],
     )
 
 
@@ -129,7 +149,9 @@ def lsh_candidate_pairs(
     corpus is degenerate, and AQE's skew-join handles hot buckets.
     """
     n_bands = n_hashes // band_size
-    sig = minhash_signature(F.col(text_col), n_hashes, k, seed)
+    sig_df = minhash_signatures(df, text_col, id_col, n_hashes, k, seed).withColumnRenamed(
+        "minhash", "__sig"
+    )
     bands = F.array(
         *[
             F.md5(
@@ -142,9 +164,11 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
+    # cache: the bucket frame is tiny (n_docs * n_bands short rows) and is
+    # read twice by the self-join; MEMORY_AND_DISK so it spills, not OOMs
     buckets = (
-        df.select(F.col(id_col), sig.alias("__sig"))
-        .select(F.col(id_col), F.posexplode(bands).alias("band_idx", "band_hash"))
+        sig_df.select(F.col(id_col), F.posexplode(bands).alias("band_idx", "band_hash"))
+        .cache()
     )
     left = buckets.alias("l")
     right = buckets.alias("r")
@@ -176,10 +200,7 @@ def jaccard_pairs(
     shingle-hash sets: |A ∩ B| / |A ∪ B|.  Two broadcast-able joins attach
     the (small) shingle arrays to each side of the pair list; the heavy
     corpus is scanned once per side."""
-    sh = df.select(
-        F.col(id_col),
-        shingle_hashes(F.col(text_col), k).alias("sh"),
-    )
+    sh = _barrier(df, shingle_hashes(F.col(text_col), k), "sh", [id_col]).cache()
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     joined = pairs.join(a, "id_a").join(b, "id_b")
@@ -219,21 +240,35 @@ SIMHASH_BITS = 32
 def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
     """Per-doc SimHash fingerprint: majority vote of each hash bit over the
     token multiset; bit b set iff more token hashes have bit b than not.
-    One integer per doc, map-only; near-dups = small Hamming distance."""
+    One integer per doc, map-only; near-dups = small Hamming distance.
+
+    SINGLE-PASS: one ``aggregate`` with an array-of-vote-counters
+    accumulator; the fingerprint is assembled in the aggregate's ``finish``
+    lambda, where the accumulator is a bound variable (evaluated once) —
+    n separate per-bit aggregates would recompute the token hashing n times
+    (HOFs sit outside codegen subexpression elimination)."""
     hs = F.transform(tokens(text), lambda t: md5i32(t))
+    init = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
 
-    def vote(b: int):
-        return lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
+    def step(acc: Column, h: Column) -> Column:
+        bitsigns = F.array(
+            *[
+                (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+                for b in range(bits)
+            ]
+        )
+        return F.zip_with(acc, bitsigns, lambda x, y: x + y)
 
-    votes = [
-        F.aggregate(hs, F.lit(0).cast("long"), vote(b))
-        for b in range(bits)
-    ]
-    fp = None
-    for b, v in enumerate(votes):
-        term = F.when(v > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-        fp = term if fp is None else (fp + term)
-    return fp
+    def finish(acc: Column) -> Column:
+        fp = None
+        for b in range(bits):
+            term = F.when(F.element_at(acc, b + 1) > 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            fp = term if fp is None else (fp + term)
+        return fp
+
+    return F.aggregate(hs, init, step, finish)
 
 
 def simhash_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
