@@ -404,6 +404,25 @@ def q_autocut_topk(spark, sf_dir):
     )
 
 
+def q_multimodal_features(spark, sf_dir):
+    """Binary-column plumbing: documents re-encoded as opaque assets, fake
+    feature extraction via mapInPandas (operators/multimodal.py)."""
+    from minivectordb_spark.operators.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.lit("text/plain").alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    feats = extract_features(assets)
+    cols = [F.col("asset_id"), F.col("n_bytes")] + [
+        F.element_at(F.col("features"), d + 1).cast("double").alias(f"f{d:02d}")
+        for d in range(16)
+    ]
+    return feats.select(*cols)
+
+
 def q_rerank_topk(spark, sf_dir):
     from minivectordb_spark.rerank import rerank_df
 
@@ -448,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_batch": q_delete_batch,
         "insert_unique": q_insert_unique,
         "autocut_topk": q_autocut_topk,
+        "multimodal_features": q_multimodal_features,
         "rerank_topk": q_rerank_topk,
     }
 
@@ -661,6 +681,23 @@ WHERE maxdrop IS NULL OR maxdrop <= 0.2 OR rn < cutpos
 """.strip()
 
 
+def _oracle_multimodal() -> str:
+    """fake_decode_features in SQL: position-salted byte histogram.  The
+    documents are ASCII, so byte i == ascii(char i); python's 0-based
+    position maps to DuckDB's 1-based i via (i - 1)."""
+    feats = ",\n  ".join(
+        "list_sum(list_transform(range(1, length(text) + 1), "
+        f"i -> CASE WHEN (ascii(substr(text, i, 1)) + i - 1) % 16 = {d} "
+        f"THEN ascii(substr(text, i, 1)) ELSE 0 END))::DOUBLE AS f{d:02d}"
+        for d in range(16)
+    )
+    return f"""
+SELECT doc_id::VARCHAR AS asset_id, length(text)::BIGINT AS n_bytes,
+  {feats}
+FROM documents
+""".strip()
+
+
 def oracle_sql() -> dict[str, str]:
     values = ", ".join(f"({i})" for i in INSERT_IDS)
     doomed = ", ".join(str(i) for i in DELETE_IDS)
@@ -746,6 +783,7 @@ LIMIT 10
             f"WHERE v NOT IN (SELECT vec_id FROM embeddings)"
         ),
         "autocut_topk": _oracle_autocut(),
+        "multimodal_features": _oracle_multimodal(),
         # rerank_topk: pandas-UDF hash/fuzzy features — not SQL-expressible;
         # the driver records the weaker rows-only check (by design).
     }

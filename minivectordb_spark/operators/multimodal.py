@@ -1,0 +1,128 @@
+"""Multimodal column plumbing (north-star surface; BASELINE.json).
+
+Images / audio / video ride through the engine as opaque ``binary`` columns
+plus typed metadata — the Spark-side contract (schema, partition sizing,
+Arrow batch shape, UDF signatures) is real and tested; the actual codec
+calls are STUBBED because no image/audio library ships in this container:
+
+- ``decode_image`` raises ``NotImplementedError`` (the real implementation
+  would Pillow-decode inside the same mapInPandas loop), and
+- ``fake_decode_features`` produces deterministic pseudo-features from the
+  bytes so pipelines exercising the plumbing are testable end to end.
+
+Scale notes: binary payloads dominate row size, so asset tables should be
+written with small ``maxRecordsPerFile`` / row-group sizing, and
+feature-extraction runs as ``mapInPandas`` so each Arrow batch amortizes
+the Python crossing; the output (features) is small, so the expensive wide
+rows never shuffle — extract first, then join/aggregate the features.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+ASSET_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType(), nullable=False),
+        StructField("mime", StringType(), nullable=False),
+        StructField("payload", BinaryType(), nullable=False),
+        StructField("width", LongType(), nullable=True),
+        StructField("height", LongType(), nullable=True),
+        StructField("duration_ms", LongType(), nullable=True),
+        StructField("source", StringType(), nullable=True),
+    ]
+)
+
+FEATURE_DIM = 16
+
+_FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def decode_image(payload: bytes):  # pragma: no cover - stub by design
+    """Real decode is NOT implemented in this environment (no Pillow/ffmpeg).
+    The mapInPandas pipeline below calls ``fake_decode_features`` instead;
+    swapping this in is a one-line change inside ``_extract``."""
+    raise NotImplementedError(
+        "Image decoding requires an image library not present in this "
+        "container; use extract_features(..., decoder='fake')."
+    )
+
+
+def fake_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic stand-in feature vector: a position-salted byte
+    histogram folded to ``dim`` floats.  Values are integer-valued (< 2^24,
+    exact in float32) so tests and SQL oracles match bit-for-bit across
+    engines; normalization, if wanted, is a separate step."""
+    buckets = [0] * dim
+    for i, byte in enumerate(payload or b""):
+        buckets[(byte + i) % dim] += byte
+    return [float(b) for b in buckets]
+
+
+def extract_features(assets: DataFrame, decoder: str = "fake", dim: int = FEATURE_DIM) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column.
+
+    ``mapInPandas`` so each python worker sees whole Arrow batches; only
+    (id, small features) come back — the binary payload is dropped before
+    any shuffle can see it.
+    """
+    if decoder not in ("fake", "image"):
+        raise ValueError(f"Unknown decoder: {decoder!r}")
+
+    def _extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                raw = bytes(payload) if payload is not None else b""
+                if decoder == "image":
+                    decode_image(raw)  # raises: stub by design
+                feats.append(fake_decode_features(raw, dim))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": [len(bytes(p)) if p is not None else 0 for p in pdf["payload"]],
+                    "features": feats,
+                }
+            )
+
+    return assets.select("asset_id", "mime", "payload").mapInPandas(
+        _extract, schema=_FEATURE_SCHEMA
+    )
+
+
+def sample_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan for video assets: emits (asset_id, frame_ts_ms)
+    rows via a JVM-side sequence — the decode of each sampled frame would
+    plug into ``extract_features``.  Demonstrates the fan-out shape without
+    a codec: one row per sampled timestamp, bounded by duration."""
+    return (
+        assets.filter(F.col("duration_ms").isNotNull())
+        .select(
+            "asset_id",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("duration_ms"), F.lit(every_ms).cast("long"))
+            ).alias("frame_ts_ms"),
+        )
+    )

@@ -1,0 +1,7 @@
+from minivectordb_spark.streaming.events import (
+    hourly_event_counts,
+    stream_events,
+    stream_vector_ingest,
+)
+
+__all__ = ["hourly_event_counts", "stream_events", "stream_vector_ingest"]

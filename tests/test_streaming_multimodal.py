@@ -1,0 +1,110 @@
+"""Streaming ingest/rollup and multimodal plumbing tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from minivectordb_spark.operators.multimodal import (
+    ASSET_SCHEMA,
+    decode_image,
+    extract_features,
+    fake_decode_features,
+    sample_frames,
+)
+from minivectordb_spark.streaming import (
+    hourly_event_counts,
+    stream_events,
+    stream_vector_ingest,
+)
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    """Write µs-timestamp events (the streaming file source can't read the
+    driver fixtures' TIMESTAMP(NANOS) directly; real streams are Kafka)."""
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0 + i // 4, 5 * i % 60), i % 3, ["click", "view"][i % 2], float(i), "{}")
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+    path = str(tmp_path / "events_in")
+    df.repartition(3).write.parquet(path)
+    return path
+
+
+def test_hourly_counts_batch_equals_stream(spark, events_dir, tmp_path):
+    batch = spark.read.parquet(events_dir)
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in hourly_event_counts(batch).collect()
+    }
+
+    stream = stream_events(spark, events_dir, max_files_per_trigger=1)
+    assert stream.isStreaming
+    q = (
+        hourly_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("hourly_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("select * from hourly_test").collect()
+    }
+    assert got == expected
+
+
+def test_stream_vector_ingest_roundtrip(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello spark")], ["doc_id", "text"]
+    )
+    src = str(tmp_path / "docs_in")
+    docs.write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(src)
+    )
+    table_path = str(tmp_path / "vectors_out")
+    q = stream_vector_ingest(stream, table_path, str(tmp_path / "ck2")).start()
+    q.awaitTermination(120)
+    out = spark.read.parquet(table_path)
+    rows = out.collect()
+    assert len(rows) == 2
+    assert all(len(r["embedding"]) == 64 for r in rows)
+
+
+def test_multimodal_extract_features(spark):
+    rows = [
+        ("a1", "image/png", bytearray(b"\x01\x02\x03\x04" * 8), 4, 4, None, "s"),
+        ("a2", "audio/wav", bytearray(b""), None, None, 2500, "s"),
+    ]
+    df = spark.createDataFrame(rows, ASSET_SCHEMA)
+    out = {r["asset_id"]: r for r in extract_features(df).collect()}
+    assert out["a1"]["n_bytes"] == 32
+    expected = fake_decode_features(bytes(b"\x01\x02\x03\x04" * 8))
+    assert [round(x, 6) for x in out["a1"]["features"]] == pytest.approx(expected)
+    assert out["a2"]["features"] == [0.0] * 16
+
+
+def test_multimodal_real_decoder_is_stubbed(spark):
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+    df = spark.createDataFrame(
+        [("a1", "image/png", bytearray(b"x"), None, None, None, None)], ASSET_SCHEMA
+    )
+    with pytest.raises(Exception):  # NotImplementedError surfaces as task failure
+        extract_features(df, decoder="image").collect()
+    with pytest.raises(ValueError):
+        extract_features(df, decoder="nope")
+
+
+def test_sample_frames(spark):
+    df = spark.createDataFrame(
+        [("v1", "video/mp4", bytearray(b"x"), None, None, 3500, None)], ASSET_SCHEMA
+    )
+    frames = sample_frames(df, every_ms=1000).collect()
+    assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
