@@ -379,12 +379,12 @@ def q_point_lookup(spark, sf_dir):
 
 
 def q_delete_batch(spark, sf_dir):
+    # literal id-list deletes compile to a map-side NOT IN filter (pushed to
+    # the scan); the anti-join form in VectorTable is for id-lists that are
+    # themselves DataFrames
     e = _t(spark, sf_dir, "embeddings")
-    doomed = F.broadcast(
-        spark.createDataFrame([(i,) for i in DELETE_IDS], ["vec_id"])
-    )
     return (
-        e.join(doomed, "vec_id", "left_anti")
+        e.filter(~F.col("vec_id").isin(*DELETE_IDS))
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -26,6 +26,15 @@ def main():
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=int(cpus))
 
+    # warmup: pay JVM/codegen/noop-sink initialization and prime the file
+    # listing before any query is timed
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    for t in ("embeddings", "documents", "events", "lineitem"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     timings: dict[str, float] = {}
     t_all = time.time()
     for name, fn in entry.queries().items():

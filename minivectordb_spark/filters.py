@@ -204,7 +204,11 @@ def _false() -> Column:
 
 
 def _safe(pred: Column) -> Column:
-    """Collapse SQL NULL to False so negation/composition is exact."""
+    """Collapse SQL NULL to False so NEGATION is exact.  Positive predicates
+    deliberately stay bare: in a WHERE context NULL already drops the row
+    (filter semantics == FALSE), and a coalesce() wrapper would block
+    Parquet predicate pushdown (it hides the comparison from the data-source
+    filter translator)."""
     return F.coalesce(pred, F.lit(False))
 
 
@@ -214,9 +218,9 @@ def _compile_op(key: str, op: str, operand: Any, resolver: FieldResolver) -> Col
     if op == "$in":
         value, present = _resolve(resolver, key, operand, in_op=True)
         operand_lit = F.lit(str(operand)) if not isinstance(operand, str) else F.lit(operand)
-        return _safe(present & F.array_contains(value, operand_lit))
+        return present & F.array_contains(value, operand_lit)
     value, present = _resolve(resolver, key, operand)
-    return _safe(present & _OP_BUILDERS[op](value, _lit(operand)))
+    return present & _OP_BUILDERS[op](value, _lit(operand))
 
 
 def _compile_spec(key: str, spec: Any, resolver: FieldResolver) -> Column:
@@ -234,7 +238,7 @@ def _compile_spec(key: str, spec: Any, resolver: FieldResolver) -> Column:
             pred = p if pred is None else (pred & p)
         return pred
     value, present = _resolve(resolver, key, spec)
-    return _safe(present & (value == _lit(spec)))
+    return present & (value == _lit(spec))
 
 
 def _as_dict_list(filters: Any) -> list[dict]:

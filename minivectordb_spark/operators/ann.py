@@ -3,29 +3,35 @@
 Brute-force exact cosine (scoring.knn) is the correctness baseline; the
 scale path is IVF-style partitioning:
 
-- ``ivf_assign``: every vector joins to its nearest of K centroids — a
-  broadcast nested-loop join (centroids are tiny) + per-vector argmin via a
-  window.  At 100 TB the output would be WRITTEN partitioned by
-  ``centroid_id`` so probes read only nprobe/K of the data (partition
-  pruning does the index's job).
-- ``ivf_search``: rank centroids for the query, scan only the nprobe
-  nearest clusters, exact top-k within them.
+- ``ivf_assign``: nearest-of-K centroids per vector as a PURE MAP-SIDE
+  expression — the centroid table is collected (K is small by construction)
+  and inlined as literals, so assignment is one codegen'd pass over the
+  corpus: no cross-join row blow-up, no shuffle, no window.  This is
+  exactly FAISS's IVF coarse quantizer re-expressed declaratively.
+- ``ivf_search``: rank centroids for the query driver-side (K rows), then
+  FILTER the corpus on "assignment ∈ nprobe nearest" (map-side) and take
+  the exact top-k among survivors.  With the corpus written
+  ``partitionBy(centroid_id)`` the filter becomes partition pruning and the
+  scan reads nprobe/K of the files — the IVF speedup with zero custom
+  machinery.
 
-Centroids here are seed rows (deterministic; a KMeans|| fit via MLlib drops
-in without changing the query shape — the operators only assume a
-(centroid_id, embedding) frame).
+Centroids here are seed rows (deterministic; an MLlib KMeans fit drops in
+without changing the query shape — the contract is a (centroid_id,
+centroid_emb) frame).
 
-A random-projection LSH variant (sign-bit bucketing) gives the
-hash-bucketed alternative: map-only bucket assignment, candidate = same
-bucket, exactly the MinHash-LSH join shape but for dense vectors.
+``random_projection_buckets`` is the hash-bucketed alternative (sign-bit
+LSH): map-only bucket assignment; same-bucket rows are ANN candidates, the
+MinHash-LSH join shape for dense vectors.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import math
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from minivectordb_spark.scoring import cosine_sim, cosine_sim_cols
+from minivectordb_spark.scoring import cosine_sim
 
 
 def seed_centroids(df: DataFrame, n: int, id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
@@ -42,30 +48,40 @@ def seed_centroids(df: DataFrame, n: int, id_col: str = "vec_id", emb_col: str =
     )
 
 
+def _collect_centroids(centroids: DataFrame) -> list[tuple[int, list[float]]]:
+    rows = centroids.collect()
+    out = [(r["centroid_id"], [float(x) for x in r["centroid_emb"]]) for r in rows]
+    out.sort(key=lambda t: t[0])
+    return out
+
+
+def _assignment_struct(emb: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """array_max over (cos, -centroid_id) structs == argmax by cosine with
+    min-id tiebreak.  One expression, evaluated map-side."""
+    entries = [
+        F.struct(
+            cosine_sim(emb, vec).alias("cos"),
+            F.lit(-int(cid)).cast("long").alias("neg_id"),
+        )
+        for cid, vec in cents
+    ]
+    return F.array_max(F.array(*entries))
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> DataFrame:
-    """(id, centroid_id, cos) — nearest centroid per vector.
-
-    broadcast(centroids) cross-join + row_number window partitioned by the
-    vector id: the corpus never shuffles for the join; the window
-    repartitions by id only (and with AQE + small K this collapses to a
-    cheap local top-1 per vector)."""
-    joined = df.select(F.col(id_col), F.col(emb_col)).crossJoin(F.broadcast(centroids))
-    sim = cosine_sim_cols(F.col(emb_col), F.col("centroid_emb"))
-    w = Window.partitionBy(id_col).orderBy(F.col("__cos").desc(), F.col("centroid_id").asc())
-    return (
-        joined.withColumn("__cos", sim)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(
-            F.col(id_col),
-            F.col("centroid_id"),
-            F.round(F.col("__cos"), 6).alias("centroid_cos"),
-        )
+    """(id, centroid_id, centroid_cos) — nearest centroid per vector,
+    computed without any join or shuffle (see module docstring)."""
+    cents = _collect_centroids(centroids)
+    best = _assignment_struct(F.col(emb_col), cents)
+    return df.withColumn("__best", best).select(
+        F.col(id_col),
+        (-F.col("__best.neg_id")).alias("centroid_id"),
+        F.round(F.col("__best.cos"), 6).alias("centroid_cos"),
     )
 
 
@@ -78,22 +94,28 @@ def ivf_search(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> DataFrame:
-    """Probe the nprobe nearest clusters, exact top-k within them.
+    """Probe the nprobe nearest clusters (ranked driver-side over K rows),
+    exact top-k within them — corpus-side work is filter + partial top-k,
+    no joins."""
+    cents = _collect_centroids(centroids)
+    q = [float(x) for x in query]
+    qn = math.sqrt(sum(x * x for x in q))
 
-    With the corpus persisted partitioned-by-centroid, the semi-join below
-    becomes partition pruning and the scan reads nprobe/K of the files —
-    the IVF speedup, expressed declaratively."""
-    top_centroids = (
-        centroids.withColumn("__qc", cosine_sim(F.col("centroid_emb"), query))
-        .orderBy(F.col("__qc").desc(), F.col("centroid_id").asc())
-        .limit(nprobe)
-        .select("centroid_id")
-    )
-    assigned = ivf_assign(df, centroids, id_col, emb_col)
-    probe_ids = assigned.join(F.broadcast(top_centroids), "centroid_id").select(id_col)
-    candidates = df.join(F.broadcast(probe_ids), id_col, "left_semi")
+    def cos_to_query(vec: list[float]) -> float:
+        dot = 0.0
+        for a, b in zip(vec, q):
+            dot += float(a) * b
+        n = math.sqrt(sum(float(a) * float(a) for a in vec))
+        return dot / (n * qn) if n > 0 else 0.0
+
+    ranked = sorted(cents, key=lambda t: (-cos_to_query(t[1]), t[0]))
+    probe_ids = {cid for cid, _ in ranked[:nprobe]}
+
+    best = _assignment_struct(F.col(emb_col), cents)
+    assigned_id = -best.getField("neg_id")
+    candidates = df.filter(assigned_id.isin(*[int(c) for c in probe_ids]))
     return (
-        candidates.withColumn("score", F.round(cosine_sim(F.col(emb_col), query), 6))
+        candidates.withColumn("score", F.round(cosine_sim(F.col(emb_col), q), 6))
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
         .select(F.col(id_col), F.col("score"))

@@ -147,11 +147,21 @@ def knn_batch(
     scored = joined.withColumn(
         score_col, cosine_sim_cols(F.col(corpus_emb_col), F.col("__q_emb"))
     ).drop("__q_emb")
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col(score_col).desc(), F.col(corpus_id_col).asc()
+    # two-stage top-k: a (query, input-partition)-local rank first, so no
+    # reducer ever holds a whole query's copy of the corpus (the skew of a
+    # plain per-query window); the global rank then sees at most
+    # partitions*k rows per query
+    order = [F.col(score_col).desc(), F.col(corpus_id_col).asc()]
+    w_local = Window.partitionBy(F.col(query_id_col), F.col("__pid")).orderBy(*order)
+    local = (
+        scored.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lrn", F.row_number().over(w_local))
+        .filter(F.col("__lrn") <= k)
+        .drop("__lrn", "__pid")
     )
+    w = Window.partitionBy(query_id_col).orderBy(*order)
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
+        local.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )

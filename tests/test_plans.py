@@ -1,0 +1,85 @@
+"""Plan-shape regression tests: the scale properties the engine promises
+(SURVEY.md §4, README "Designed for 100 TB") asserted on the physical plan."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from minivectordb_spark.plans import (
+    assert_no_shuffle,
+    assert_plan_contains,
+    exchange_count,
+    physical_plan,
+)
+
+
+@pytest.fixture(scope="module")
+def sf(sf_dir):
+    return sf_dir
+
+
+def _q(name, spark, sf):
+    return entry.queries()[name](spark, sf)
+
+
+def test_knn_is_take_ordered_no_shuffle(spark, sf):
+    df = _q("knn_topk", spark, sf)
+    assert_plan_contains(df, "TakeOrderedAndProject")
+    assert_no_shuffle(df)
+
+
+def test_knn_filter_pushed_to_parquet(spark, sf):
+    df = _q("knn_filtered", spark, sf)
+    plan = physical_plan(df)
+    assert "PushedFilters: [IsNotNull(label), GreaterThanOrEqual(label,5)]" in plan
+    assert_no_shuffle(df)
+
+
+def test_column_pruning_reaches_scan(spark, sf):
+    # a 2-column projection must not read the embedding payload
+    df = entry._t(spark, sf, "embeddings").select("vec_id", "label")
+    plan = physical_plan(df)
+    assert "embedding" not in plan.split("ReadSchema:")[-1]
+
+
+def test_ivf_assign_map_only(spark, sf):
+    assert_no_shuffle(_q("ivf_assign", spark, sf))
+
+
+def test_ivf_search_no_join(spark, sf):
+    df = _q("ivf_search", spark, sf)
+    plan = physical_plan(df)
+    assert "Join" not in plan  # probe is a map-side filter, not a join
+    assert_plan_contains(df, "TakeOrderedAndProject")
+
+
+def test_map_only_operators(spark, sf):
+    for name in ("text_stats", "lang_id", "fingerprints", "minhash_signatures", "simhash", "point_lookup"):
+        assert_no_shuffle(_q(name, spark, sf))
+
+
+def test_tpch_q1_partial_agg_and_pushdown(spark, sf):
+    df = _q("tpch_q1", spark, sf)
+    plan = physical_plan(df)
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+    assert "lte(l_shipdate" in plan.replace("LessThanOrEqual(l_shipdate", "lte(l_shipdate")
+    assert exchange_count(df) == 1  # exactly one shuffle: the group-by
+
+
+def test_dim_join_broadcasts(spark, sf):
+    df = _q("top_customers", spark, sf)
+    assert_plan_contains(df, "BroadcastHashJoin")
+    assert "SortMergeJoin" not in physical_plan(df)
+
+
+def test_knn_batch_two_stage_topk(spark, sf):
+    df = _q("knn_batch", spark, sf)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan  # queries broadcast, corpus stays put
+    assert plan.count("RunningWindowFunction") >= 2 or plan.count("Window") >= 2
+
+
+def test_delete_filter_pushed(spark, sf):
+    df = _q("delete_batch", spark, sf)
+    plan = physical_plan(df)
+    assert "Not(In(vec_id" in plan or "NOT vec_id" in plan
