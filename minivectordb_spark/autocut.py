@@ -46,8 +46,17 @@ def autocut_distances(distance_list: Sequence[float]) -> list[int]:
     INCREASE ``(d[i] - d[i-1]) / d[i-1]``."""
     if len(distance_list) < 2:
         return []
+
+    def rise(prev: float, cur: float) -> float:
+        if prev == 0.0:
+            # guard the reference's bare division (an exact match has
+            # distance 0): any increase from zero is an infinite relative
+            # rise, no increase is none
+            return float("inf") if cur > prev else 0.0
+        return (cur - prev) / prev
+
     rises = [
-        (distance_list[i] - distance_list[i - 1]) / distance_list[i - 1]
+        rise(distance_list[i - 1], distance_list[i])
         for i in range(1, len(distance_list))
     ]
     max_rise = max(rises)

@@ -53,7 +53,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from minivectordb_spark.autocut import apply_autocut
+from minivectordb_spark.autocut import apply_autocut, autocut_distances
 from minivectordb_spark.filters import TypedMapResolver, compile_filters
 from minivectordb_spark.scoring import cosine_sim, knn
 
@@ -253,12 +253,16 @@ class VectorTable:
         or_filters: Any = None,
         k: int = 5,
         autocut: bool = False,
+        distances: bool = False,
     ):
         """The reference's flagship query (vector_database.py:466-536):
         pre-filter -> exact cosine top-k -> optional autocut.  Returns the
-        reference's three parallel lists (ids, scores, metadatas), score
-        descending; scores are similarities (higher = better).
-        """
+        reference's three parallel lists (ids, scores, metadatas), best
+        first.  Scores are similarities (higher = better, the canonical
+        form, SURVEY.md §2.3 op 20); ``distances=True`` returns 1 - sim
+        ascending instead (the usearch variant's contract,
+        sharded_vector_database_usearch.py:629-637) with the sign-flipped
+        autocut (autocut_distances)."""
         if self._is_empty():
             return [], [], []
         pred = compile_filters(metadata_filter, exclude_filter, or_filters, TypedMapResolver())
@@ -269,6 +273,16 @@ class VectorTable:
         ids = [r["id"] for r in rows]
         scores = [float(r["score"]) for r in rows]
         metas = [_reassemble_metadata(r) for r in rows]
+        if distances:
+            dists = [1.0 - s for s in scores]
+            if autocut and len(dists) > 1:
+                remove = set(autocut_distances(dists))
+                if remove:
+                    keep = [i for i in range(len(dists)) if i not in remove]
+                    ids = [ids[i] for i in keep]
+                    dists = [dists[i] for i in keep]
+                    metas = [metas[i] for i in keep]
+            return ids, dists, metas
         if autocut and len(scores) > 1:
             ids, scores, metas = apply_autocut(ids, scores, metas)
         return ids, scores, metas

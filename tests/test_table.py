@@ -126,3 +126,21 @@ def test_search_scores_sorted_desc_and_cosine_exact(spark):
 
 def test_empty_table_search(spark):
     assert VectorTable.empty(spark).find_most_similar([1.0, 2.0], k=5) == ([], [], [])
+
+
+def test_distances_variant(spark):
+    # usearch-variant contract: distances = 1 - sim, ascending
+    t = VectorTable.empty(spark).store_embeddings_batch(
+        ["a", "b", "c"], [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]]
+    )
+    ids, dists, _ = t.find_most_similar([1.0, 0.0], k=3, distances=True)
+    assert ids[0] == "a"
+    assert dists == sorted(dists)
+    assert dists[0] == pytest.approx(0.0)
+    # autocut with distances: an exact match (distance 0) followed by any
+    # nonzero distance is an infinite relative rise -> tail cut
+    t2 = VectorTable.empty(spark).store_embeddings_batch(
+        ["t", "u", "v"], [[1.0, 0.0], [0.99, 0.141], [0.5, 0.866]]
+    )
+    ids2, d2, _ = t2.find_most_similar([1.0, 0.0], k=3, distances=True, autocut=True)
+    assert ids2 == ["t"]
