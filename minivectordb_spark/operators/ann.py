@@ -48,6 +48,31 @@ def seed_centroids(df: DataFrame, n: int, id_col: str = "vec_id", emb_col: str =
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    n: int,
+    emb_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Data-adaptive centroids via MLlib KMeans|| — drop-in replacement for
+    ``seed_centroids`` (same (centroid_id, centroid_emb) contract).  The fit
+    is a handful of distributed passes over the corpus; at 100 TB one fits
+    on a sample (``df.sample(...)``) — centroid quality needs nothing close
+    to the full data."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    assembled = df.select(array_to_vector(F.col(emb_col)).alias("features"))
+    model = KMeans(k=n, seed=seed, maxIter=max_iter).fit(assembled)
+    spark = df.sparkSession
+    rows = [
+        (int(i), [float(x) for x in center])
+        for i, center in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(rows, ["centroid_id", "centroid_emb"])
+
+
 def _collect_centroids(centroids: DataFrame) -> list[tuple[int, list[float]]]:
     rows = centroids.collect()
     out = [(r["centroid_id"], [float(x) for x in r["centroid_emb"]]) for r in rows]
@@ -55,16 +80,25 @@ def _collect_centroids(centroids: DataFrame) -> list[tuple[int, list[float]]]:
     return out
 
 
-def _assignment_struct(emb: Column, cents: list[tuple[int, list[float]]]) -> Column:
+def _assignment_struct(
+    emb: Column, cents: list[tuple[int, list[float]]], norm_col: Column | None = None
+) -> Column:
     """array_max over (cos, -centroid_id) structs == argmax by cosine with
-    min-id tiebreak.  One expression, evaluated map-side."""
-    entries = [
-        F.struct(
-            cosine_sim(emb, vec).alias("cos"),
-            F.lit(-int(cid)).cast("long").alias("neg_id"),
+    min-id tiebreak.  One expression, evaluated map-side.  With ``norm_col``
+    the row norm is read from a staged column instead of being re-folded
+    once per centroid (K-fold saving)."""
+    from minivectordb_spark.scoring import dot_expr
+
+    entries = []
+    for cid, vec in cents:
+        if norm_col is not None:
+            qn = math.sqrt(sum(float(x) * float(x) for x in vec))
+            cos = dot_expr(emb, vec) / (norm_col * F.lit(qn))
+        else:
+            cos = cosine_sim(emb, vec)
+        entries.append(
+            F.struct(cos.alias("cos"), F.lit(-int(cid)).cast("long").alias("neg_id"))
         )
-        for cid, vec in cents
-    ]
     return F.array_max(F.array(*entries))
 
 
@@ -76,9 +110,13 @@ def ivf_assign(
 ) -> DataFrame:
     """(id, centroid_id, centroid_cos) — nearest centroid per vector,
     computed without any join or shuffle (see module docstring)."""
+    from minivectordb_spark.operators.util import materialize
+    from minivectordb_spark.scoring import norm_expr
+
     cents = _collect_centroids(centroids)
-    best = _assignment_struct(F.col(emb_col), cents)
-    return df.withColumn("__best", best).select(
+    staged = materialize(df, norm_expr(F.col(emb_col)), "__n", [id_col, emb_col])
+    best = _assignment_struct(F.col(emb_col), cents, norm_col=F.col("__n"))
+    return materialize(staged, best, "__best", [id_col]).select(
         F.col(id_col),
         (-F.col("__best.neg_id")).alias("centroid_id"),
         F.round(F.col("__best.cos"), 6).alias("centroid_cos"),
@@ -111,11 +149,16 @@ def ivf_search(
     ranked = sorted(cents, key=lambda t: (-cos_to_query(t[1]), t[0]))
     probe_ids = {cid for cid, _ in ranked[:nprobe]}
 
-    best = _assignment_struct(F.col(emb_col), cents)
+    from minivectordb_spark.operators.util import materialize
+    from minivectordb_spark.scoring import dot_expr, norm_expr
+
+    staged = materialize(df, norm_expr(F.col(emb_col)), "__n", [id_col, emb_col])
+    best = _assignment_struct(F.col(emb_col), cents, norm_col=F.col("__n"))
     assigned_id = -best.getField("neg_id")
-    candidates = df.filter(assigned_id.isin(*[int(c) for c in probe_ids]))
+    candidates = staged.filter(assigned_id.isin(*[int(c) for c in probe_ids]))
+    score = dot_expr(F.col(emb_col), q) / (F.col("__n") * F.lit(qn))
     return (
-        candidates.withColumn("score", F.round(cosine_sim(F.col(emb_col), q), 6))
+        candidates.withColumn("score", F.round(score, 6))
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
         .select(F.col(id_col), F.col("score"))

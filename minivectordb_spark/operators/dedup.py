@@ -59,10 +59,13 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 # ---------------- shingles / MinHash ----------------
 
-def shingles(text: Column, k: int = DEFAULT_SHINGLE) -> Column:
-    """Word k-gram shingles as strings, per row, no explode.
-    Docs shorter than k tokens yield a single whole-doc shingle."""
-    toks = tokens(text)
+def shingles_from_tokens(toks: Column, k: int = DEFAULT_SHINGLE) -> Column:
+    """Word k-gram shingles from a token-array column.
+
+    IMPORTANT: ``toks`` should be a MATERIALIZED column (see ``_barrier``),
+    not an inline ``split(...)`` expression — ``element_at`` inside the
+    lambda re-evaluates its child per element, so an inline split would be
+    recomputed k times per shingle."""
     n = F.size(toks)
     kgrams = F.transform(
         F.sequence(F.lit(1), n - (k - 1)),
@@ -73,36 +76,47 @@ def shingles(text: Column, k: int = DEFAULT_SHINGLE) -> Column:
     return F.when(n >= k, kgrams).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
+def shingles(text: Column, k: int = DEFAULT_SHINGLE) -> Column:
+    """Word k-gram shingles as strings, per row, no explode.
+    Docs shorter than k tokens yield a single whole-doc shingle.
+    Expression-level convenience — DataFrame operators stage the token
+    array through a barrier first (see ``shingles_from_tokens``)."""
+    return shingles_from_tokens(tokens(text), k)
+
+
 def shingle_hashes(text: Column, k: int = DEFAULT_SHINGLE) -> Column:
     """Distinct md5i32 hashes of the shingle set (the MinHash input set)."""
     return F.array_distinct(F.transform(shingles(text, k), lambda s: md5i32(s)))
 
 
-def _barrier(df: DataFrame, expr: Column, name: str, keep: list[str]) -> DataFrame:
-    """Materialize ``expr`` as a real column behind a Generate node.
-
-    Higher-order functions run outside whole-stage codegen, so Catalyst's
-    subexpression elimination cannot dedupe them; worse, CollapseProject
-    inlines a projected HOF expression into every downstream use, multiplying
-    the work (16 consumers = 16 full recomputes).  ``explode(array(expr))``
-    is row-preserving but introduces a Generate node that CollapseProject
-    will not cross — the expression is evaluated exactly once per row.
-    """
-    return df.select(*keep, F.explode(F.array(expr)).alias(name))
+def shingle_hashes_from_tokens(toks: Column, k: int = DEFAULT_SHINGLE) -> Column:
+    return F.array_distinct(
+        F.transform(shingles_from_tokens(toks, k), lambda s: md5i32(s))
+    )
 
 
-def minhash_signature(
-    text: Column, n_hashes: int = DEFAULT_N_HASHES, k: int = DEFAULT_SHINGLE, seed: int = 42
-) -> Column:
-    """MinHash signature as array<long>:
+def _shingle_frame(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, sh) with the shingle-hash array materialized: tokens are staged
+    through one barrier (so the split happens once per row), shingle
+    hashing through a second."""
+    toks_df = _barrier(df, tokens(F.col(text_col)), "__toks", [id_col])
+    return _barrier(
+        toks_df, shingle_hashes_from_tokens(F.col("__toks"), k), "sh", [id_col]
+    )
+
+
+from minivectordb_spark.operators.util import materialize as _barrier
+
+
+def minhash_from_hashes(hs: Column, n_hashes: int = DEFAULT_N_HASHES, seed: int = 42) -> Column:
+    """MinHash signature from a precomputed shingle-hash array:
     sig[j] = min_h ( (a_j * (h mod P) + b_j) mod P ).
 
-    SINGLE-PASS: one ``aggregate`` over the shingle hashes with an
-    array-of-running-minima accumulator (zip_with + least), so the expensive
-    shingle hashing is evaluated once per row regardless of n_hashes.
-    Entirely per-row expressions — at 100 TB this stage is map-only; nothing
-    shuffles until the band join."""
-    hs = shingle_hashes(text, k)
+    SINGLE-PASS: one ``aggregate`` with an array-of-running-minima
+    accumulator (zip_with + least), so the input is traversed once
+    regardless of n_hashes."""
     coeffs = minhash_coeffs(n_hashes, seed)
     init = F.array(*[F.lit(MERSENNE_P).cast("long") for _ in coeffs])
 
@@ -115,6 +129,15 @@ def minhash_signature(
     return F.aggregate(hs, init, step)
 
 
+def minhash_signature(
+    text: Column, n_hashes: int = DEFAULT_N_HASHES, k: int = DEFAULT_SHINGLE, seed: int = 42
+) -> Column:
+    """MinHash signature as array<long> over word-k-gram shingles.
+    Entirely per-row expressions — at 100 TB this stage is map-only; nothing
+    shuffles until the band join."""
+    return minhash_from_hashes(shingle_hashes(text, k), n_hashes, seed)
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -123,11 +146,9 @@ def minhash_signatures(
     k: int = DEFAULT_SHINGLE,
     seed: int = 42,
 ) -> DataFrame:
+    sh = _shingle_frame(df, text_col, id_col, k)
     return _barrier(
-        df,
-        minhash_signature(F.col(text_col), n_hashes, k, seed),
-        "minhash",
-        [id_col],
+        sh, minhash_from_hashes(F.col("sh"), n_hashes, seed), "minhash", [id_col]
     )
 
 
@@ -200,7 +221,7 @@ def jaccard_pairs(
     shingle-hash sets: |A ∩ B| / |A ∪ B|.  Two broadcast-able joins attach
     the (small) shingle arrays to each side of the pair list; the heavy
     corpus is scanned once per side."""
-    sh = _barrier(df, shingle_hashes(F.col(text_col), k), "sh", [id_col]).cache()
+    sh = _shingle_frame(df, text_col, id_col, k).cache()
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     joined = pairs.join(a, "id_a").join(b, "id_b")
@@ -227,9 +248,59 @@ def minhash_dedup_pairs(
     threshold: float = 0.8,
     seed: int = 42,
 ) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates -> exact Jaccard verify."""
-    pairs = lsh_candidate_pairs(df, text_col, id_col, n_hashes, band_size, k, seed)
-    return jaccard_pairs(df, pairs, text_col, id_col, k, threshold)
+    """Full near-dup pipeline: LSH candidates -> exact Jaccard verify.
+
+    The shingle-hash frame is computed ONCE (cached) and feeds both the
+    signature/banding stage and the Jaccard verification — one md5 pass
+    over the corpus total, the dominant cost of the pipeline."""
+    n_bands = n_hashes // band_size
+    sh = _shingle_frame(df, text_col, id_col, k).cache()
+    sig_df = _barrier(
+        sh, minhash_from_hashes(F.col("sh"), n_hashes, seed), "__sig", [id_col]
+    )
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    F.lit(b),
+                    *[
+                        F.element_at(F.col("__sig"), b * band_size + j + 1).cast("string")
+                        for j in range(band_size)
+                    ],
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+    buckets = sig_df.select(
+        F.col(id_col), F.posexplode(bands).alias("band_idx", "band_hash")
+    ).cache()
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        joined.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 # ---------------- SimHash ----------------
@@ -291,21 +362,30 @@ def embedding_neardup_pairs(
     when a clustering/bucketing column exists.  Without it, a cross-join —
     only for small corpora (the brute-force baseline).
     """
-    a = df.select(
+    from minivectordb_spark.operators.util import materialize
+    from minivectordb_spark.scoring import norm_expr
+
+    keep = [id_col, emb_col] + ([block_col] if block_col else [])
+    base = materialize(df.select(*keep), norm_expr(F.col(emb_col)), "__n", keep)
+    a = base.select(
         F.col(id_col).alias("id_a"),
         F.col(emb_col).alias("emb_a"),
+        F.col("__n").alias("n_a"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
     )
-    b = df.select(
+    b = base.select(
         F.col(id_col).alias("id_b"),
         F.col(emb_col).alias("emb_b"),
+        F.col("__n").alias("n_b"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
     )
     if block_col:
         joined = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
     else:
         joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    sim = cosine_sim_cols(F.col("emb_a"), F.col("emb_b"))
+    sim = cosine_sim_cols(
+        F.col("emb_a"), F.col("emb_b"), norm_a=F.col("n_a"), norm_b=F.col("n_b")
+    )
     out_cols = ["id_a", "id_b"]
     if block_col:
         out_cols.append("blk")

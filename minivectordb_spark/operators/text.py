@@ -134,24 +134,70 @@ def fingerprint(text: Column) -> Column:
 
 
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-document stats frame (the headline text-analysis operator)."""
-    t = F.col(text_col)
-    return df.select(
+    """Per-document stats frame (the headline text-analysis operator).
+
+    The token array is staged through one Generate-node barrier so the
+    split happens once per row; every stat then reads the materialized
+    column (each column expression would otherwise re-inline the split —
+    see operators/util.py)."""
+    from minivectordb_spark.operators.util import materialize
+
+    staged = materialize(df, tokens(F.col(text_col)), "__toks", [id_col, text_col])
+    toks = F.col("__toks")
+    n = F.size(toks)
+    nz = n > 0
+    ttr = F.when(~nz, F.lit(0.0)).otherwise(
+        F.size(F.array_distinct(toks)).cast("double") / n.cast("double")
+    )
+    stops = F.size(F.filter(toks, _isin_pred(EN_STOPWORDS)))
+    stop_r = F.when(~nz, F.lit(0.0)).otherwise(stops.cast("double") / n.cast("double"))
+    tot_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    atl = F.when(~nz, F.lit(0.0)).otherwise(tot_len.cast("double") / n.cast("double"))
+    quality = (
+        F.lit(0.4) * F.least(F.lit(1.0), n.cast("double") / F.lit(100.0))
+        + F.lit(0.3) * ttr
+        + F.lit(0.3) * F.least(F.lit(1.0), F.lit(3.0) * stop_r)
+    )
+    return staged.select(
         F.col(id_col),
-        token_count(t).alias("n_tokens"),
-        F.length(t).alias("n_chars_actual"),
-        F.round(type_token_ratio(t), 6).alias("ttr"),
-        F.round(stopword_ratio(t), 6).alias("stop_ratio"),
-        F.round(avg_token_len(t), 6).alias("avg_tok_len"),
-        F.round(quality_score(t), 6).alias("quality"),
+        n.alias("n_tokens"),
+        F.length(F.col(text_col)).alias("n_chars_actual"),
+        F.round(ttr, 6).alias("ttr"),
+        F.round(stop_r, 6).alias("stop_ratio"),
+        F.round(atl, 6).alias("avg_tok_len"),
+        F.round(quality, 6).alias("quality"),
     )
 
 
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    return df.select(
-        F.col(id_col),
-        predicted_lang(F.col(text_col)).alias("pred_lang"),
+    """Language-ID over a staged token column; the per-language scores are
+    materialized as one int array so the nested-CASE argmax reads cheap
+    element_at references instead of re-filtering tokens per comparison."""
+    from minivectordb_spark.operators.util import materialize
+
+    staged = materialize(df, tokens(F.col(text_col)), "__toks", [id_col])
+    toks = F.col("__toks")
+    scores_arr = F.array(
+        *[
+            F.size(F.filter(toks, _isin_pred(LANG_PROFILES[lang]))).cast("long")
+            for lang in LANG_PRIORITY
+        ]
     )
+    scored = materialize(staged, scores_arr, "__s", [id_col])
+    s = {lang: F.element_at(F.col("__s"), i + 1) for i, lang in enumerate(LANG_PRIORITY)}
+    expr = F.lit(LANG_PRIORITY[-1])
+    for idx in range(len(LANG_PRIORITY) - 2, -1, -1):
+        lang = LANG_PRIORITY[idx]
+        cond = None
+        for l2 in LANG_PRIORITY[idx + 1 :]:
+            c = s[lang] >= s[l2]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return scored.select(F.col(id_col), expr.alias("pred_lang"))
 
 
 def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -85,14 +85,25 @@ def cosine_sim(emb: Column, query: Sequence[float]) -> Column:
     return dot_expr(emb, q) / (norm_expr(emb) * F.lit(qn))
 
 
-def cosine_sim_cols(emb_a: Column, emb_b: Column) -> Column:
-    """cos between two embedding columns (for similarity self-joins)."""
-    dot = F.aggregate(
+def dot_cols(emb_a: Column, emb_b: Column) -> Column:
+    """Left-fold dot product of two embedding columns in double precision."""
+    return F.aggregate(
         F.zip_with(emb_a.cast("array<double>"), emb_b.cast("array<double>"), lambda a, b: a * b),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    return dot / (norm_expr(emb_a) * norm_expr(emb_b))
+
+
+def cosine_sim_cols(emb_a: Column, emb_b: Column, norm_a: Column | None = None, norm_b: Column | None = None) -> Column:
+    """cos between two embedding columns (for similarity self-joins).
+
+    Pass precomputed ``norm_a``/``norm_b`` columns when the expression is
+    evaluated per PAIR (joins): recomputing the norm fold per pair triples
+    the work — stage it once per row instead (see operators/util.py)."""
+    dot = dot_cols(emb_a, emb_b)
+    na = norm_a if norm_a is not None else norm_expr(emb_a)
+    nb = norm_b if norm_b is not None else norm_expr(emb_b)
+    return dot / (na * nb)
 
 
 def knn(
@@ -140,13 +151,32 @@ def knn_batch(
     """
     from pyspark.sql import Window
 
-    q = queries_df.select(
-        F.col(query_id_col), F.col(query_emb_col).alias("__q_emb")
+    from minivectordb_spark.operators.util import materialize
+
+    # stage each side's norm once per ROW — computing it inside the join
+    # expression would redo the fold once per (row, query) pair
+    q = materialize(
+        queries_df.select(F.col(query_id_col), F.col(query_emb_col).alias("__q_emb")),
+        norm_expr(F.col("__q_emb")),
+        "__q_norm",
+        [query_id_col, "__q_emb"],
     )
-    joined = corpus_df.crossJoin(F.broadcast(q))
+    corpus = materialize(
+        corpus_df,
+        norm_expr(F.col(corpus_emb_col)),
+        "__c_norm",
+        corpus_df.columns,
+    )
+    joined = corpus.crossJoin(F.broadcast(q))
     scored = joined.withColumn(
-        score_col, cosine_sim_cols(F.col(corpus_emb_col), F.col("__q_emb"))
-    ).drop("__q_emb")
+        score_col,
+        cosine_sim_cols(
+            F.col(corpus_emb_col),
+            F.col("__q_emb"),
+            norm_a=F.col("__c_norm"),
+            norm_b=F.col("__q_norm"),
+        ),
+    ).drop("__q_emb", "__q_norm", "__c_norm")
     # two-stage top-k: a (query, input-partition)-local rank first, so no
     # reducer ever holds a whole query's copy of the corpus (the skew of a
     # plain per-query window); the global rank then sees at most

@@ -155,3 +155,16 @@ def test_neardup_planted_duplicate(spark):
     df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
     out = embedding_neardup_pairs(df, block_col="label", threshold=0.99).collect()
     assert [(r["id_a"], r["id_b"], r["cosine"]) for r in out] == [(0, 1, 1.0)]
+
+
+def test_kmeans_centroids_contract(emb_df):
+    from minivectordb_spark.operators.ann import kmeans_centroids
+
+    cents = kmeans_centroids(emb_df.limit(200), n=4)
+    rows = cents.collect()
+    assert len(rows) == 4
+    assert all(len(r["centroid_emb"]) == 64 for r in rows)
+    # drop-in: assignment works against the fitted centroids
+    assigned = ivf_assign(emb_df.limit(50), cents)
+    assert assigned.count() == 50
+    assert assigned.select("centroid_id").distinct().count() <= 4
