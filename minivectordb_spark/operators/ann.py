@@ -165,6 +165,59 @@ def ivf_search(
     )
 
 
+def mllib_lsh_neighbors(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH ANN (SURVEY.md §7 phase 5): fit the
+    hash tables, then approxNearestNeighbors for the query.  Euclidean-LSH
+    over L2-NORMALIZED vectors ranks identically to cosine
+    (||a-b||^2 = 2 - 2cos on the unit sphere), so results are directly
+    comparable to the exact-cosine paths.  Returns (id, dist_euclidean,
+    score) with score = 1 - d^2/2 == cosine."""
+    import numpy as np
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.linalg import Vectors
+
+    from minivectordb_spark.operators.util import materialize
+    from minivectordb_spark.scoring import norm_expr
+
+    staged = materialize(df, norm_expr(F.col(emb_col)), "__n", [id_col, emb_col])
+    normalized = staged.select(
+        F.col(id_col),
+        array_to_vector(
+            F.transform(
+                F.col(emb_col).cast("array<double>"), lambda x: x / F.col("__n")
+            )
+        ).alias("features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(normalized)
+    q = np.asarray(query, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if qn > 0:
+        q = q / qn
+    res = model.approxNearestNeighbors(normalized, Vectors.dense(q), k, distCol="dist")
+    return res.select(
+        F.col(id_col),
+        F.col("dist").alias("dist_euclidean"),
+        (F.lit(1.0) - F.col("dist") * F.col("dist") / F.lit(2.0)).alias("score"),
+    )
+
+
 def random_projection_buckets(
     df: DataFrame,
     planes: list[list[float]],

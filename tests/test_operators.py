@@ -168,3 +168,20 @@ def test_kmeans_centroids_contract(emb_df):
     assigned = ivf_assign(emb_df.limit(50), cents)
     assert assigned.count() == 50
     assert assigned.select("centroid_id").distinct().count() <= 4
+
+
+def test_mllib_lsh_neighbors_recall(emb_df):
+    from minivectordb_spark.operators.ann import mllib_lsh_neighbors
+
+    q = [float((i * 3) % 7) - 2.0 for i in range(64)]
+    approx = mllib_lsh_neighbors(emb_df, q, k=10, num_hash_tables=4)
+    got = [r["vec_id"] for r in approx.collect()]
+    exact = [
+        r["vec_id"]
+        for r in knn(emb_df, q, k=10, emb_col="embedding", id_col="vec_id").collect()
+    ]
+    # ANN contract: high overlap with exact top-k, scores in cosine range
+    assert len(got) == 10
+    assert len(set(got) & set(exact)) >= 5
+    top = approx.collect()[0]
+    assert -1.001 <= top["score"] <= 1.001
