@@ -404,6 +404,57 @@ def q_autocut_topk(spark, sf_dir):
     )
 
 
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) per user — the classic
+    stateful-window pattern: session id = running count of gap-breaks over
+    (user, ts).  ts is int64 nanos (see _t); all arithmetic stays integral."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    gap_ns = 30 * 60 * 1_000_000_000
+    w = Window.partitionBy("user_id").orderBy("ts")
+    breaks = F.when(
+        (F.col("ts") - F.lag("ts").over(w)) > F.lit(gap_ns), 1
+    ).otherwise(0)
+    with_sess = ev.withColumn("__brk", breaks).withColumn(
+        "session_id", F.sum("__brk").over(w)
+    )
+    return (
+        with_sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+
+
+def q_events_rollup(spark, sf_dir):
+    """ROLLUP aggregate (grouping-sets family): per-type and grand-total
+    rows in one pass."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.rollup("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def q_search_pipeline(spark, sf_dir):
+    """The reference's full read path as ONE DataFrame program
+    (vector_database.py:466-536 + 413-441): filter DSL -> exact top-k ->
+    window autocut -> hybrid rerank.  Rows-only check (rerank features are
+    pandas-UDF)."""
+    from minivectordb_spark.rerank import rerank_df
+
+    e = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    pred = compile_filters({"label": {"$lt": 8}}, resolver=ColumnResolver())
+    top = knn(e, QVEC, k=20, emb_col="embedding", id_col="vec_id", pred=pred)
+    cut = autocut_df(top, score_col="score", id_col="vec_id")
+    cand = cut.join(docs, cut.vec_id == docs.doc_id).select("doc_id", "text", "score")
+    out = rerank_df(cand, "spark filter join merge", k=5, id_col="doc_id")
+    return out.select("doc_id", F.round("combined_score", 6).alias("combined_score"))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-column plumbing: documents re-encoded as opaque assets, fake
     feature extraction via mapInPandas (operators/multimodal.py)."""
@@ -467,7 +518,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_batch": q_delete_batch,
         "insert_unique": q_insert_unique,
         "autocut_topk": q_autocut_topk,
+        "events_sessionize": q_events_sessionize,
+        "events_rollup": q_events_rollup,
         "multimodal_features": q_multimodal_features,
+        "search_pipeline": q_search_pipeline,
         "rerank_topk": q_rerank_topk,
     }
 
@@ -783,6 +837,26 @@ LIMIT 10
             f"WHERE v NOT IN (SELECT vec_id FROM embeddings)"
         ),
         "autocut_topk": _oracle_autocut(),
+        "events_sessionize": """
+WITH w AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                   > 1800000000000 THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT user_id, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+  FROM w
+)
+SELECT user_id, session_id::BIGINT AS session_id, count(*)::BIGINT AS n_events,
+       round(sum(value), 2) AS session_value
+FROM s GROUP BY user_id, session_id
+""".strip(),
+        "events_rollup": (
+            "SELECT event_type, count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value "
+            "FROM events GROUP BY ROLLUP(event_type)"
+        ),
         "multimodal_features": _oracle_multimodal(),
         # rerank_topk: pandas-UDF hash/fuzzy features — not SQL-expressible;
         # the driver records the weaker rows-only check (by design).
