@@ -138,6 +138,105 @@ class VectorTable:
         return cls(spark, spark.createDataFrame([], VECTOR_SCHEMA), dim=None)
 
     @classmethod
+    def from_dataframe(
+        cls,
+        df: DataFrame,
+        id_col: str = "id",
+        emb_col: str = "embedding",
+        meta_cols: Sequence[str] = (),
+        validate: bool = True,
+    ) -> "VectorTable":
+        """Distributed bulk ingest — the scale path (the python-list batch
+        API is the reference-parity surface; 100 TB arrives as a DataFrame).
+
+        ``meta_cols`` are routed into the typed metadata maps by their Spark
+        type (string/numeric/timestamp/boolean/array<string>).  Validation
+        (one aggregate pass): embedding dims consistent, ids unique and
+        non-null.  Everything is column expressions — no driver loop, no
+        Python in the ingest path.
+        """
+        from pyspark.sql.types import (
+            ArrayType as _Arr,
+            BooleanType as _B,
+            NumericType as _N,
+            StringType as _S,
+            TimestampType as _T,
+        )
+
+        spark = df.sparkSession
+        if validate:
+            stats = df.select(
+                F.countDistinct(F.size(F.col(emb_col))).alias("ndims"),
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct(F.col(id_col)).alias("nid"),
+                F.count(F.col(id_col)).alias("nonnull"),
+            ).collect()[0]
+            if stats["ndims"] > 1:
+                raise ValueError("Embedding dimension mismatch: multiple dims in input")
+            if stats["nid"] != stats["n"] or stats["nonnull"] != stats["n"]:
+                raise ValueError("Unique ID already exists.")
+
+        str_m, num_m, ts_m, bool_m, arr_m = [], [], [], [], []
+        for c in meta_cols:
+            dt = df.schema[c].dataType
+            pair = (F.lit(c), F.col(c))
+            if isinstance(dt, _B):
+                bool_m.extend(pair)
+            elif isinstance(dt, _N):
+                num_m.extend((F.lit(c), F.col(c).cast("double")))
+            elif isinstance(dt, _T):
+                ts_m.extend(pair)
+            elif isinstance(dt, _Arr):
+                arr_m.extend((F.lit(c), F.col(c).cast("array<string>")))
+            elif isinstance(dt, _S):
+                str_m.extend(pair)
+            else:
+                raise ValueError(f"Unsupported metadata column type for {c!r}: {dt}")
+
+        def _map(entries):
+            return F.create_map(*entries) if entries else F.lit(None).cast("map<string,string>")
+
+        from minivectordb_spark.operators.util import materialize
+        from minivectordb_spark.scoring import norm_expr
+
+        emb = F.col(emb_col).cast("array<float>")
+        pre = df.select(
+            F.col(id_col).cast("string").alias("id"),
+            emb.alias("embedding"),
+            (F.create_map(*str_m) if str_m else F.lit(None).cast("map<string,string>")).alias("meta_str"),
+            (F.create_map(*num_m) if num_m else F.lit(None).cast("map<string,double>")).alias("meta_num"),
+            (F.create_map(*ts_m) if ts_m else F.lit(None).cast("map<string,timestamp>")).alias("meta_ts"),
+            (F.create_map(*bool_m) if bool_m else F.lit(None).cast("map<string,boolean>")).alias("meta_bool"),
+            (F.create_map(*arr_m) if arr_m else F.lit(None).cast("map<string,array<string>>")).alias("meta_arr"),
+            F.to_json(F.struct(*[F.col(c) for c in meta_cols])).alias("meta_json")
+            if meta_cols
+            else F.lit("{}").alias("meta_json"),
+        )
+        # norm behind a Generate barrier, so the per-element division below
+        # reads a column instead of re-folding the norm per element
+        staged = materialize(pre, norm_expr(F.col("embedding")), "norm", pre.columns)
+        norm = F.col("norm")
+        shaped = staged.select(
+            "id",
+            "embedding",
+            F.when(
+                norm > 0,
+                F.transform(F.col("embedding"), lambda x: (x / norm).cast("float")),
+            )
+            .otherwise(F.col("embedding"))
+            .alias("embedding_norm"),
+            "norm",
+            "meta_str",
+            "meta_num",
+            "meta_ts",
+            "meta_bool",
+            "meta_arr",
+            "meta_json",
+        )
+        dim_row = df.select(F.size(F.col(emb_col)).alias("d")).limit(1).collect()
+        return cls(spark, shaped, dim=dim_row[0]["d"] if dim_row else None)
+
+    @classmethod
     def load(cls, spark: SparkSession, path: str) -> "VectorTable":
         """spark.read.parquet replaces the eager full unpickle
         (vector_database.py:28-40) — the scan is lazy and columnar."""
@@ -286,6 +385,50 @@ class VectorTable:
         if autocut and len(scores) > 1:
             ids, scores, metas = apply_autocut(ids, scores, metas)
         return ids, scores, metas
+
+    def find_most_similar_batch(
+        self,
+        embeddings: Sequence,
+        metadata_filter: Any = None,
+        exclude_filter: Any = None,
+        or_filters: Any = None,
+        k: int = 5,
+    ) -> list[tuple[list, list, list]]:
+        """Multi-query search — the natural Spark extension (SURVEY.md §2.7):
+        all queries run in ONE job (broadcast queries x corpus + two-stage
+        per-query top-k) instead of a Python loop of single searches.
+        Returns one (ids, scores, metadatas) triple per query, in input
+        order."""
+        from minivectordb_spark.scoring import knn_batch
+
+        if self._is_empty():
+            return [([], [], []) for _ in embeddings]
+        pred = compile_filters(metadata_filter, exclude_filter, or_filters, TypedMapResolver())
+        queries_df = self.spark.createDataFrame(
+            [(i, [float(x) for x in e]) for i, e in enumerate(embeddings)],
+            "query_id int, query_embedding array<float>",
+        )
+        out = knn_batch(
+            queries_df,
+            self.df.filter(pred),
+            k=k,
+            corpus_id_col="id",
+            corpus_emb_col="embedding",
+        ).collect()
+        by_q: dict[int, list] = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], []).append(r)
+        results = []
+        for i in range(len(embeddings)):
+            rows = sorted(by_q.get(i, []), key=lambda r: (-r["score"], r["id"]))
+            results.append(
+                (
+                    [r["id"] for r in rows],
+                    [float(r["score"]) for r in rows],
+                    [_reassemble_metadata(r) for r in rows],
+                )
+            )
+        return results
 
     # ---------------- internals ----------------
 

@@ -144,3 +144,65 @@ def test_distances_variant(spark):
     )
     ids2, d2, _ = t2.find_most_similar([1.0, 0.0], k=3, distances=True, autocut=True)
     assert ids2 == ["t"]
+
+
+def test_from_dataframe_bulk_ingest(spark, sf_dir):
+    import datetime as dt
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    from minivectordb_spark.embedder import embed_column
+
+    src = embed_column(docs, "text").withColumn(
+        "flagged", F.col("n_chars") > 200
+    )
+    t = VectorTable.from_dataframe(
+        src, id_col="doc_id", emb_col="embedding",
+        meta_cols=["lang", "n_chars", "flagged"],
+    )
+    assert t.count() == 100
+    assert t.dim == 64
+    # typed-map routing: string / numeric / boolean keys all filterable
+    ids, scores, metas = t.find_most_similar(
+        t.get_vector(t.df.select("id").orderBy("id").limit(1).collect()[0]["id"]),
+        metadata_filter={"n_chars": {"$gte": 200}, "flagged": True},
+        k=5,
+    )
+    assert len(ids) > 0
+    assert all(m["n_chars"] >= 200 and m["flagged"] is True for m in metas)
+    # norm column correct
+    row = t.df.select("norm", "embedding").limit(1).collect()[0]
+    import math
+    assert row["norm"] == pytest.approx(
+        math.sqrt(sum(x * x for x in row["embedding"])), rel=1e-6
+    )
+
+
+def test_from_dataframe_validation(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (1, [3.0, 4.0])], ["id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        VectorTable.from_dataframe(df)
+    df2 = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0, 5.0])], ["id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="dimension"):
+        VectorTable.from_dataframe(df2)
+
+
+def test_find_most_similar_batch(spark):
+    t = VectorTable.empty(spark).store_embeddings_batch(
+        ["a", "b", "c", "d"],
+        [[1.0, 0.0], [0.0, 1.0], [0.9, 0.1], [0.1, 0.9]],
+        [{"g": "x"}, {"g": "x"}, {"g": "y"}, {"g": "y"}],
+    )
+    res = t.find_most_similar_batch([[1.0, 0.0], [0.0, 1.0]], k=2)
+    assert len(res) == 2
+    assert res[0][0][0] == "a" and res[1][0][0] == "b"
+    # filtered batch
+    res2 = t.find_most_similar_batch([[1.0, 0.0]], metadata_filter={"g": "y"}, k=4)
+    assert res2[0][0] == ["c", "d"]
+    # single search agrees with batch
+    ids_single, sc_single, _ = t.find_most_similar([1.0, 0.0], k=2)
+    assert res[0][0] == ids_single
