@@ -114,16 +114,25 @@ def knn(
     id_col: str = "id",
     pred: Column | None = None,
     score_col: str = "score",
+    prenormalized: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k over ``df`` (vector_database.py:466-536 happy path).
 
     Ties broken by ``id_col`` ascending so the result SET is deterministic.
     k-clamping is inherent: limit(k) over m matching rows returns min(k, m).
+
+    ``prenormalized=True`` scores a stored unit-vector column with a plain
+    dot product against the unit-normalized query — the FAISS IndexFlatIP
+    pattern (normalize once at write, every search saves the per-row norm
+    fold).  VectorTable maintains ``embedding_norm`` for exactly this.
     """
     out = df
     if pred is not None:
         out = out.filter(pred)
-    out = out.withColumn(score_col, cosine_sim(F.col(emb_col), query))
+    if prenormalized:
+        out = out.withColumn(score_col, dot_expr(F.col(emb_col), l2_normalize(query)))
+    else:
+        out = out.withColumn(score_col, cosine_sim(F.col(emb_col), query))
     return out.orderBy(F.col(score_col).desc(), F.col(id_col).asc()).limit(k)
 
 

@@ -365,7 +365,13 @@ class VectorTable:
         if self._is_empty():
             return [], [], []
         pred = compile_filters(metadata_filter, exclude_filter, or_filters, TypedMapResolver())
-        result = knn(self.df, embedding, k=k, emb_col="embedding", id_col="id", pred=pred)
+        # score the stored unit vectors (embedding_norm) — the write-once
+        # normalization means search does one dot per row, no norm fold
+        # (the immutable analogue of FAISS's normalized IndexFlatIP)
+        result = knn(
+            self.df, embedding, k=k, emb_col="embedding_norm", id_col="id",
+            pred=pred, prenormalized=True,
+        )
         rows = result.collect()
         if not rows:
             return [], [], []

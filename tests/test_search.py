@@ -158,3 +158,28 @@ def test_knn_plan_is_take_ordered(spark, sf_dir):
     q = [float(i % 7) for i in range(64)]
     plan = knn(df, q, k=10, emb_col="embedding", id_col="vec_id")._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_matmul_scorer_matches_knn_batch(spark, sf_dir):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from minivectordb_spark.scoring import CosineMatmulScorer, knn_batch
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = sorted(
+        e.filter(F.col("vec_id") < 3).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    scorer = CosineMatmulScorer(
+        [r["vec_id"] for r in qrows], np.array([r["embedding"] for r in qrows])
+    )
+    mm = scorer.score_topk(e, k=4, id_col="vec_id", emb_col="embedding").collect()
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    jvm = knn_batch(queries, e, k=4, corpus_id_col="vec_id").collect()
+    mm_map = {(r["query_id"], r["vec_id"]): r["score"] for r in mm}
+    jvm_map = {(r["query_id"], r["vec_id"]): r["score"] for r in jvm}
+    assert set(mm_map) == set(jvm_map)
+    for key in mm_map:
+        assert mm_map[key] == pytest.approx(jvm_map[key], abs=1e-9)
