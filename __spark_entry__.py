@@ -428,6 +428,39 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_events_asof(spark, sf_dir):
+    """As-of join: for each purchase, the latest click at-or-before it by
+    the same user (operators/temporal.py — one shuffle on the key, no
+    range explosion).  ts is int64 nanos; output keeps integral types."""
+    from minivectordb_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    out = asof_join(purchases, clicks, key="user_id", right_cols=["click_value"])
+    # DuckDB stores these parquet NANOS timestamps at µs precision, so the
+    # comparable output is epoch-µs (integer div keeps exactness)
+    return out.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.col("r_click_value").alias("click_value"),
+        F.expr("r_ts div 1000").alias("click_ts_us"),
+    )
+
+
+def q_events_distinct_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def q_events_rollup(spark, sf_dir):
     """ROLLUP aggregate (grouping-sets family): per-type and grand-total
     rows in one pass."""
@@ -519,6 +552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "insert_unique": q_insert_unique,
         "autocut_topk": q_autocut_topk,
         "events_sessionize": q_events_sessionize,
+        "events_asof": q_events_asof,
+        "events_distinct_users": q_events_distinct_users,
         "events_rollup": q_events_rollup,
         "multimodal_features": q_multimodal_features,
         "search_pipeline": q_search_pipeline,
@@ -856,6 +891,17 @@ FROM s GROUP BY user_id, session_id
         "events_rollup": (
             "SELECT event_type, count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value "
             "FROM events GROUP BY ROLLUP(event_type)"
+        ),
+        "events_asof": """
+SELECT p.event_id, p.user_id, p.value,
+       c.value AS click_value, epoch_us(c.ts) AS click_ts_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""".strip(),
+        "events_distinct_users": (
+            "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users, "
+            "count(*)::BIGINT AS n_events FROM events GROUP BY event_type"
         ),
         "multimodal_features": _oracle_multimodal(),
         # rerank_topk: pandas-UDF hash/fuzzy features — not SQL-expressible;

@@ -1,0 +1,76 @@
+"""Temporal operators — as-of joins (SURVEY.md §2.7 lists as-of among the
+join types the reference has no notion of; training-data and event
+pipelines need them constantly: "latest feature value as of event time").
+
+``asof_join`` implements the classic union+window plan:
+
+  1. tag left/right rows and union them (no join!),
+  2. one window per join key ordered by (ts, side): ``last(right_value,
+     ignoreNulls)`` carries the most recent right-side payload forward,
+  3. keep left rows whose carried value is non-null (inner semantics).
+
+Cost: ONE shuffle on the join key for both inputs together — the same as a
+co-partitioned equi-join, with no range-explosion.  Skewed keys get AQE's
+skew handling; at 100 TB this is the standard streaming-feature-join shape
+(same plan Flink/KDB-style asof joins lower to).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` within the same ``key``.
+
+    Ties (right.ts == left.ts) match, and among equal right timestamps the
+    union order is made deterministic by sorting (ts, side) with the right
+    side first at equal ts.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (key, right_ts)]
+
+    lhs = left.withColumn("__side", F.lit(1)).withColumn("__ats", F.col(left_ts))
+    rhs = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__ats"),
+        F.lit(0).alias("__side"),
+        F.col(right_ts).alias("__r_ts"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    # unionByName null-fills each side's missing columns
+    unioned = lhs.unionByName(rhs, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__ats").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__c_{c}")
+            for c in right_cols
+        ],
+        F.last(F.col("__r_ts"), ignorenulls=True).over(w).alias("__c_ts"),
+    )
+    out = carried.filter(F.col("__side") == 1)
+    if how == "inner":
+        out = out.filter(F.col("__c_ts").isNotNull())
+    elif how != "left":
+        raise ValueError(f"asof_join supports 'inner' or 'left', got {how!r}")
+    keep = [c for c in left.columns]
+    proj = [F.col(c) for c in keep]
+    proj += [F.col(f"__c_{c}").alias(f"r_{c}") for c in right_cols]
+    proj.append(F.col("__c_ts").alias("r_ts"))
+    return out.select(*proj)

@@ -1,0 +1,40 @@
+"""As-of join semantics against hand-computed expectations."""
+
+import pytest
+
+from minivectordb_spark.operators.temporal import asof_join
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "p1"), (1, 20, "p2"), (1, 5, "p0"), (2, 15, "q1")],
+        ["key", "ts", "name"],
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 100.0), (1, 10, 200.0), (1, 18, 300.0), (3, 1, 999.0)],
+        ["key", "ts", "val"],
+    )
+    return left, right
+
+
+def test_asof_inner(frames):
+    left, right = frames
+    out = {r["name"]: (r["r_val"], r["r_ts"]) for r in asof_join(left, right, "key").collect()}
+    assert out == {
+        "p1": (200.0, 10),  # tie: right.ts == left.ts matches
+        "p2": (300.0, 18),
+    }  # p0 (no prior right) and q1 (no key match) dropped
+
+
+def test_asof_left(frames):
+    left, right = frames
+    rows = {r["name"]: r["r_val"] for r in asof_join(left, right, "key", how="left").collect()}
+    assert rows["p0"] is None and rows["q1"] is None
+    assert rows["p1"] == 200.0
+
+
+def test_asof_bad_how(frames):
+    left, right = frames
+    with pytest.raises(ValueError):
+        asof_join(left, right, "key", how="outer")
