@@ -293,6 +293,4 @@ class CosineMatmulScorer:
         )
         # map positional query index back to caller's query ids
         mapping = F.array(*[F.lit(q) for q in qids])
-        return final.withColumn(
-            "query_id", mapping.getItem(F.col("query_id"))
-        )
+        return final.withColumn("query_id", mapping[F.col("query_id")])
