@@ -436,6 +436,33 @@ class VectorTable:
             )
         return results
 
+    # ---------------- reference drop-in conveniences ----------------
+    # The reference exposes rerank/autocut as METHODS on the database class
+    # (vector_database.py:413, :443); delegate so a user can switch without
+    # touching call sites.
+
+    def hybrid_rerank_results(self, sentences, search_scores, query, k: int = 5,
+                              weights=(0.80, 0.15, 0.05)):
+        from minivectordb_spark.rerank import hybrid_rerank_results as _rr
+
+        return _rr(sentences, search_scores, query, k=k, weights=weights)
+
+    def autocut_scores(self, score_list):
+        from minivectordb_spark.autocut import autocut_scores as _ac
+
+        return _ac(score_list)
+
+    def autocut_distances(self, distance_list):
+        from minivectordb_spark.autocut import autocut_distances as _ad
+
+        return _ad(distance_list)
+
+    def persist_to_disk(self, path: str | None = None, max_records_per_file: int | None = None):
+        """Reference-named alias of save() (vector_database.py:538)."""
+        if path is None:
+            raise ValueError("persist_to_disk requires a path (Parquet directory)")
+        self.save(path, max_records_per_file=max_records_per_file)
+
     # ---------------- internals ----------------
 
     def _is_empty(self) -> bool:

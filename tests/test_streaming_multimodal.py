@@ -108,3 +108,68 @@ def test_sample_frames(spark):
     )
     frames = sample_frames(df, every_ms=1000).collect()
     assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_streaming_dedup_across_microbatches(spark, tmp_path):
+    """Two files -> two micro-batches (maxFilesPerTrigger=1): a key repeated
+    across batches must be emitted as first-seen ONCE, duplicates counted."""
+    from minivectordb_spark.streaming.stateful import streaming_dedup
+
+    src = str(tmp_path / "in")
+    b1 = spark.createDataFrame([("a", 1), ("a", 2), ("b", 3)], ["doc_key", "payload"])
+    b2 = spark.createDataFrame([("a", 4), ("c", 5)], ["doc_key", "payload"])
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_key string, payload long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_dedup(stream, "doc_key")
+        .writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from dedup_test").collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["key"], []).append((r["first_seen_batch_rows"], r["n_dropped"]))
+    # 'a' first-seen exactly once in total; later appearance dropped entirely
+    firsts = [x for x in by_key["a"] if x[0] > 0]
+    assert len(firsts) == 1
+    total_dropped_a = sum(d for _, d in by_key["a"])
+    total_rows_a = sum(f for f, _ in by_key["a"]) + 0
+    assert total_dropped_a == 2  # 3 'a' rows total, 1 kept
+    assert sum(f for f, _ in by_key["b"] if f > 0) == 1
+    assert sum(f for f, _ in by_key["c"] if f > 0) == 1
+
+
+def test_streaming_running_counts(spark, tmp_path):
+    from minivectordb_spark.streaming.stateful import running_counts
+
+    src = str(tmp_path / "in2")
+    spark.createDataFrame([("x", 1), ("x", 2)], ["k", "v"]).coalesce(1).write.parquet(src)
+    spark.createDataFrame([("x", 3)], ["k", "v"]).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("k string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        running_counts(stream, "k")
+        .writeStream.format("memory")
+        .queryName("rc_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    totals = sorted(r["total"] for r in spark.sql("select * from rc_test").collect())
+    assert totals[-1] == 3  # final running total sees all three rows
