@@ -245,11 +245,28 @@ class VectorTable:
         dim = dim_row[0]["d"] if dim_row else None
         return cls(spark, df, dim=dim)
 
-    def save(self, path: str, max_records_per_file: int | None = None) -> None:
+    def save(
+        self,
+        path: str,
+        max_records_per_file: int | None = None,
+        cluster_by: Sequence[str] | None = None,
+    ) -> None:
         """Parquet persistence (vector_database.py:538-548).
         ``max_records_per_file`` mirrors shard_size
-        (sharded_vector_database.py:9) declaratively."""
-        writer = self.df.write.mode("overwrite")
+        (sharded_vector_database.py:9) declaratively.
+
+        ``cluster_by`` repartitions + sorts rows by the given (metadata)
+        expressions before writing, so parquet row-group min/max stats become
+        selective for those keys — the declarative replacement for the
+        reference's inverted index (SURVEY.md §1.5): filters on a clustered
+        key skip whole row groups at scan time with zero engine machinery.
+        Example: ``save(path, cluster_by=["meta_str['type']"])``.
+        """
+        df = self.df
+        if cluster_by:
+            exprs = [F.expr(c) for c in cluster_by]
+            df = df.repartition(*exprs).sortWithinPartitions(*exprs)
+        writer = df.write.mode("overwrite")
         if max_records_per_file:
             writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
         writer.parquet(path)

@@ -206,3 +206,17 @@ def test_find_most_similar_batch(spark):
     # single search agrees with batch
     ids_single, sc_single, _ = t.find_most_similar([1.0, 0.0], k=2)
     assert res[0][0] == ids_single
+
+
+def test_save_cluster_by_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "clustered")
+    t = VectorTable.empty(spark).store_embeddings_batch(
+        [f"r{i}" for i in range(40)],
+        [[float(i), 1.0] for i in range(40)],
+        [{"type": f"t{i % 4}"} for i in range(40)],
+    )
+    t.save(path, cluster_by=["meta_str['type']"], max_records_per_file=10)
+    t2 = VectorTable.load(spark, path)
+    assert t2.count() == 40
+    ids, _, _ = t2.find_most_similar([1.0, 0.0], metadata_filter={"type": "t2"}, k=50)
+    assert len(ids) == 10
