@@ -308,32 +308,40 @@ def minhash_dedup_pairs(
 SIMHASH_BITS = 32
 
 
-def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
-    """Per-doc SimHash fingerprint: majority vote of each hash bit over the
-    token multiset; bit b set iff more token hashes have bit b than not.
-    One integer per doc, map-only; near-dups = small Hamming distance.
+def simhash_from_hashes(hs: Column, n_tokens: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash fingerprint from a (materialized) token-hash array.
 
-    SINGLE-PASS: one ``aggregate`` with an array-of-vote-counters
-    accumulator; the fingerprint is assembled in the aggregate's ``finish``
-    lambda, where the accumulator is a bound variable (evaluated once) —
-    n separate per-bit aggregates would recompute the token hashing n times
-    (HOFs sit outside codegen subexpression elimination)."""
-    hs = F.transform(tokens(text), lambda t: md5i32(t))
-    init = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
+    SINGLE-PASS SWAR: bit-population counters are packed two-per-long in
+    16-bit lanes — lane L of accumulator i counts bit (i + 16*L) of the
+    hashes, so each token contributes an array of bits/2 packed adds
+    instead of ``bits`` individual ±1 votes (half the interpreted-expression
+    width; safe to 65,535 tokens per doc).  The fingerprint is assembled in
+    the aggregate's ``finish`` lambda where the accumulator is a bound
+    variable (evaluated once): bit b set iff 2*count_b > n_tokens — the
+    same majority vote as the per-bit ±1 formulation.
+    """
+    n_acc = bits // 2
+    lane_mask = (1 << 16) | 1  # selects bits {i, i+16} into 16-bit lanes
+
+    init = F.array(*[F.lit(0).cast("long") for _ in range(n_acc)])
 
     def step(acc: Column, h: Column) -> Column:
-        bitsigns = F.array(
+        packed = F.array(
             *[
-                (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
-                for b in range(bits)
+                F.shiftright(h, i).bitwiseAND(F.lit(lane_mask)).cast("long")
+                for i in range(n_acc)
             ]
         )
-        return F.zip_with(acc, bitsigns, lambda x, y: x + y)
+        return F.zip_with(acc, packed, lambda x, y: x + y)
 
     def finish(acc: Column) -> Column:
         fp = None
         for b in range(bits):
-            term = F.when(F.element_at(acc, b + 1) > 0, F.lit(1 << b).cast("long")).otherwise(
+            i, lane = b % n_acc, b // n_acc
+            count = F.shiftright(F.element_at(acc, i + 1), 16 * lane).bitwiseAND(
+                F.lit(0xFFFF)
+            )
+            term = F.when(count * 2 > n_tokens, F.lit(1 << b).cast("long")).otherwise(
                 F.lit(0).cast("long")
             )
             fp = term if fp is None else (fp + term)
@@ -342,8 +350,29 @@ def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
     return F.aggregate(hs, init, step, finish)
 
 
+def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Per-doc SimHash fingerprint: majority vote of each hash bit over the
+    token multiset; bit b set iff more token hashes have bit b than not.
+    One integer per doc, map-only; near-dups = small Hamming distance."""
+    toks = tokens(text)
+    hs = F.transform(toks, lambda t: md5i32(t))
+    return simhash_from_hashes(hs, F.size(toks))
+
+
 def simhash_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    return df.select(F.col(id_col), simhash(F.col(text_col)).alias("simhash"))
+    """Token hashes staged behind a barrier so the hashing pass runs once;
+    the SWAR vote aggregate then reads a materialized array column."""
+    toks_df = _barrier(df, tokens(F.col(text_col)), "__toks", [id_col])
+    hs_df = _barrier(
+        toks_df,
+        F.transform(F.col("__toks"), lambda t: md5i32(t)),
+        "__hs",
+        [id_col],
+    )
+    return hs_df.select(
+        F.col(id_col),
+        simhash_from_hashes(F.col("__hs"), F.size(F.col("__hs"))).alias("simhash"),
+    )
 
 
 # ---------------- embedding cosine near-dup ----------------
