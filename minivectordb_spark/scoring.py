@@ -206,6 +206,89 @@ def knn_batch(
     )
 
 
+class Int8MatmulScorer:
+    """Quantized batch scorer — the usearch variant's int8 cosine analogue
+    (sharded_vector_database_usearch.py:621-627: per-query index with
+    ``dtype='int8'``).  Unit-normalized vectors quantize to int8 with a
+    fixed scale of 127 (values in [-1, 1]); scores accumulate in int32 and
+    rescale, trading ~1e-2 absolute score error for a 4x smaller working
+    set per Arrow batch.  Rank order is preserved for all but near-tied
+    neighbors — the same contract usearch offers.  API-compatible with
+    CosineMatmulScorer.score_topk."""
+
+    SCALE = 127.0
+
+    def __init__(self, query_ids: Sequence, query_matrix: np.ndarray):
+        qm = np.asarray(query_matrix, dtype=np.float64)
+        norms = np.linalg.norm(qm, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        self.query_ids = list(query_ids)
+        self.q8 = np.clip(np.rint(qm / norms * self.SCALE), -127, 127).astype(np.int8)
+
+    def score_topk(
+        self,
+        corpus_df: DataFrame,
+        k: int,
+        id_col: str = "id",
+        emb_col: str = "embedding",
+    ) -> DataFrame:
+        q8 = self.q8
+        qids = self.query_ids
+        id_type = corpus_df.schema[id_col].dataType
+        out_schema = StructType(
+            [
+                StructField("query_id", IntegerType()),
+                StructField(id_col, id_type),
+                StructField("score", DoubleType()),
+            ]
+        )
+        inv = 1.0 / (self.SCALE * self.SCALE)
+
+        def score_partition(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                emb = np.vstack(pdf[emb_col].to_numpy()).astype(np.float64)
+                norms = np.linalg.norm(emb, axis=1, keepdims=True)
+                norms[norms == 0.0] = 1.0
+                e8 = np.clip(np.rint(emb / norms * 127.0), -127, 127).astype(np.int8)
+                sims = (e8.astype(np.int32) @ q8.astype(np.int32).T) * inv
+                ids = pdf[id_col].to_numpy()
+                kk = min(k, sims.shape[0])
+                top = np.argpartition(-sims, kk - 1, axis=0)[:kk, :]
+                frames = []
+                for j in range(sims.shape[1]):
+                    rows = top[:, j]
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": j,
+                                id_col: ids[rows],
+                                "score": sims[rows, j].astype(np.float64),
+                            }
+                        )
+                    )
+                yield pd.concat(frames, ignore_index=True)
+
+        from pyspark.sql import Window
+
+        partial = corpus_df.select(id_col, emb_col).mapInPandas(
+            score_partition, schema=out_schema
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col(id_col).asc()
+        )
+        final = (
+            partial.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+        mapping = F.array(*[F.lit(q) for q in qids])
+        return final.withColumn("query_id", mapping[F.col("query_id")])
+
+
 class CosineMatmulScorer:
     """Vectorized many-queries scorer: one numpy/BLAS matmul per Arrow batch.
 

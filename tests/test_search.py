@@ -183,3 +183,33 @@ def test_matmul_scorer_matches_knn_batch(spark, sf_dir):
     assert set(mm_map) == set(jvm_map)
     for key in mm_map:
         assert mm_map[key] == pytest.approx(jvm_map[key], abs=1e-9)
+
+
+def test_int8_scorer_rank_overlap(spark, sf_dir):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from minivectordb_spark.scoring import CosineMatmulScorer, Int8MatmulScorer
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = sorted(
+        e.filter(F.col("vec_id") < 2).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    ids = [r["vec_id"] for r in qrows]
+    mat = np.array([r["embedding"] for r in qrows])
+    exact = CosineMatmulScorer(ids, mat).score_topk(e, k=10, id_col="vec_id")
+    quant = Int8MatmulScorer(ids, mat).score_topk(e, k=10, id_col="vec_id")
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+    qt = {}
+    for r in quant.collect():
+        qt.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for qid in ex:
+        assert len(ex[qid] & qt[qid]) >= 8  # usearch-style contract: high recall
+    # quantized scores stay within ~2e-2 of exact cosine
+    exact_map = {(r["query_id"], r["vec_id"]): r["score"] for r in exact.collect()}
+    for r in quant.collect():
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_map:
+            assert abs(r["score"] - exact_map[key]) < 2e-2
