@@ -461,6 +461,42 @@ def q_events_distinct_users(spark, sf_dir):
     )
 
 
+def q_events_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (median + p90)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile(F.col("value"), F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile(F.col("value"), F.lit(0.9)), 4).alias("p90"),
+    )
+
+
+def q_events_stats(spark, sf_dir):
+    """Second-moment aggregates: sample stddev + correlation of value with
+    the JSON-extracted props.k."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+        F.round(F.corr(F.col("value"), k), 6).alias("corr_value_k"),
+    )
+
+
+def q_top_orders_per_cust(spark, sf_dir):
+    """Top-3 orders per customer by totalprice — the canonical top-N-per-
+    group window (same two-level pattern the batch kNN uses)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rank_in_cust", F.row_number().over(w))
+        .filter(F.col("rank_in_cust") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank_in_cust")
+    )
+
+
 def q_events_rollup(spark, sf_dir):
     """ROLLUP aggregate (grouping-sets family): per-type and grand-total
     rows in one pass."""
@@ -554,6 +590,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
         "events_distinct_users": q_events_distinct_users,
+        "events_percentiles": q_events_percentiles,
+        "events_stats": q_events_stats,
+        "top_orders_per_cust": q_top_orders_per_cust,
         "events_rollup": q_events_rollup,
         "multimodal_features": q_multimodal_features,
         "search_pipeline": q_search_pipeline,
@@ -903,6 +942,23 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
             "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users, "
             "count(*)::BIGINT AS n_events FROM events GROUP BY event_type"
         ),
+        "events_percentiles": (
+            "SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50, "
+            "round(quantile_cont(value, 0.9), 4) AS p90 FROM events GROUP BY event_type"
+        ),
+        "events_stats": (
+            f"SELECT event_type, round(stddev_samp(value), 6) AS sd_value, "
+            f"round(corr(value, {_K_SQL}), 6) AS corr_value_k "
+            f"FROM events GROUP BY event_type"
+        ),
+        "top_orders_per_cust": """
+SELECT o_custkey, o_orderkey, o_totalprice, rank_in_cust FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank_in_cust
+  FROM orders
+) WHERE rank_in_cust <= 3
+""".strip(),
         "multimodal_features": _oracle_multimodal(),
         # rerank_topk: pandas-UDF hash/fuzzy features — not SQL-expressible;
         # the driver records the weaker rows-only check (by design).

@@ -39,6 +39,11 @@ def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
     if sc != dc:
         problems.append(f"columns spark={sc} duck={dc}")
         return problems
+    # strict-ish dtype check: kind (int/float/object) must agree per column
+    for c in sc:
+        ks, kd = sdf[c].dtype.kind, ddf[c].dtype.kind
+        if len(sdf) and len(ddf) and ks != kd and {ks, kd} != {"i", "O"}:
+            problems.append(f"dtype {c}: spark {sdf[c].dtype} vs duck {ddf[c].dtype}")
     if problems:
         return problems
     a, b = canon(sdf), canon(ddf)
