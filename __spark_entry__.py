@@ -308,6 +308,18 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+def q_token_counts(spark, sf_dir):
+    """Whitespace vs BPE-ish-regex token counts per document."""
+    from minivectordb_spark.operators.text import bpe_ish_token_count, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
+    )
+
+
 def q_lang_id(spark, sf_dir):
     return lang_id(_t(spark, sf_dir, "documents"))
 
@@ -574,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "top_customers": q_top_customers,
         "text_stats": q_text_stats,
+        "token_counts": q_token_counts,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "dedup_exact": q_dedup_exact,
@@ -886,6 +899,12 @@ ORDER BY revenue DESC, c.c_custkey ASC
 LIMIT 10
 """.strip(),
         "text_stats": _oracle_text_stats(),
+        "token_counts": f"""
+SELECT doc_id,
+  len({_SQL_TOKS})::BIGINT AS ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS bpe_tokens
+FROM documents
+""".strip(),
         "lang_id": _oracle_lang_id(),
         "fingerprints": _oracle_fingerprints(),
         "dedup_exact": (

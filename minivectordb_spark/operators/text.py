@@ -45,6 +45,16 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+BPE_ISH_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Subword-style token count via a BPE-ish regex (letter runs, digit
+    runs, single punctuation) — the cheap proxy for tokenizer-budget
+    estimates in training-data pipelines.  Pure regexp_extract_all, JVM-side."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_REGEX), F.lit(0)))
+
+
 def type_token_ratio(text: Column) -> Column:
     """Lexical diversity: distinct tokens / tokens (0 for empty)."""
     toks = tokens(text)
