@@ -25,24 +25,44 @@ from minivectordb_spark.session import get_spark
 from minivectordb_spark.filters import (
     compile_filters,
     ColumnResolver,
+    CompositeResolver,
     JsonResolver,
     TypedMapResolver,
 )
-from minivectordb_spark.scoring import cosine_sim, knn, knn_batch
-from minivectordb_spark.autocut import autocut_scores, autocut_distances
+from minivectordb_spark.scoring import (
+    CosineMatmulScorer,
+    Int8MatmulScorer,
+    cosine_sim,
+    cosine_sim_cols,
+    knn,
+    knn_batch,
+)
+from minivectordb_spark.autocut import autocut_df, autocut_scores, autocut_distances
+from minivectordb_spark.rerank import hybrid_rerank_results, rerank_df
+from minivectordb_spark.embedder import HashProjectionEmbedder, embed_column, get_embedder
 from minivectordb_spark.table import VectorTable
 
 __all__ = [
     "get_spark",
     "compile_filters",
     "ColumnResolver",
+    "CompositeResolver",
     "JsonResolver",
     "TypedMapResolver",
     "cosine_sim",
+    "cosine_sim_cols",
     "knn",
     "knn_batch",
+    "CosineMatmulScorer",
+    "Int8MatmulScorer",
+    "autocut_df",
     "autocut_scores",
     "autocut_distances",
+    "hybrid_rerank_results",
+    "rerank_df",
+    "HashProjectionEmbedder",
+    "embed_column",
+    "get_embedder",
     "VectorTable",
 ]
 
