@@ -484,12 +484,19 @@ def q_events_percentiles(spark, sf_dir):
 
 def q_events_stats(spark, sf_dir):
     """Second-moment aggregates: sample stddev + correlation of value with
-    the JSON-extracted props.k."""
+    the JSON-extracted props.k.  The extraction is staged in a projection
+    BEFORE the aggregate — Corr's declarative update references its child
+    several times, so an inline get_json_object would be re-evaluated per
+    reference (measured 2.4x slower)."""
     ev = _t(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").try_cast("double")
-    return ev.groupBy("event_type").agg(
+    staged = ev.select(
+        "event_type",
+        "value",
+        F.get_json_object(F.col("props"), "$.k").try_cast("double").alias("k"),
+    )
+    return staged.groupBy("event_type").agg(
         F.round(F.stddev_samp("value"), 6).alias("sd_value"),
-        F.round(F.corr(F.col("value"), k), 6).alias("corr_value_k"),
+        F.round(F.corr("value", "k"), 6).alias("corr_value_k"),
     )
 
 
