@@ -543,6 +543,30 @@ def q_search_pipeline(spark, sf_dir):
     return out.select("doc_id", F.round("combined_score", 6).alias("combined_score"))
 
 
+def q_clean_corpus(spark, sf_dir):
+    """End-to-end training-corpus prep: quality-score filter -> exact dedup
+    (min-id survivor per content hash) -> predicted-language selection.
+    One map-only scoring pass + one dedup shuffle; the judge-visible
+    composition of the text-pipeline operators."""
+    from pyspark.sql import Window
+    from minivectordb_spark.operators.text import lang_id, text_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    stats = text_stats(docs).select("doc_id", "quality")
+    langs = lang_id(docs)
+    base = (
+        docs.join(stats, "doc_id")
+        .join(langs, "doc_id")
+        .filter((F.col("quality") >= 0.5) & (F.col("pred_lang") == "en"))
+    )
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy(F.col("doc_id").asc())
+    return (
+        base.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "lang", F.col("pred_lang"), F.col("quality"))
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-column plumbing: documents re-encoded as opaque assets, fake
     feature extraction via mapInPandas (operators/multimodal.py)."""
@@ -614,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stats": q_events_stats,
         "top_orders_per_cust": q_top_orders_per_cust,
         "events_rollup": q_events_rollup,
+        "clean_corpus": q_clean_corpus,
         "multimodal_features": q_multimodal_features,
         "search_pipeline": q_search_pipeline,
         "rerank_topk": q_rerank_topk,
@@ -846,6 +871,33 @@ FROM documents
 """.strip()
 
 
+def _oracle_clean_corpus() -> str:
+    stops = _sql_in_list(EN_STOPWORDS)
+    scores = ",\n    ".join(
+        f"{_sql_lang_score(lang)} AS s_{lang}" for lang in LANG_PRIORITY
+    )
+    return f"""
+WITH t AS (SELECT doc_id, text, lang, {_SQL_TOKS} AS tk FROM documents),
+q AS (
+  SELECT doc_id,
+    round(0.4 * least(1.0, len(tk)::DOUBLE / 100.0)
+        + 0.3 * (CASE WHEN len(tk) = 0 THEN 0.0 ELSE len(list_distinct(tk))::DOUBLE / len(tk)::DOUBLE END)
+        + 0.3 * least(1.0, 3.0 * (CASE WHEN len(tk) = 0 THEN 0.0 ELSE len(list_filter(tk, x -> x IN {stops}))::DOUBLE / len(tk)::DOUBLE END)), 6) AS quality
+  FROM t
+),
+s AS (SELECT doc_id, {scores} FROM t),
+pl AS (SELECT doc_id, {_sql_pred_lang()} AS pred_lang FROM s),
+base AS (
+  SELECT t.doc_id, t.lang, pl.pred_lang, q.quality, t.text
+  FROM t JOIN q USING (doc_id) JOIN pl USING (doc_id)
+  WHERE q.quality >= 0.5 AND pl.pred_lang = 'en'
+)
+SELECT doc_id, lang, pred_lang, quality FROM (
+  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn FROM base
+) WHERE rn = 1
+""".strip()
+
+
 def oracle_sql() -> dict[str, str]:
     values = ", ".join(f"({i})" for i in INSERT_IDS)
     doomed = ", ".join(str(i) for i in DELETE_IDS)
@@ -937,6 +989,7 @@ FROM documents
             f"WHERE v NOT IN (SELECT vec_id FROM embeddings)"
         ),
         "autocut_topk": _oracle_autocut(),
+        "clean_corpus": _oracle_clean_corpus(),
         "events_sessionize": """
 WITH w AS (
   SELECT user_id, ts, value,
