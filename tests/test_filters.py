@@ -332,3 +332,50 @@ def test_exclude_operator_dict_never_matches(excl_table):
         [1.0, 1.0], exclude_filter={"id": {"$gte": 0}}, k=10
     )
     assert len(ids) == 3
+
+
+# ---- JsonResolver / CompositeResolver edge cases ----
+
+def test_json_resolver_edges(spark):
+    from minivectordb_spark.filters import JsonResolver, compile_filters
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 10, "name": "a"}'),
+            (2, '{"k": "not_a_number"}'),
+            (3, '{"other": 1}'),
+            (4, "not json at all"),
+            (5, None),
+        ],
+        ["id", "props"],
+    )
+    r = JsonResolver("props")
+    ids = lambda pred: sorted(
+        x["id"] for x in df.filter(pred).select("id").collect()
+    )
+    # numeric comparison: malformed value / missing key / null json never match
+    assert ids(compile_filters({"k": {"$gte": 5}}, resolver=r)) == [1]
+    # $ne with presence gating: row 2 has k but try_cast fails -> treated absent
+    assert ids(compile_filters({"k": {"$ne": 99}}, resolver=r)) == [1]
+    # string equality on a different key
+    assert ids(compile_filters({"name": "a"}, resolver=r)) == [1]
+    # exclude on json key: only matching rows removed, null-json rows kept
+    assert ids(compile_filters(exclude_filter={"k": 10.0}, resolver=r)) == [2, 3, 4, 5]
+
+
+def test_composite_resolver_routing(spark):
+    from minivectordb_spark.filters import (
+        ColumnResolver,
+        CompositeResolver,
+        JsonResolver,
+        compile_filters,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x", '{"k": 5}'), (2, "y", '{"k": 50}')], ["id", "cat", "props"]
+    )
+    res = CompositeResolver({"k": JsonResolver("props")}, ColumnResolver())
+    out = df.filter(
+        compile_filters({"cat": "y", "k": {"$gt": 10}}, resolver=res)
+    ).collect()
+    assert [r["id"] for r in out] == [2]
