@@ -252,16 +252,21 @@ def q_events_hourly(spark, sf_dir):
 def q_tpch_q1(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,4)")
+    # decimal sums are exact; rescale to scale 4 (still exact — every input
+    # term has <= 4 decimals) BEFORE the double cast: scaled values stay
+    # under 2^53 so decimal->double is exact in BOTH engines (DuckDB's
+    # int128->double conversion double-rounds at scale 8, a 1-ulp mismatch)
+    dbl4 = lambda c: c.cast("decimal(38,4)").cast("double")
     agg = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
-            .cast("double")
-            .alias("sum_disc_price"),
-            F.sum(dec("l_discount")).cast("double").alias("sum_disc"),
+            dbl4(F.sum(dec("l_quantity"))).alias("sum_qty"),
+            dbl4(F.sum(dec("l_extendedprice"))).alias("sum_base_price"),
+            dbl4(
+                F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+            ).alias("sum_disc_price"),
+            dbl4(F.sum(dec("l_discount"))).alias("sum_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -932,10 +937,10 @@ FROM events GROUP BY event_type
         "tpch_q1": """
 WITH agg AS (
   SELECT l_returnflag, l_linestatus,
-    CAST(sum(l_quantity::DECIMAL(18,4)) AS DOUBLE) AS sum_qty,
-    CAST(sum(l_extendedprice::DECIMAL(18,4)) AS DOUBLE) AS sum_base_price,
-    CAST(sum(l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-    CAST(sum(l_discount::DECIMAL(18,4)) AS DOUBLE) AS sum_disc,
+    CAST(CAST(sum(l_quantity::DECIMAL(18,4)) AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty,
+    CAST(CAST(sum(l_extendedprice::DECIMAL(18,4)) AS DECIMAL(38,4)) AS DOUBLE) AS sum_base_price,
+    CAST(CAST(sum(l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
+    CAST(CAST(sum(l_discount::DECIMAL(18,4)) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc,
     count(*)::BIGINT AS count_order
   FROM lineitem
   WHERE l_shipdate <= TIMESTAMP '1998-09-02'
