@@ -534,8 +534,8 @@ def q_events_rollup(spark, sf_dir):
 def q_search_pipeline(spark, sf_dir):
     """The reference's full read path as ONE DataFrame program
     (vector_database.py:466-536 + 413-441): filter DSL -> exact top-k ->
-    window autocut -> hybrid rerank.  Rows-only check (rerank features are
-    pandas-UDF)."""
+    window autocut -> hybrid rerank.  Fully oracle-checked: every rerank
+    feature is an engine-portable deterministic expression (rerank.py)."""
     from minivectordb_spark.rerank import rerank_df
 
     e = _t(spark, sf_dir, "embeddings")
@@ -859,6 +859,45 @@ WHERE maxdrop IS NULL OR maxdrop <= 0.2 OR rn < cutpos
 """.strip()
 
 
+def _oracle_rerank_topk() -> str:
+    """DuckDB twin of q_rerank_topk: unfiltered top-20 cosine -> join
+    documents -> deterministic hybrid rerank (rerank.rerank_oracle_tail)."""
+    from minivectordb_spark.rerank import rerank_oracle_tail
+
+    cos = _sql_cos_lit("embedding", QVEC, QNORM)
+    head = f"""
+WITH topk AS (
+  SELECT vec_id, {cos} AS score FROM embeddings ORDER BY {cos} DESC, vec_id ASC LIMIT 20
+),
+cand AS (SELECT dd.doc_id, dd.text, t.score FROM topk t JOIN documents dd ON t.vec_id = dd.doc_id)"""
+    return (head + rerank_oracle_tail("spark query filter join", k=5)).strip()
+
+
+def _oracle_search_pipeline() -> str:
+    """DuckDB twin of q_search_pipeline: filter -> top-20 -> autocut
+    (unrounded scores) -> join documents -> deterministic hybrid rerank."""
+    from minivectordb_spark.rerank import rerank_oracle_tail
+
+    cos = _sql_cos_lit("embedding", QVEC, QNORM)
+    head = f"""
+WITH topk AS (
+  SELECT vec_id, {cos} AS score FROM embeddings WHERE label < 8
+  ORDER BY {cos} DESC, vec_id ASC LIMIT 20
+),
+w AS (
+  SELECT vec_id, score,
+         row_number() OVER (ORDER BY score DESC, vec_id ASC) AS rn,
+         lag(score) OVER (ORDER BY score DESC, vec_id ASC) AS prev
+  FROM topk
+),
+dr AS (SELECT *, CASE WHEN prev IS NOT NULL THEN (prev - score) / prev END AS drp FROM w),
+m1 AS (SELECT *, max(drp) OVER () AS maxdrop FROM dr),
+m AS (SELECT *, min(CASE WHEN drp = maxdrop THEN rn END) OVER () AS cutpos FROM m1),
+cut AS (SELECT vec_id, score FROM m WHERE maxdrop IS NULL OR maxdrop <= 0.2 OR rn < cutpos),
+cand AS (SELECT dd.doc_id, dd.text, c.score FROM cut c JOIN documents dd ON c.vec_id = dd.doc_id)"""
+    return (head + rerank_oracle_tail("spark filter join merge", k=5)).strip()
+
+
 def _oracle_multimodal() -> str:
     """fake_decode_features in SQL: position-salted byte histogram.  The
     documents are ASCII, so byte i == ascii(char i); python's 0-based
@@ -1044,6 +1083,6 @@ SELECT o_custkey, o_orderkey, o_totalprice, rank_in_cust FROM (
 ) WHERE rank_in_cust <= 3
 """.strip(),
         "multimodal_features": _oracle_multimodal(),
-        # rerank_topk: pandas-UDF hash/fuzzy features — not SQL-expressible;
-        # the driver records the weaker rows-only check (by design).
+        "rerank_topk": _oracle_rerank_topk(),
+        "search_pipeline": _oracle_search_pipeline(),
     }

@@ -119,6 +119,42 @@ def test_rerank_df_matches_list_variant(spark):
         assert r["combined_score"] == pytest.approx(sc)
 
 
+def test_rerank_df_matches_duckdb_tail(spark):
+    """Bit-parity of the JVM rerank features against the DuckDB oracle twin
+    (the property the driver's CORRECTNESS gate relies on)."""
+    import duckdb
+
+    from minivectordb_spark.rerank import rerank_df, rerank_oracle_tail
+
+    sentences = [
+        "cars and animals magazine",
+        "quantum chromodynamics",
+        "cars animals",
+        "it's a quoted 'string' with unicode",
+        "",
+        "xy",
+    ]
+    query = "cars and animals"
+    rows_in = [(i, s, 0.1 * (i + 1)) for i, s in enumerate(sentences)]
+    df = spark.createDataFrame(rows_in, ["doc_id", "text", "score"])
+    got = [
+        (r["doc_id"], round(r["combined_score"], 6))
+        for r in rerank_df(df, query, k=4, id_col="doc_id").collect()
+    ]
+
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"({i}, '{s.replace(chr(39), chr(39) * 2)}', {0.1 * (i + 1)!r})"
+        for i, s in enumerate(sentences)
+    )
+    sql = (
+        f"WITH cand AS (SELECT * FROM (VALUES {vals}) AS t(doc_id, text, score))"
+        + rerank_oracle_tail(query, k=4)
+    )
+    want = [(r[0], r[1]) for r in con.execute(sql).fetchall()]
+    assert got == want
+
+
 def test_embedder_registry_and_determinism():
     e1 = get_embedder("hash64")
     e2 = HashProjectionEmbedder(dim=64)
