@@ -7,6 +7,7 @@ from minivectordb_spark.operators.dedup import (
     minhash_dedup_pairs,
     minhash_signatures,
     simhash_fingerprints,
+    simhash_pairs,
 )
 from minivectordb_spark.operators.text import (
     fingerprints,
@@ -16,6 +17,7 @@ from minivectordb_spark.operators.text import (
     token_count,
 )
 from minivectordb_spark.operators.ann import (
+    default_projection_planes,
     ivf_assign,
     ivf_search,
     kmeans_centroids,
@@ -44,11 +46,13 @@ __all__ = [
     "minhash_dedup_pairs",
     "minhash_signatures",
     "simhash_fingerprints",
+    "simhash_pairs",
     "fingerprints",
     "lang_id",
     "quality_score",
     "text_stats",
     "token_count",
+    "default_projection_planes",
     "ivf_assign",
     "ivf_search",
     "kmeans_centroids",

@@ -218,6 +218,21 @@ def mllib_lsh_neighbors(
     )
 
 
+def default_projection_planes(
+    dim: int, n_planes: int = 4, seed: int = 7
+) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes for sign-bit LSH, rounded to
+    6 decimals so they inline identically as Spark literals and oracle SQL
+    literals (the same seeded-literal contract as minhash_coeffs)."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [round(rng.uniform(-1.0, 1.0), 6) for _ in range(dim)]
+        for _ in range(n_planes)
+    ]
+
+
 def random_projection_buckets(
     df: DataFrame,
     planes: list[list[float]],

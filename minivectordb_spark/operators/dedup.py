@@ -152,17 +152,15 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n_hashes: int = DEFAULT_N_HASHES,
-    band_size: int = 2,
-    k: int = DEFAULT_SHINGLE,
-    seed: int = 42,
+def _lsh_pairs_from_shingles(
+    sh: DataFrame,
+    id_col: str,
+    n_hashes: int,
+    band_size: int,
+    seed: int,
 ) -> DataFrame:
-    """LSH banding: split the signature into bands of ``band_size`` rows;
-    docs sharing any (band_idx, band_hash) bucket become a candidate pair.
+    """THE banding implementation (single source of truth): MinHash the
+    shingle frame, split signatures into bands, self-join the band buckets.
 
     Plan: map-only signature -> posexplode of n_bands band hashes (rows grow
     by n_bands only) -> self-join on the bucket key -> distinct (a < b)
@@ -170,91 +168,6 @@ def lsh_candidate_pairs(
     corpus is degenerate, and AQE's skew-join handles hot buckets.
     """
     n_bands = n_hashes // band_size
-    sig_df = minhash_signatures(df, text_col, id_col, n_hashes, k, seed).withColumnRenamed(
-        "minhash", "__sig"
-    )
-    bands = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "_",
-                    F.lit(b),
-                    *[F.element_at(F.col("__sig"), b * band_size + j + 1).cast("string") for j in range(band_size)],
-                )
-            )
-            for b in range(n_bands)
-        ]
-    )
-    # cache: the bucket frame is tiny (n_docs * n_bands short rows) and is
-    # read twice by the self-join; MEMORY_AND_DISK so it spills, not OOMs
-    buckets = (
-        sig_df.select(F.col(id_col), F.posexplode(bands).alias("band_idx", "band_hash"))
-        .cache()
-    )
-    left = buckets.alias("l")
-    right = buckets.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-        )
-        .distinct()
-    )
-    return pairs
-
-
-def jaccard_pairs(
-    df: DataFrame,
-    pairs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    k: int = DEFAULT_SHINGLE,
-    threshold: float = 0.0,
-) -> DataFrame:
-    """Verify candidate pairs with exact n-gram Jaccard over distinct
-    shingle-hash sets: |A ∩ B| / |A ∪ B|.  Two broadcast-able joins attach
-    the (small) shingle arrays to each side of the pair list; the heavy
-    corpus is scanned once per side."""
-    sh = _shingle_frame(df, text_col, id_col, k).cache()
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    joined = pairs.join(a, "id_a").join(b, "id_b")
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
-    jac = inter.cast("double") / union.cast("double")
-    return (
-        joined.select(
-            "id_a",
-            "id_b",
-            F.round(jac, 6).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
-
-
-def minhash_dedup_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n_hashes: int = DEFAULT_N_HASHES,
-    band_size: int = 2,
-    k: int = DEFAULT_SHINGLE,
-    threshold: float = 0.8,
-    seed: int = 42,
-) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates -> exact Jaccard verify.
-
-    The shingle-hash frame is computed ONCE (cached) and feeds both the
-    signature/banding stage and the Jaccard verification — one md5 pass
-    over the corpus total, the dominant cost of the pipeline."""
-    n_bands = n_hashes // band_size
-    sh = _shingle_frame(df, text_col, id_col, k).cache()
     sig_df = _barrier(
         sh, minhash_from_hashes(F.col("sh"), n_hashes, seed), "__sig", [id_col]
     )
@@ -273,12 +186,14 @@ def minhash_dedup_pairs(
             for b in range(n_bands)
         ]
     )
+    # cache: the bucket frame is tiny (n_docs * n_bands short rows) and is
+    # read twice by the self-join; MEMORY_AND_DISK so it spills, not OOMs
     buckets = sig_df.select(
         F.col(id_col), F.posexplode(bands).alias("band_idx", "band_hash")
     ).cache()
     left = buckets.alias("l")
     right = buckets.alias("r")
-    pairs = (
+    return (
         left.join(
             right,
             (F.col("l.band_idx") == F.col("r.band_idx"))
@@ -291,6 +206,14 @@ def minhash_dedup_pairs(
         )
         .distinct()
     )
+
+
+def _jaccard_verify(
+    sh: DataFrame, pairs: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact n-gram Jaccard over distinct shingle-hash sets:
+    |A ∩ B| / |A ∪ B|.  Two broadcast-able joins attach the (small) shingle
+    arrays to each side of the pair list."""
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     joined = pairs.join(a, "id_a").join(b, "id_b")
@@ -301,6 +224,54 @@ def minhash_dedup_pairs(
         joined.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = DEFAULT_N_HASHES,
+    band_size: int = 2,
+    k: int = DEFAULT_SHINGLE,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH banding: docs sharing any (band_idx, band_hash) bucket become a
+    candidate pair (see ``_lsh_pairs_from_shingles`` for the plan shape)."""
+    sh = _shingle_frame(df, text_col, id_col, k)
+    return _lsh_pairs_from_shingles(sh, id_col, n_hashes, band_size, seed)
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_SHINGLE,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Verify candidate pairs with exact n-gram Jaccard; the heavy corpus is
+    scanned once per side (the shingle frame is cached for reuse)."""
+    sh = _shingle_frame(df, text_col, id_col, k).cache()
+    return _jaccard_verify(sh, pairs, id_col, threshold)
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = DEFAULT_N_HASHES,
+    band_size: int = 2,
+    k: int = DEFAULT_SHINGLE,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates -> exact Jaccard verify,
+    composed from the SAME banding and verify stages the standalone
+    operators use, around ONE shared cached shingle frame — one md5 pass
+    over the corpus total, the dominant cost of the pipeline."""
+    sh = _shingle_frame(df, text_col, id_col, k).cache()
+    pairs = _lsh_pairs_from_shingles(sh, id_col, n_hashes, band_size, seed)
+    return _jaccard_verify(sh, pairs, id_col, threshold)
 
 
 # ---------------- SimHash ----------------
@@ -375,6 +346,71 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "d
     )
 
 
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Hamming-neighbor pairs from SimHash fingerprints — the step that
+    turns the fingerprint (op: simhash) into an actual dedup.
+
+    Banding + pigeonhole: split the ``bits``-bit fingerprint into
+    ``n_bands`` equal chunks and self-join on chunk equality.  Any pair
+    with Hamming distance <= n_bands - 1 must agree on at least one whole
+    chunk, so recall is EXACT for ``max_hamming < n_bands``; larger
+    ``max_hamming`` values are probabilistic (documented, mirrored by the
+    oracle which replicates the banded candidate generation).
+
+    Plan: map-only fingerprints -> posexplode of n_bands chunk rows ->
+    self-join on (band_idx, band_val) -> distinct pairs -> bit_count
+    verify.  Same shuffle profile as MinHash-LSH banding: bounded by chunk
+    collisions, never O(N^2).  At 100 TB use 64-bit fingerprints with
+    16-bit chunks to keep random chunk collisions rare.
+    """
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    fp = simhash_fingerprints(df, text_col, id_col).cache()
+    bands = F.array(
+        *[
+            F.shiftright(F.col("simhash"), b * band_bits)
+            .bitwiseAND(F.lit(mask))
+            .cast("long")
+            for b in range(n_bands)
+        ]
+    )
+    buckets = fp.select(
+        F.col(id_col), F.posexplode(bands).alias("band_idx", "band_val")
+    )
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    a = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__fp_a"))
+    b = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("__fp_b"))
+    hamming = F.bit_count(F.col("__fp_a").bitwiseXOR(F.col("__fp_b"))).cast("long")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 # ---------------- embedding cosine near-dup ----------------
 
 def embedding_neardup_pairs(
@@ -383,34 +419,92 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     block_col: str | None = None,
     threshold: float = 0.9,
+    planes: list[list[float]] | None = None,
+    multiprobe: bool = True,
+    brute_force: bool = False,
 ) -> DataFrame:
     """Cosine near-dup pairs over an embedding column.
 
-    With ``block_col`` the self-join is equi-keyed on the block (shuffle on
-    the key, pairs only within blocks) — the pattern that survives scale
-    when a clustering/bucketing column exists.  Without it, a cross-join —
-    only for small corpora (the brute-force baseline).
+    Blocking picks the scale path:
+    - ``block_col``: equi-keyed self-join on a caller-supplied block column
+      (shuffle on the key, pairs only within blocks).  Only scale-safe when
+      the block cardinality GROWS with the data — a fixed low-cardinality
+      label makes within-block pair counts quadratic at 100x.
+    - default (no block_col): sign-bit LSH blocking — each vector's block
+      is its ``random_projection_buckets`` bucket over ``planes``
+      (deterministic literals, oracle-reproducible).  Block count is 2^P,
+      and P can rise with corpus size, so block population — and the
+      within-block pair count — stays bounded.  With ``multiprobe`` one
+      join side also probes the P buckets at bucket-Hamming 1, so any pair
+      whose buckets differ in <= 1 sign bit is still compared (bounds the
+      recall loss from near-dups straddling a hyperplane).  ``planes=None``
+      derives default planes from the column's dimension (one-row peek).
+    - ``brute_force=True``: the O(N^2) cross-join — correctness baseline
+      for small corpora and recall tests only.
     """
+    from minivectordb_spark.operators.ann import (
+        default_projection_planes,
+        random_projection_buckets,
+    )
     from minivectordb_spark.operators.util import materialize
     from minivectordb_spark.scoring import norm_expr
 
+    use_lsh = block_col is None and not brute_force
+
     keep = [id_col, emb_col] + ([block_col] if block_col else [])
     base = materialize(df.select(*keep), norm_expr(F.col(emb_col)), "__n", keep)
-    a = base.select(
+
+    if use_lsh:
+        if planes is None:
+            first = df.select(F.size(F.col(emb_col)).alias("d")).first()
+            dim = int(first["d"]) if first else 0
+            planes = default_projection_planes(dim)
+        n_planes = len(planes)
+        buckets = random_projection_buckets(df, planes, id_col=id_col, emb_col=emb_col)
+        base = base.join(buckets, id_col)
+        block_key = "bucket"
+    else:
+        block_key = "blk" if block_col else None
+
+    a_cols = [
         F.col(id_col).alias("id_a"),
         F.col(emb_col).alias("emb_a"),
         F.col("__n").alias("n_a"),
-        *( [F.col(block_col).alias("blk")] if block_col else [] ),
-    )
-    b = base.select(
+    ]
+    b_cols = [
         F.col(id_col).alias("id_b"),
         F.col(emb_col).alias("emb_b"),
         F.col("__n").alias("n_b"),
-        *( [F.col(block_col).alias("blk")] if block_col else [] ),
-    )
-    if block_col:
+    ]
+    if use_lsh:
+        # left side probes its own bucket plus the n_planes Hamming-1
+        # neighbors; right side stays home — covers bucket-distance <= 1
+        probes = [F.col("bucket")] + (
+            [
+                F.col("bucket").bitwiseXOR(F.lit(1 << i)).cast("long")
+                for i in range(n_planes)
+            ]
+            if multiprobe
+            else []
+        )
+        a = base.select(
+            *a_cols, F.explode(F.array(*probes)).alias("__probe")
+        )
+        b = base.select(*b_cols, F.col("bucket").alias("__home"))
+        joined = (
+            a.join(b, F.col("__probe") == F.col("__home"))
+            .filter(F.col("id_a") < F.col("id_b"))
+            .drop("__probe", "__home")
+        )
+        if multiprobe:
+            joined = joined.dropDuplicates(["id_a", "id_b"])
+    elif block_col:
+        a = base.select(*a_cols, F.col(block_col).alias("blk"))
+        b = base.select(*b_cols, F.col(block_col).alias("blk"))
         joined = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
     else:
+        a = base.select(*a_cols)
+        b = base.select(*b_cols)
         joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     sim = cosine_sim_cols(
         F.col("emb_a"), F.col("emb_b"), norm_a=F.col("n_a"), norm_b=F.col("n_b")

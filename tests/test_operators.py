@@ -85,6 +85,57 @@ def test_simhash_identity(docs):
     assert ham_near < ham_far
 
 
+def test_simhash_pairs_pigeonhole_recall(docs):
+    """Every pair at Hamming <= n_bands-1 MUST be found (pigeonhole over
+    the banded self-join) — checked against all-pairs brute force."""
+    from minivectordb_spark.operators.dedup import simhash_pairs
+
+    fps = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
+    ids = sorted(fps)
+    expected = {
+        (a, b): bin(fps[a] ^ fps[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(docs, max_hamming=3).collect()
+    }
+    assert got == expected
+    assert got[(0, 1)] == 0  # identical texts -> identical fingerprints
+
+
+def test_neardup_lsh_blocking_vs_bruteforce(spark):
+    """Default (no block_col) near-dup path: sign-bit LSH blocking with
+    multiprobe.  Identical vectors always share a bucket; every LSH pair
+    must also be a brute-force pair with the identical cosine."""
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    rows.append((100, list(rows[5][1])))  # planted exact duplicate of id 5
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    planes = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(3)]
+
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs(
+            df, threshold=0.5, planes=planes
+        ).collect()
+    }
+    brute = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs(
+            df, threshold=0.5, brute_force=True
+        ).collect()
+    }
+    assert (5, 100) in lsh and lsh[(5, 100)] == 1.0
+    assert set(lsh) <= set(brute)
+    for p, c in lsh.items():
+        assert brute[p] == c
+
+
 def test_text_stats_values(spark):
     df = spark.createDataFrame([(0, "the cat the dog")], ["doc_id", "text"])
     r = text_stats(df).collect()[0]

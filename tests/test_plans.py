@@ -83,3 +83,18 @@ def test_delete_filter_pushed(spark, sf):
     df = _q("delete_batch", spark, sf)
     plan = physical_plan(df)
     assert "Not(In(vec_id" in plan or "NOT vec_id" in plan
+
+
+def test_neardup_lsh_no_cartesian(spark, sf):
+    # the default (no block_col) near-dup path must be a bucketed equi-join,
+    # never a cross-join (VERDICT r1: the 100x scale-killer)
+    df = _q("neardup_lsh", spark, sf)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_pairs_no_cartesian(spark, sf):
+    plan = physical_plan(_q("simhash_pairs", spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
