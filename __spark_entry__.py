@@ -71,12 +71,26 @@ COEFFS = minhash_coeffs(N_HASHES, seed=42)
 P = MERSENNE_P
 
 
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # the events table stores ts as parquet TIMESTAMP(NANOS), which
         # Spark only reads via the legacy long mapping; queries that need
-        # wall-clock semantics convert the int64 nanos explicitly
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # wall-clock semantics convert the int64 nanos explicitly.  The
+        # toggle is consulted at schema-resolution time only, so scope it
+        # to this read and restore — a session-global set here would leak
+        # into unrelated same-session reads of other nanos tables.
+        prev = spark.conf.get(_NANOS_CONF, None)
+        spark.conf.set(_NANOS_CONF, "true")
+        try:
+            return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        finally:
+            if prev is None:
+                spark.conf.unset(_NANOS_CONF)
+            else:
+                spark.conf.set(_NANOS_CONF, prev)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -79,54 +79,167 @@ class HashProjectionEmbedder(Embedder):
         return out
 
 
+def masked_mean_pool(last_hidden: np.ndarray, attention_mask: np.ndarray) -> np.ndarray:
+    """Attention-masked mean pooling (embedding_model.py:51-54's
+    ``average_pool``): zero out padding positions, sum over the sequence
+    axis, divide by the per-row count of attended tokens.
+
+    Pure numpy so the math is backend-agnostic (torch outputs are converted
+    before pooling) and unit-testable without torch installed.
+    """
+    mask = attention_mask.astype(np.float32)[..., None]  # (n, seq, 1)
+    summed = (last_hidden.astype(np.float32) * mask).sum(axis=1)  # (n, dim)
+    counts = np.clip(mask.sum(axis=1), 1e-9, None)  # (n, 1)
+    return summed / counts
+
+
+def l2_normalize(mat: np.ndarray) -> np.ndarray:
+    """Row-wise L2 normalization (torch.nn.functional.normalize(p=2, dim=1),
+    embedding_model.py:70) with the same zero-row guard."""
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    return (mat / np.clip(norms, 1e-12, None)).astype(np.float32)
+
+
+def _to_numpy(x) -> np.ndarray:
+    """Accept torch tensors or numpy arrays from an injected double."""
+    if hasattr(x, "detach"):  # torch.Tensor
+        x = x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
 class OnnxEmbedder(Embedder):
-    """ONNX-quantized USE-multilingual backend (embedding_model.py:37-48,
-    :81-82; 512-dim).  Requires onnxruntime + onnxruntime_extensions and the
-    model file — not available in this environment."""
+    """ONNX-quantized USE-multilingual backend (embedding_model.py:37-48:
+    session options pin inter/intra-op threads to the core count and
+    register the onnxruntime_extensions custom-ops library; :81-82: the
+    session graph takes raw strings — ``run(["outputs"], {"inputs":
+    texts})`` — so there is no Python-side tokenizer).  512-dim.
+
+    ``session`` injects a prebuilt session double for tests; otherwise
+    onnxruntime(+extensions) and a ``model_path`` are required (the
+    reference's weights are package data absent from the checkout —
+    .MISSING_LARGE_BLOBS).
+    """
 
     dim = 512
 
-    def __init__(self, model_path: str | None = None, cpu_cores: int | None = None):
+    def __init__(
+        self,
+        model_path: str | None = None,
+        cpu_cores: int | None = None,
+        session=None,
+    ):
+        if session is not None:
+            self._session = session
+            return
         try:
-            import onnxruntime  # noqa: F401
-        except ImportError as e:  # pragma: no cover
+            import onnxruntime as ort
+            from onnxruntime_extensions import get_library_path
+        except ImportError as e:
             raise NotImplementedError(
-                "OnnxEmbedder requires onnxruntime (+ onnxruntime_extensions); "
+                "OnnxEmbedder requires onnxruntime + onnxruntime_extensions; "
                 "not installed in this environment. Use HashProjectionEmbedder."
             ) from e
-        raise NotImplementedError("ONNX model weights not bundled; supply model_path on a host with onnxruntime.")
+        if model_path is None:
+            raise NotImplementedError(
+                "ONNX model weights are not bundled (.MISSING_LARGE_BLOBS); "
+                "supply model_path to the quantized USE-multilingual graph."
+            )
+        import os
+
+        cores = cpu_cores if cpu_cores is not None else (os.cpu_count() or 1)
+        opts = ort.SessionOptions()
+        opts.inter_op_num_threads = cores
+        opts.intra_op_num_threads = cores
+        opts.register_custom_ops_library(get_library_path())
+        self._session = ort.InferenceSession(
+            path_or_bytes=model_path, sess_options=opts,
+            providers=["CPUExecutionProvider"],
+        )
+
+    def embed_batch(self, texts: Sequence[str]) -> np.ndarray:
+        if not len(texts):
+            return np.zeros((0, self.dim), dtype=np.float32)
+        # one session.run for the whole batch (the reference runs one text
+        # per call, embedding_model.py:81-82 — batched here because the
+        # pandas-UDF path hands us whole Arrow batches)
+        out = self._session.run(
+            output_names=["outputs"], input_feed={"inputs": list(texts)}
+        )[0]
+        return _to_numpy(out).astype(np.float32)
 
 
 class E5Embedder(Embedder):
     """intfloat/multilingual-e5 backend (embedding_model.py:55-71): 'passage '
     prefix, 512-token truncation, attention-masked mean-pool, L2 normalize.
-    384-dim (small) / 1024-dim (large).  Requires torch + transformers."""
+    384-dim (small) / 1024-dim (large).
 
-    def __init__(self, size: str = "small"):
+    ``tokenizer``/``model`` inject test doubles (tokenizer(texts, ...) ->
+    mapping with ``attention_mask``; model(**batch) -> object with
+    ``last_hidden_state``); otherwise torch + transformers are required and
+    the pretrained weights are fetched by name.
+    """
+
+    def __init__(self, size: str = "small", tokenizer=None, model=None):
         self.dim = 384 if size == "small" else 1024
+        if tokenizer is not None and model is not None:
+            self._tokenizer, self._model = tokenizer, model
+            return
         try:
             import torch  # noqa: F401
-            import transformers  # noqa: F401
-        except ImportError as e:  # pragma: no cover
+            from transformers import AutoModel, AutoTokenizer
+        except ImportError as e:
             raise NotImplementedError(
                 "E5Embedder requires torch + transformers; not installed. "
                 "Use HashProjectionEmbedder."
             ) from e
+        name = f"intfloat/multilingual-e5-{size}"
+        self._tokenizer = AutoTokenizer.from_pretrained(name)
+        self._model = AutoModel.from_pretrained(name)
+
+    def embed_batch(self, texts: Sequence[str]) -> np.ndarray:
+        if not len(texts):
+            return np.zeros((0, self.dim), dtype=np.float32)
+        batch = self._tokenizer(
+            [f"passage {t}" for t in texts],
+            max_length=512, padding=True, truncation=True, return_tensors="pt",
+        )
+        outputs = self._model(**batch)
+        pooled = masked_mean_pool(
+            _to_numpy(outputs.last_hidden_state), _to_numpy(batch["attention_mask"])
+        )
+        return l2_normalize(pooled)
 
 
 class BGEM3Embedder(Embedder):
-    """BAAI/bge-m3 backend (embedding_model.py:73-79), 1024-dim."""
+    """BAAI/bge-m3 backend (embedding_model.py:73-79): dense vectors from
+    BGEM3FlagModel.encode with max_length=512.  1024-dim.
+
+    ``model`` injects a test double (model.encode(texts, ...) -> mapping
+    with ``dense_vecs``); otherwise FlagEmbedding is required.
+    """
 
     dim = 1024
 
-    def __init__(self):
+    def __init__(self, model=None):
+        if model is not None:
+            self._model = model
+            return
         try:
-            import FlagEmbedding  # noqa: F401
-        except ImportError as e:  # pragma: no cover
+            from FlagEmbedding import BGEM3FlagModel
+        except ImportError as e:
             raise NotImplementedError(
                 "BGEM3Embedder requires FlagEmbedding; not installed. "
                 "Use HashProjectionEmbedder."
             ) from e
+        self._model = BGEM3FlagModel("BAAI/bge-m3")
+
+    def embed_batch(self, texts: Sequence[str]) -> np.ndarray:
+        if not len(texts):
+            return np.zeros((0, self.dim), dtype=np.float32)
+        dense = self._model.encode(
+            list(texts), batch_size=len(texts), max_length=512
+        )["dense_vecs"]
+        return _to_numpy(dense).astype(np.float32)
 
 
 _MODELS = {
