@@ -78,18 +78,37 @@ def stream_vector_ingest(
     table_path: str,
     checkpoint: str,
     text_col: str = "text",
+    id_col: str = "doc_id",
     model: str = "hash64",
 ):
     """Streaming analogue of the reference write path
     (vector_database.py:57-117): embed each micro-batch with the pluggable
-    embedder and append to the Parquet-backed vector table.  Exactly-once
-    via the checkpoint; uniqueness is enforced per micro-batch with the
-    same anti-join the batch path uses (foreachBatch gives the batch API).
+    embedder and append to the Parquet-backed vector table.
+
+    Uniqueness is enforced per micro-batch with the same anti-join the
+    batch path uses (foreachBatch gives the batch API): duplicates within
+    the micro-batch are dropped first, then ids already present in the
+    table are anti-joined away — a duplicate id replayed across
+    micro-batches leaves exactly one surviving row.  The existence check
+    reads only ``id_col`` from the table (column-pruned scan); at real
+    scale the same foreachBatch body targets a Delta MERGE or an
+    id-bucketed layout so the probe touches one bucket, not every file.
+    Source-side progress is exactly-once via the checkpoint.
     """
+    from pyspark.errors import AnalysisException
+
     from minivectordb_spark.embedder import embed_column
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        embedded = embed_column(batch_df, text_col, out_col="embedding", model=model)
+        fresh = batch_df.dropDuplicates([id_col])
+        spark = batch_df.sparkSession
+        try:
+            existing_ids = spark.read.parquet(table_path).select(id_col)
+        except AnalysisException:  # first micro-batch: table not created yet
+            existing_ids = None
+        if existing_ids is not None:
+            fresh = fresh.join(existing_ids, id_col, "left_anti")
+        embedded = embed_column(fresh, text_col, out_col="embedding", model=model)
         embedded.write.mode("append").parquet(table_path)
 
     return (

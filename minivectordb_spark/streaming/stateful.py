@@ -54,26 +54,35 @@ def streaming_dedup(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        # timeout firing: the key went state_ttl_ms without a new row —
+        # evict silently (emitting here would fabricate a (key, 0, 0) row)
+        if state.hasTimedOut:
+            state.remove()
+            return
         n = 0
         for pdf in pdfs:
             n += len(pdf)
         if state.exists:
             (seen,) = state.get
             state.update((seen + n,))
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {"key": [str(key[0])], "first_seen_batch_rows": [0], "n_dropped": [n]}
             )
         else:
             state.update((n,))
-            if state_ttl_ms is not None:
-                state.setTimeoutDuration(state_ttl_ms)
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     "key": [str(key[0])],
                     "first_seen_batch_rows": [n],
                     "n_dropped": [n - 1],
                 }
             )
+        # processing-time timeouts are cleared on every invocation for the
+        # key, so the TTL must be re-armed after EVERY update — arming only
+        # on first sighting leaves repeat keys immortal (unbounded state)
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield out
 
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout

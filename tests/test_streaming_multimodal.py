@@ -77,6 +77,40 @@ def test_stream_vector_ingest_roundtrip(spark, tmp_path):
     assert all(len(r["embedding"]) == 64 for r in rows)
 
 
+def test_stream_vector_ingest_unique_across_batches(spark, tmp_path):
+    """A duplicate id replayed in a later micro-batch (and duplicated
+    within a batch) must leave exactly one surviving row — the documented
+    anti-join uniqueness contract of the streaming write path."""
+    src = str(tmp_path / "dup_in")
+    table_path = str(tmp_path / "dup_out")
+    ck = str(tmp_path / "ck_dup")
+
+    # file 1: id 1 twice (in-batch dup) + id 2
+    spark.createDataFrame(
+        [(1, "hello world"), (1, "hello world again"), (2, "hello spark")],
+        ["doc_id", "text"],
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = stream_vector_ingest(stream, table_path, ck).start()
+    q.awaitTermination(120)
+
+    # file 2: id 1 replayed across micro-batches + fresh id 3
+    spark.createDataFrame(
+        [(1, "hello replay"), (3, "brand new")], ["doc_id", "text"]
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = stream_vector_ingest(stream, table_path, ck).start()
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(table_path).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["doc_id"], []).append(r)
+    assert sorted(by_id) == [1, 2, 3]
+    assert all(len(v) == 1 for v in by_id.values())
+
+
 def test_multimodal_extract_features(spark):
     rows = [
         ("a1", "image/png", bytearray(b"\x01\x02\x03\x04" * 8), 4, 4, None, "s"),
@@ -148,6 +182,78 @@ def test_streaming_dedup_across_microbatches(spark, tmp_path):
     assert total_dropped_a == 2  # 3 'a' rows total, 1 kept
     assert sum(f for f, _ in by_key["b"] if f > 0) == 1
     assert sum(f for f, _ in by_key["c"] if f > 0) == 1
+
+
+def test_streaming_dedup_ttl_evicts_and_rearms(spark, tmp_path):
+    """With a (tiny) TTL: an expired key's state is evicted silently in the
+    next batch that runs without data for it — no spurious (key, 0, 0)
+    output row — and the key is treated as first-seen when it returns.
+    Single continuous query; batch 2 (key 'c') is the vehicle that fires
+    'a'/'b' timeouts, batch 3 proves 'a' was evicted."""
+    import time
+
+    from minivectordb_spark.streaming.stateful import streaming_dedup
+
+    src = str(tmp_path / "in_ttl")
+    spark.createDataFrame(
+        [("a", 1), ("b", 2)], ["doc_key", "payload"]
+    ).coalesce(1).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_key string, payload long")
+        .option("maxFilesPerTrigger", 10)
+        .parquet(src)
+    )
+    q = (
+        streaming_dedup(stream, "doc_key", state_ttl_ms=1)
+        .writeStream.format("memory")
+        .queryName("ttl_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_ttl"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    def wait_for(pred, what, timeout_s=90):
+        # processAllAvailable never settles under ProcessingTimeTimeout
+        # (the engine keeps scheduling batches to fire pending timeouts),
+        # so poll the sink instead
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            rows = spark.sql("select * from ttl_test").collect()
+            if pred(rows):
+                return rows
+            time.sleep(0.5)
+        raise AssertionError(f"timed out waiting for {what}: {rows}")
+
+    try:
+        wait_for(lambda rs: {r["key"] for r in rs} >= {"a", "b"}, "batch 1")
+        time.sleep(1.0)  # let the 1ms TTL lapse well past a trigger boundary
+        # batch with data only for 'c': a/b have no data and expired TTLs ->
+        # dedup_fn runs their hasTimedOut branch (evict, emit nothing)
+        spark.createDataFrame([("c", 5)], ["doc_key", "payload"]).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        wait_for(lambda rs: any(r["key"] == "c" for r in rs), "key c")
+        time.sleep(1.0)
+        # 'a' returns after eviction -> must be first-seen again
+        spark.createDataFrame([("a", 4)], ["doc_key", "payload"]).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        rows = wait_for(
+            lambda rs: sum(1 for r in rs if r["key"] == "a") >= 2, "a's return"
+        )
+    finally:
+        q.stop()
+
+    # eviction is silent: the old bug emitted (key, 0, 0) on timeout
+    assert not any(
+        r["first_seen_batch_rows"] == 0 and r["n_dropped"] == 0 for r in rows
+    )
+    a_rows = [r for r in rows if r["key"] == "a"]
+    assert len(a_rows) == 2  # batch 1 and batch 3, state evicted between
+    assert all(r["first_seen_batch_rows"] == 1 for r in a_rows)
+    assert sum(1 for r in rows if r["key"] == "b") == 1
+    assert sum(1 for r in rows if r["key"] == "c") == 1
 
 
 def test_streaming_running_counts(spark, tmp_path):
