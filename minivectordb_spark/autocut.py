@@ -83,6 +83,7 @@ def autocut_df(
     id_col: str = "id",
     partition_cols: Sequence[str] = (),
     threshold: float = 0.2,
+    max_rows: int = 10_000,
 ) -> DataFrame:
     """Distributed autocut: keep rows up to and including the first maximal
     relative drop, iff that drop exceeds ``threshold``.
@@ -91,13 +92,32 @@ def autocut_df(
     per group — so the windows here are tiny; this exists so autocut can run
     inside a fully-distributed pipeline (e.g. batch multi-query kNN) without
     a driver round-trip.
+
+    HARD CONTRACT: without ``partition_cols`` the whole input is one
+    window group (a single sorted run is the algorithm, not an accident),
+    so it must be small.  A group larger than ``max_rows`` fails the job at
+    execution time (``raise_error`` in the predicate — no extra counting
+    job) instead of silently single-partition-sorting an unbounded frame.
     """
     part = list(partition_cols)
     order = [F.col(score_col).desc(), F.col(id_col).asc()]
-    w = Window.partitionBy(*part).orderBy(*order) if part else Window.orderBy(*order)
-    wall = (
-        Window.partitionBy(*part) if part else Window.partitionBy()
+    # a constant partition key when no partition_cols: identical execution
+    # (one window group) but an explicit partitionSpec, so WindowExec's
+    # "No Partition Defined" warning doesn't spam every caller.  Must be
+    # column-dependent (length(id)%1 == 0 for every row) — a plain lit(0)
+    # is constant-folded away and the warning returns.
+    pkeys = (
+        [F.col(c) for c in part]
+        if part
+        else [
+            # coalesce: a NULL id must not split into its own window group
+            F.coalesce(
+                F.pmod(F.length(F.col(id_col).cast("string")), F.lit(1)), F.lit(0)
+            )
+        ]
     )
+    w = Window.partitionBy(*pkeys).orderBy(*order)
+    wall = Window.partitionBy(*pkeys)
     with_drop = (
         df.withColumn("__rn", F.row_number().over(w))
         .withColumn("__prev", F.lag(score_col).over(w))
@@ -115,9 +135,23 @@ def autocut_df(
             F.when(F.col("__drop") == F.col("__maxdrop"), F.col("__rn"))
         ).over(wall),
     )
+    # the guard lives inside the kept-predicate so Catalyst can't prune it
+    guard = F.when(
+        F.col("__rn") > F.lit(max_rows),
+        F.raise_error(
+            F.lit(
+                f"autocut_df: window group exceeds max_rows={max_rows}; "
+                "autocut input must be an already-reduced top-k "
+                "(pass partition_cols or raise max_rows deliberately)"
+            )
+        ).cast("boolean"),
+    ).otherwise(F.lit(True))
     kept = with_max.filter(
-        (F.col("__maxdrop").isNull())
-        | (F.col("__maxdrop") <= threshold)
-        | (F.col("__rn") < F.col("__cutpos"))
+        guard
+        & (
+            (F.col("__maxdrop").isNull())
+            | (F.col("__maxdrop") <= threshold)
+            | (F.col("__rn") < F.col("__cutpos"))
+        )
     )
     return kept.drop("__rn", "__prev", "__drop", "__maxdrop", "__cutpos")

@@ -27,6 +27,21 @@ the sharded variants), preserved exactly where observable:
 7. Dict inputs auto-wrap into single-element lists; empty dicts are dropped
    from ``or_filters`` (vector_database.py:359-360, :369-371, :381-383).
 
+Known deviations (typed-map edges, intentional):
+
+8. ``$ne`` with an operand whose Python type differs from the stored
+   value's type resolves against that type's map and never matches; the
+   reference compares loosely across types (``x != y`` on raw Python
+   values, so ``{"$ne": "5"}`` matches a stored int 5 there but not here).
+   Cross-type ``$ne`` over a typed columnar layout would need a
+   stringly-typed fallback comparison on every row — not worth breaking
+   pushdown for an edge the reference's own tests never exercise.
+9. ``$in`` requires the stored value to be a list (operand ∈ list).  The
+   reference evaluates Python ``operand in stored`` which ALSO does
+   substring matching when the stored value is a string
+   (vector_database.py:172); that accidental substring mode is not
+   supported — use an explicit list-typed field.
+
 Everything compiles to ONE boolean ``Column`` so Catalyst can reorder,
 short-circuit and push the conjuncts down to the Parquet scan — the
 declarative replacement for the reference's inverted-index probes.

@@ -50,7 +50,18 @@ def salted_join(
     """Skew-resistant equi-join: the big side gets a deterministic salt in
     [0, n_salt) per row; the small side is replicated n_salt times; the join
     key becomes (key, salt).  Row multiplicity is preserved exactly — each
-    big row matches exactly one replica of its key's small rows."""
+    big row matches exactly one replica of its key's small rows.
+
+    Only ``inner`` and ``left`` are supported: for right/full/anti joins an
+    unmatched small row would surface once per replica (n_salt copies),
+    breaking the exact-multiplicity guarantee.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' (got {how!r}): "
+            "replicating the small side would emit unmatched small rows "
+            "n_salt times under right/full/anti semantics"
+        )
     salt = F.pmod(F.abs(F.xxhash64(*[F.col(c) for c in big.columns])), F.lit(n_salt))
     big_salted = big.withColumn("__salt", salt.cast("int"))
     small_salted = small.withColumn(

@@ -206,6 +206,24 @@ def knn_batch(
     )
 
 
+def _partial_topk_rows(scores: np.ndarray, ids: np.ndarray, kk: int) -> np.ndarray:
+    """Batch-local top-k row indices with the GLOBAL tiebreak (score desc,
+    id asc).  Plain argpartition on score alone is nondeterministic when
+    more than kk rows tie at the boundary score — a smaller-id row can be
+    dropped locally and the global window then disagrees with the exact-kNN
+    path.  So: argpartition for the boundary, widen to every row tied at
+    it, then an exact (tiny) sort over the candidates."""
+    n = scores.shape[0]
+    if n <= kk:
+        cand = np.arange(n)
+    else:
+        part = np.argpartition(-scores, kk - 1)[:kk]
+        boundary = scores[part].min()
+        cand = np.nonzero(scores >= boundary)[0]
+    order = sorted(cand.tolist(), key=lambda r: (-scores[r], ids[r]))
+    return np.asarray(order[:kk], dtype=np.int64)
+
+
 class Int8MatmulScorer:
     """Quantized batch scorer — the usearch variant's int8 cosine analogue
     (sharded_vector_database_usearch.py:621-627: per-query index with
@@ -257,10 +275,9 @@ class Int8MatmulScorer:
                 sims = (e8.astype(np.int32) @ q8.astype(np.int32).T) * inv
                 ids = pdf[id_col].to_numpy()
                 kk = min(k, sims.shape[0])
-                top = np.argpartition(-sims, kk - 1, axis=0)[:kk, :]
                 frames = []
                 for j in range(sims.shape[1]):
-                    rows = top[:, j]
+                    rows = _partial_topk_rows(sims[:, j], ids, kk)
                     frames.append(
                         pd.DataFrame(
                             {
@@ -345,11 +362,11 @@ class CosineMatmulScorer:
                 sims = (emb / norms) @ qn.T  # (rows, |Q|) one BLAS call
                 ids = pdf[id_col].to_numpy()
                 kk = min(k, sims.shape[0])
-                # partial top-k per query within this batch
-                top = np.argpartition(-sims, kk - 1, axis=0)[:kk, :]
                 frames = []
                 for j in range(sims.shape[1]):
-                    rows = top[:, j]
+                    # partial top-k per query within this batch, globally
+                    # consistent (score desc, id asc) tiebreak
+                    rows = _partial_topk_rows(sims[:, j], ids, kk)
                     frames.append(
                         pd.DataFrame(
                             {

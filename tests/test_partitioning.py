@@ -46,6 +46,16 @@ def test_salted_join_preserves_semantics(spark):
     assert salted_l == plain_l
 
 
+def test_salted_join_rejects_unsafe_how(spark):
+    import pytest
+
+    big = spark.createDataFrame([("k", 1)], ["key", "payload"])
+    small = spark.createDataFrame([("k", "v")], ["key", "val"])
+    for how in ("right", "full", "left_anti", "outer"):
+        with pytest.raises(ValueError, match="inner"):
+            salted_join(big, small, "key", how=how)
+
+
 def test_repartition_for_write(spark):
     df = spark.range(1000)
     out = repartition_for_write(df, target_rows_per_file=300)

@@ -85,6 +85,34 @@ def test_autocut_df_matches_driver(spark):
     assert sorted(r["id"] for r in kept) == ["0", "1"]
 
 
+def test_autocut_df_max_rows_guard(spark):
+    """Global-window autocut has a hard row-count contract: a group larger
+    than max_rows fails the job (raise_error in the predicate) instead of
+    silently single-partition-sorting an unbounded frame."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from minivectordb_spark.autocut import autocut_df
+
+    big = spark.range(50).select(F.col("id"), F.rand(7).alias("score"))
+    with pytest.raises(Exception, match="max_rows=10"):
+        autocut_df(big, max_rows=10).count()
+    # at or under the cap: runs fine
+    assert autocut_df(big, max_rows=50).count() >= 1
+
+
+def test_autocut_df_null_id_shares_global_group(spark):
+    """A NULL id must fall in the same (single) window group — the sharp
+    drop between the null-id row and 'b' cuts 'b'."""
+    from minivectordb_spark.autocut import autocut_df
+
+    df = spark.createDataFrame(
+        [(None, 1.0), ("a", 0.98), ("b", 0.3)], "id string, score double"
+    )
+    kept = sorted((r["id"] or "<null>") for r in autocut_df(df).collect())
+    assert kept == ["<null>", "a"]
+
+
 def test_partial_ratio_contract():
     assert partial_ratio("abc", "abc") == 100.0
     assert partial_ratio("abc", "xxabcxx") == 100.0  # substring -> perfect
@@ -219,6 +247,43 @@ def test_matmul_scorer_matches_knn_batch(spark, sf_dir):
     assert set(mm_map) == set(jvm_map)
     for key in mm_map:
         assert mm_map[key] == pytest.approx(jvm_map[key], abs=1e-9)
+
+
+def test_partial_topk_tiebreak_deterministic():
+    """>kk rows tied at the boundary score in one batch: the partial
+    selection must keep the smallest ids (global (score desc, id asc)
+    contract), never an argpartition-arbitrary subset."""
+    import numpy as np
+
+    from minivectordb_spark.scoring import _partial_topk_rows
+
+    scores = np.array([0.5, 0.9, 0.5, 0.5, 0.5, 0.1])
+    ids = np.array([60, 10, 40, 20, 30, 5])
+    rows = _partial_topk_rows(scores, ids, kk=3)
+    # top: id 10 (0.9), then the 0.5 tie broken by id asc -> ids 20, 30
+    assert ids[rows].tolist() == [10, 20, 30]
+    # kk >= n: all rows, still fully ordered
+    rows_all = _partial_topk_rows(scores, ids, kk=10)
+    assert ids[rows_all].tolist() == [10, 20, 30, 40, 60, 5]
+
+
+def test_matmul_scorer_tied_corpus_matches_exact(spark):
+    """Duplicate corpus vectors (exact score ties crossing the k boundary)
+    must yield the same ids from the batched scorer as from exact kNN."""
+    import numpy as np
+    from minivectordb_spark.scoring import CosineMatmulScorer, knn
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    w = [0.0, 1.0, 0.0, 0.0]
+    rows = [(i, v) for i in range(6)] + [(10 + i, w) for i in range(2)]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = (
+        CosineMatmulScorer([0], np.array([v]))
+        .score_topk(corpus, k=4, id_col="vec_id", emb_col="embedding")
+        .collect()
+    )
+    exact = knn(corpus, v, k=4, id_col="vec_id", emb_col="embedding").collect()
+    assert sorted(r["vec_id"] for r in got) == sorted(r["vec_id"] for r in exact) == [0, 1, 2, 3]
 
 
 def test_int8_scorer_rank_overlap(spark, sf_dir):
