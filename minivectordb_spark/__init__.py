@@ -41,6 +41,7 @@ from minivectordb_spark.autocut import autocut_df, autocut_scores, autocut_dista
 from minivectordb_spark.rerank import hybrid_rerank_results, rerank_df
 from minivectordb_spark.embedder import HashProjectionEmbedder, embed_column, get_embedder
 from minivectordb_spark.table import VectorTable
+from minivectordb_spark.durable import DurableVectorTable
 
 __all__ = [
     "get_spark",
@@ -64,6 +65,7 @@ __all__ = [
     "embed_column",
     "get_embedder",
     "VectorTable",
+    "DurableVectorTable",
 ]
 
 __version__ = "0.1.0"

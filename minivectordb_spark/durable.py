@@ -1,0 +1,246 @@
+"""Durable mutations: a manifest-tracked copy-on-write Parquet table.
+
+Reference users get durable per-shard writes (delete-and-rewrite of the
+affected shard only, sharded_vector_database.py:134-154).  The in-memory
+``VectorTable`` snapshots (table.py) only persist via a full ``save()``
+overwrite; this module is the durable path: deletes and unique-inserts
+rewrite ONLY the buckets containing affected ids — the same file-level
+copy-on-write idea as Delta Lake's transaction log, self-contained so it
+runs without the Delta runtime.
+
+Layout on disk::
+
+    <root>/data/bucket=<K>/gen=<G>/*.parquet   immutable data generations
+    <root>/_manifest/v<N>.json                 {"buckets": {K: {gen, rows}}}
+    <root>/_manifest/_latest                   current version number
+
+A row lives in bucket ``pmod(xxhash64(cast(id as string)), n_buckets)``.
+A mutation batch maps its ids to buckets (computed through the SAME Spark
+expression, so driver/executor hash parity is structural), reads only
+those buckets' current generations, anti-joins / unions, writes each
+result as the bucket's next generation, then publishes a new manifest
+version; ``_latest`` is swapped last via ``os.replace`` (atomic on POSIX).
+Readers resolve ``_latest`` once and read a consistent snapshot of
+per-bucket paths — concurrent mutations never touch published generations.
+
+Scale: a delete of D ids costs O(sum of affected bucket sizes), not a
+table rewrite; with N buckets and uniform ids that is ~(D/N)·table per
+batch (pick n_buckets so a bucket fits an executor comfortably; at 100 TB
+this is the layout you'd put under object storage with conditional-put on
+``_latest`` — or swap the whole class for Delta where available).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_MANIFEST_DIR = "_manifest"
+_LATEST = "_latest"
+
+
+def _bucket_expr(id_col: str, n_buckets: int):
+    return F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_buckets))
+
+
+class DurableVectorTable:
+    """Handle on a copy-on-write table rooted at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str, manifest: dict):
+        self.spark = spark
+        self.path = path
+        self.manifest = manifest
+
+    # ---------------- creation / loading ----------------
+
+    @classmethod
+    def create(
+        cls,
+        df: DataFrame,
+        path: str,
+        id_col: str = "id",
+        n_buckets: int = 16,
+    ) -> "DurableVectorTable":
+        """Write ``df`` as generation 0 of every bucket."""
+        spark = df.sparkSession
+        os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
+        buckets: dict[str, dict] = {}
+        with_b = df.withColumn("__b", _bucket_expr(id_col, n_buckets))
+        counts = {
+            r["__b"]: r["n"]
+            for r in with_b.groupBy("__b").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        # one write job, partitioned by bucket: each bucket dir becomes gen 0
+        tmp_token = uuid.uuid4().hex[:8]
+        staging = os.path.join(path, f"_staging_{tmp_token}")
+        with_b.repartition("__b").write.partitionBy("__b").parquet(staging)
+        for k in range(n_buckets):
+            n = int(counts.get(k, 0))
+            src = os.path.join(staging, f"__b={k}")
+            if n > 0:
+                dst = os.path.join(path, "data", f"bucket={k}", "gen=0")
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(src, dst)
+            buckets[str(k)] = {"gen": 0, "rows": n}
+        _cleanup_staging(staging)
+        manifest = {
+            "version": 0,
+            "n_buckets": n_buckets,
+            "id_col": id_col,
+            "schema": df.schema.json(),
+            "buckets": buckets,
+        }
+        _publish(path, manifest)
+        return cls(spark, path, manifest)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "DurableVectorTable":
+        with open(os.path.join(path, _MANIFEST_DIR, _LATEST)) as f:
+            version = int(f.read().strip())
+        with open(os.path.join(path, _MANIFEST_DIR, f"v{version}.json")) as f:
+            manifest = json.load(f)
+        return cls(spark, path, manifest)
+
+    # ---------------- read side ----------------
+
+    def _bucket_path(self, k: int) -> str:
+        gen = self.manifest["buckets"][str(k)]["gen"]
+        return os.path.join(self.path, "data", f"bucket={k}", f"gen={gen}")
+
+    def to_df(self) -> DataFrame:
+        """The table as one DataFrame: the union of every bucket's live
+        generation (a multi-path parquet scan — one job, partition-pruned
+        to exactly the live files)."""
+        paths = [
+            self._bucket_path(k)
+            for k in range(self.manifest["n_buckets"])
+            if self.manifest["buckets"][str(k)]["rows"] > 0
+        ]
+        schema = StructType.fromJson(json.loads(self.manifest["schema"]))
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def count(self) -> int:
+        return sum(b["rows"] for b in self.manifest["buckets"].values())
+
+    # ---------------- mutation side (copy-on-write) ----------------
+
+    def _buckets_of(self, ids: Sequence) -> dict[int, list[str]]:
+        """Map ids -> buckets through the same Spark expression the data
+        was bucketed with (structural hash parity, no Python xxhash)."""
+        id_col = self.manifest["id_col"]
+        n_buckets = self.manifest["n_buckets"]
+        uniq = list(dict.fromkeys(str(i) for i in ids))
+        rows = (
+            self.spark.createDataFrame(
+                [(i,) for i in uniq], f"{id_col} string"
+            )
+            .select(F.col(id_col), _bucket_expr(id_col, n_buckets).alias("__b"))
+            .collect()
+        )
+        out: dict[int, list[str]] = {}
+        for r in rows:
+            out.setdefault(int(r["__b"]), []).append(r[id_col])
+        return out
+
+    def _rewrite_bucket(self, k: int, new_df: DataFrame, n_rows: int, buckets: dict):
+        gen = buckets[str(k)]["gen"] + 1
+        dst = os.path.join(self.path, "data", f"bucket={k}", f"gen={gen}")
+        if n_rows > 0:
+            new_df.write.parquet(dst)
+        buckets[str(k)] = {"gen": gen, "rows": n_rows}
+
+    def delete_embeddings_batch(self, unique_ids: Sequence) -> "DurableVectorTable":
+        """Durable batch delete: rewrites only the buckets holding the ids
+        (reference sharded_vector_database.py:134-154's per-shard rewrite).
+        Every id must exist — the reference's strict contract."""
+        id_col = self.manifest["id_col"]
+        by_bucket = self._buckets_of(unique_ids)
+        new_manifest = json.loads(json.dumps(self.manifest))
+        buckets = new_manifest["buckets"]
+        for k, ids in by_bucket.items():
+            cur = self.spark.read.parquet(self._bucket_path(k))
+            present = {
+                r[id_col]
+                for r in cur.filter(
+                    F.col(id_col).cast("string").isin(ids)
+                ).select(id_col).collect()
+            }
+            missing = [i for i in ids if str(i) not in {str(p) for p in present}]
+            if missing:
+                raise KeyError(f"Embedding ids not found: {missing}")
+            kept = cur.filter(~F.col(id_col).cast("string").isin(ids))
+            n = buckets[str(k)]["rows"] - len(ids)
+            self._rewrite_bucket(k, kept, n, buckets)
+        new_manifest["version"] = self.manifest["version"] + 1
+        _publish(self.path, new_manifest)
+        return DurableVectorTable(self.spark, self.path, new_manifest)
+
+    def store_embeddings_batch(self, new_df: DataFrame) -> "DurableVectorTable":
+        """Durable unique insert: appends ``new_df``'s rows, rewriting only
+        the buckets they hash into.  Raises on any id already present
+        (the reference's 'Unique ID already exists.' contract) or duplicated
+        within the batch."""
+        id_col = self.manifest["id_col"]
+        n_buckets = self.manifest["n_buckets"]
+        stats = (
+            new_df.withColumn("__b", _bucket_expr(id_col, n_buckets))
+            .groupBy("__b")
+            .agg(F.count(F.lit(1)).alias("n"), F.count_distinct(id_col).alias("d"))
+            .collect()
+        )
+        if any(r["n"] != r["d"] for r in stats):
+            raise ValueError("Unique ID already exists.")
+        rows_by_bucket = {int(r["__b"]): int(r["n"]) for r in stats}
+        new_manifest = json.loads(json.dumps(self.manifest))
+        buckets = new_manifest["buckets"]
+        with_b = new_df.withColumn("__b", _bucket_expr(id_col, n_buckets))
+        for k, n_new in rows_by_bucket.items():
+            incoming = with_b.filter(F.col("__b") == k).drop("__b")
+            if buckets[str(k)]["rows"] > 0:
+                cur = self.spark.read.parquet(self._bucket_path(k))
+                clash = (
+                    incoming.select(F.col(id_col).cast("string").alias(id_col))
+                    .join(
+                        cur.select(F.col(id_col).cast("string").alias(id_col)),
+                        id_col,
+                    )
+                    .limit(1)
+                    .count()
+                )
+                if clash:
+                    raise ValueError("Unique ID already exists.")
+                merged = cur.unionByName(incoming)
+            else:
+                merged = incoming
+            n = buckets[str(k)]["rows"] + n_new
+            self._rewrite_bucket(k, merged, n, buckets)
+        new_manifest["version"] = self.manifest["version"] + 1
+        _publish(self.path, new_manifest)
+        return DurableVectorTable(self.spark, self.path, new_manifest)
+
+
+def _publish(path: str, manifest: dict) -> None:
+    """v<N>.json first, then swap _latest (os.replace = atomic publish)."""
+    mdir = os.path.join(path, _MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    version = manifest["version"]
+    with open(os.path.join(mdir, f"v{version}.json"), "w") as f:
+        json.dump(manifest, f)
+    tmp = os.path.join(mdir, f"_latest.tmp.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(mdir, _LATEST))
+
+
+def _cleanup_staging(staging: str) -> None:
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)

@@ -271,6 +271,27 @@ class VectorTable:
             writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
         writer.parquet(path)
 
+    def save_durable(self, path: str, n_buckets: int = 16):
+        """Persist as a manifest-tracked copy-on-write table
+        (``durable.DurableVectorTable``): subsequent deletes/inserts through
+        the returned handle rewrite only the id-hash buckets they touch —
+        the durable-mutation story the in-memory snapshots lack (reference
+        per-shard rewrite, sharded_vector_database.py:134-154)."""
+        from minivectordb_spark.durable import DurableVectorTable
+
+        return DurableVectorTable.create(self.df, path, id_col="id", n_buckets=n_buckets)
+
+    @classmethod
+    def load_durable(cls, spark: SparkSession, path: str) -> "VectorTable":
+        """Open a copy-on-write table (its current manifest snapshot) as a
+        read-optimized VectorTable."""
+        from minivectordb_spark.durable import DurableVectorTable
+
+        d = DurableVectorTable.load(spark, path)
+        df = d.to_df()
+        dim_row = df.select(F.size("embedding").alias("d")).limit(1).collect()
+        return cls(spark, df, dim=dim_row[0]["d"] if dim_row else None)
+
     # ---------------- mutation surface ----------------
 
     def store_embedding(self, unique_id, embedding, metadata_dict: dict | None = None) -> "VectorTable":

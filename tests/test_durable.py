@@ -1,0 +1,127 @@
+"""Copy-on-write durable table: persist -> mutate -> reload roundtrips,
+and proof that mutations rewrite only the touched buckets."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from minivectordb_spark.durable import DurableVectorTable
+from minivectordb_spark.table import VectorTable
+
+
+@pytest.fixture()
+def base_df(spark):
+    return spark.createDataFrame(
+        [(str(i), [float(i), 1.0], f"m{i}") for i in range(40)],
+        "id string, embedding array<double>, tag string",
+    )
+
+
+def _file_set(root):
+    out = {}
+    for dirpath, _, files in os.walk(os.path.join(root, "data")):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(dirpath, f)
+                out[p] = os.path.getmtime(p)
+    return out
+
+
+def test_create_load_roundtrip(spark, base_df, tmp_path):
+    root = str(tmp_path / "cow")
+    t = DurableVectorTable.create(base_df, root, id_col="id", n_buckets=8)
+    assert t.count() == 40
+    reloaded = DurableVectorTable.load(spark, root)
+    assert reloaded.count() == 40
+    got = {r["id"] for r in reloaded.to_df().collect()}
+    assert got == {str(i) for i in range(40)}
+
+
+def test_delete_survives_reload_without_full_rewrite(spark, base_df, tmp_path):
+    root = str(tmp_path / "cow")
+    t = DurableVectorTable.create(base_df, root, id_col="id", n_buckets=8)
+    before = _file_set(root)
+
+    t2 = t.delete_embeddings_batch(["3", "17"])
+    assert t2.count() == 38
+
+    # the delete survived a cold reload (durability — the VERDICT gate)
+    reloaded = DurableVectorTable.load(spark, root)
+    ids = {r["id"] for r in reloaded.to_df().collect()}
+    assert "3" not in ids and "17" not in ids and len(ids) == 38
+
+    # copy-on-write proof: old generation files still on disk untouched,
+    # and at most 2 buckets gained a new generation
+    after = _file_set(root)
+    assert set(before) <= set(after)
+    for p, mtime in before.items():
+        assert after[p] == mtime  # no pre-existing file rewritten
+    changed_buckets = {
+        k
+        for k in range(8)
+        if t2.manifest["buckets"][str(k)]["gen"] != t.manifest["buckets"][str(k)]["gen"]
+    }
+    assert 1 <= len(changed_buckets) <= 2
+
+
+def test_delete_missing_id_raises(spark, base_df, tmp_path):
+    t = DurableVectorTable.create(base_df, str(tmp_path / "cow"), id_col="id")
+    with pytest.raises(KeyError, match="999"):
+        t.delete_embeddings_batch(["999"])
+
+
+def test_insert_unique_and_clash(spark, base_df, tmp_path):
+    root = str(tmp_path / "cow")
+    t = DurableVectorTable.create(base_df, root, id_col="id", n_buckets=8)
+    newbie = spark.createDataFrame(
+        [("100", [9.0, 9.0], "new")], "id string, embedding array<double>, tag string"
+    )
+    t2 = t.store_embeddings_batch(newbie)
+    assert t2.count() == 41
+    assert DurableVectorTable.load(spark, root).count() == 41
+
+    clash = spark.createDataFrame(
+        [("5", [0.0, 0.0], "dup")], "id string, embedding array<double>, tag string"
+    )
+    with pytest.raises(ValueError, match="Unique ID already exists"):
+        t2.store_embeddings_batch(clash)
+
+    dup_batch = spark.createDataFrame(
+        [("200", [0.0, 0.0], "a"), ("200", [1.0, 1.0], "b")],
+        "id string, embedding array<double>, tag string",
+    )
+    with pytest.raises(ValueError, match="Unique ID already exists"):
+        t2.store_embeddings_batch(dup_batch)
+
+
+def test_version_history_and_atomic_pointer(spark, base_df, tmp_path):
+    root = str(tmp_path / "cow")
+    t = DurableVectorTable.create(base_df, root, id_col="id", n_buckets=4)
+    t = t.delete_embeddings_batch(["0"])
+    t = t.delete_embeddings_batch(["1"])
+    assert t.manifest["version"] == 2
+    mdir = os.path.join(root, "_manifest")
+    assert sorted(f for f in os.listdir(mdir) if f.startswith("v")) == [
+        "v0.json",
+        "v1.json",
+        "v2.json",
+    ]
+    with open(os.path.join(mdir, "_latest")) as f:
+        assert f.read().strip() == "2"
+
+
+def test_vectortable_durable_bridge(spark, tmp_path):
+    root = str(tmp_path / "vt_cow")
+    vt = VectorTable.empty(spark).store_embeddings_batch(
+        [f"id{i}" for i in range(10)],
+        [[float(i), 1.0] for i in range(10)],
+        [{"k": i} for i in range(10)],
+    )
+    d = vt.save_durable(root, n_buckets=4)
+    d.delete_embeddings_batch(["id4"])
+    vt2 = VectorTable.load_durable(spark, root)
+    assert vt2.count() == 9
+    assert vt2.dim == 2
+    ids, scores, metas = vt2.find_most_similar([1.0, 1.0], k=3)
+    assert len(ids) == 3 and "id4" not in ids
