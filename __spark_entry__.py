@@ -405,14 +405,19 @@ def q_neardup_cosine(spark, sf_dir):
 
 def q_neardup_lsh(spark, sf_dir):
     """Scale-safe embedding near-dup: sign-bit LSH blocking with Hamming-1
-    multiprobe instead of a data-column block — block population stays
-    bounded as the corpus grows (VERDICT r1 item 3)."""
+    multiprobe instead of a data-column block — adaptive plane count
+    (planes=None) grows bucket count with the corpus so block population
+    stays ~target_block_size (VERDICT r1 item 3).  At sf0.01 — the
+    driver's correctness scale — the adaptive choice resolves to exactly
+    NEARDUP_PLANES (4 planes, seed 7), which is what the static DuckDB
+    oracle inlines, so parity holds by construction; at larger sf the
+    plane count rises (5 at sf0.1, 7 at 10x) and results are the operator
+    contract (recall >= Hamming-1 coverage), not a fixed literal plan."""
     return embedding_neardup_pairs(
         _t(spark, sf_dir, "embeddings"),
         emb_col="embedding",
         id_col="vec_id",
         threshold=NEARDUP_COS,
-        planes=NEARDUP_PLANES,
     )
 
 

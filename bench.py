@@ -64,19 +64,30 @@ def main():
         timings[name] = round(best, 3)
     total = round(time.time() - t_all, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_sec_all_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs_per_query": RUNS,
-                "per_query_stat": "min",
-                "sf": float(sf),
-            }
-        )
-    )
+    # measured-scaling section (factor-x replicated inputs through the same
+    # query builders) — the mechanical regression check for plan shapes
+    # whose cost must stay ~linear; disable with SPARK_GRAFT_SCALED=0
+    scaled = None
+    if os.environ.get("SPARK_GRAFT_SCALED", "1") != "0":
+        try:
+            from tools.scaling_bench import scaled_section
+
+            scaled = scaled_section(spark, sf_dir, factor=10, runs=RUNS)
+        except Exception as e:
+            print(f"bench scaled-section error: {e}", file=sys.stderr)
+
+    out = {
+        "metric": "total_wall_sec_all_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs_per_query": RUNS,
+        "per_query_stat": "min",
+        "sf": float(sf),
+    }
+    if scaled is not None:
+        out["scaled"] = scaled
+    print(json.dumps(out))
     spark.stop()
 
 

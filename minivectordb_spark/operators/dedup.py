@@ -422,6 +422,7 @@ def embedding_neardup_pairs(
     planes: list[list[float]] | None = None,
     multiprobe: bool = True,
     brute_force: bool = False,
+    target_block_size: int = 64,
 ) -> DataFrame:
     """Cosine near-dup pairs over an embedding column.
 
@@ -438,7 +439,13 @@ def embedding_neardup_pairs(
       join side also probes the P buckets at bucket-Hamming 1, so any pair
       whose buckets differ in <= 1 sign bit is still compared (bounds the
       recall loss from near-dups straddling a hyperplane).  ``planes=None``
-      derives default planes from the column's dimension (one-row peek).
+      derives planes from the data: P = max(4, ceil(log2(N /
+      ``target_block_size``))) planes (one count + one-row dim peek), so
+      bucket count GROWS with the corpus and expected block population
+      stays ~``target_block_size`` — measured at 10x replication this
+      keeps the pair join ~linear where a fixed P was 17x.  Callers
+      needing literal-reproducible plans (the SQL oracle) pass explicit
+      ``planes``.
     - ``brute_force=True``: the O(N^2) cross-join — correctness baseline
       for small corpora and recall tests only.
     """
@@ -456,15 +463,17 @@ def embedding_neardup_pairs(
 
     if use_lsh:
         if planes is None:
+            import math
+
             first = df.select(F.size(F.col(emb_col)).alias("d")).first()
             dim = int(first["d"]) if first else 0
-            planes = default_projection_planes(dim)
+            n = df.select(id_col).count()
+            n_planes = max(
+                4, math.ceil(math.log2(max(n, 1) / target_block_size))
+            )
+            planes = default_projection_planes(dim, n_planes=n_planes)
         n_planes = len(planes)
         buckets = random_projection_buckets(df, planes, id_col=id_col, emb_col=emb_col)
-        base = base.join(buckets, id_col)
-        block_key = "bucket"
-    else:
-        block_key = "blk" if block_col else None
 
     a_cols = [
         F.col(id_col).alias("id_a"),
@@ -477,8 +486,11 @@ def embedding_neardup_pairs(
         F.col("__n").alias("n_b"),
     ]
     if use_lsh:
-        # left side probes its own bucket plus the n_planes Hamming-1
-        # neighbors; right side stays home — covers bucket-distance <= 1
+        # candidate generation runs over (id, bucket) ONLY — the 64-dim+
+        # arrays must not ride through the exploded multiprobe join (at 10x
+        # replication that shuffle dominated the whole query).  Embeddings
+        # are re-attached AFTER the candidate pairs are deduped.
+        slim = buckets.select(F.col(id_col), F.col("bucket"))
         probes = [F.col("bucket")] + (
             [
                 F.col("bucket").bitwiseXOR(F.lit(1 << i)).cast("long")
@@ -487,17 +499,22 @@ def embedding_neardup_pairs(
             if multiprobe
             else []
         )
-        a = base.select(
-            *a_cols, F.explode(F.array(*probes)).alias("__probe")
+        # left side probes its own bucket plus the n_planes Hamming-1
+        # neighbors; right side stays home — covers bucket-distance <= 1
+        a_ids = slim.select(
+            F.col(id_col).alias("id_a"), F.explode(F.array(*probes)).alias("__probe")
         )
-        b = base.select(*b_cols, F.col("bucket").alias("__home"))
-        joined = (
-            a.join(b, F.col("__probe") == F.col("__home"))
+        b_ids = slim.select(F.col(id_col).alias("id_b"), F.col("bucket").alias("__home"))
+        cand = (
+            a_ids.join(b_ids, F.col("__probe") == F.col("__home"))
             .filter(F.col("id_a") < F.col("id_b"))
-            .drop("__probe", "__home")
+            .select("id_a", "id_b")
         )
         if multiprobe:
-            joined = joined.dropDuplicates(["id_a", "id_b"])
+            cand = cand.dropDuplicates(["id_a", "id_b"])
+        joined = cand.join(
+            base.select(*a_cols), "id_a"
+        ).join(base.select(*b_cols), "id_b")
     elif block_col:
         a = base.select(*a_cols, F.col(block_col).alias("blk"))
         b = base.select(*b_cols, F.col(block_col).alias("blk"))

@@ -1,0 +1,150 @@
+"""Measured-scaling harness: replicate the sf tables FACTOR x (ids remapped
+to stay unique) into a scratch dir, then time a representative query subset
+through the SAME ``entry.queries()`` builders on base vs scaled inputs.
+
+This mechanizes README's "Measured scaling" table so a scaling regression
+(an operator whose cost grows super-linearly with input) is caught by the
+per-round bench, not by eyeballing: ``bench.py`` embeds the result as the
+``scaled`` section of its JSON line unless SPARK_GRAFT_SCALED=0.
+
+Replication semantics (what "10x data" means per table):
+- lineitem: plain row replication (pure aggregate — keys don't matter).
+- documents: doc_id remapped unique; text kept verbatim, so each doc
+  becomes a 10-clique of exact/near duplicates — the dedup queries are
+  deliberately fed a dedup-shaped workload (pair output grows with clique
+  size; candidate generation must stay bucket-bounded).
+- embeddings: vec_id remapped unique; each replica slightly rotated
+  (element-wise (1 + rep*1e-3*sin(i+1)) scaling) so replicas are near- but
+  not exact-duplicates — ANN/near-dup sees a realistic clustered corpus.
+- events: event_id and user_id remapped — 10x USERS at the same per-user
+  density (sessionization / as-of cost scales with user count, which is
+  how real event data grows).
+
+Standalone: python tools/scaling_bench.py [sf_dir] [factor]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+SCALED_QUERIES = [
+    "knn_topk",
+    "tpch_q1",
+    "text_stats",
+    "ivf_assign",
+    "minhash_signatures",
+    "lsh_jaccard_pairs",
+    "simhash_pairs",
+    "neardup_lsh",
+    "events_asof",
+    "events_sessionize",
+]
+
+
+def build_scaled_dir(spark, sf_dir: str, out_dir: str, factor: int = 10) -> None:
+    rep = spark.range(factor).select(F.col("id").alias("__rep"))
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.crossJoin(rep).drop("__rep").write.mode("overwrite").parquet(
+        f"{out_dir}/lineitem.parquet"
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.crossJoin(rep).withColumn(
+        "doc_id", F.col("doc_id") * factor + F.col("__rep")
+    ).drop("__rep").write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    perturbed = F.transform(
+        "embedding",
+        lambda x, i: x
+        * (
+            F.lit(1.0)
+            + F.col("__rep").cast("double") * F.lit(1e-3) * F.sin(i.cast("double") + 1)
+        ),
+    )
+    emb.crossJoin(rep).withColumn(
+        "vec_id", F.col("vec_id") * factor + F.col("__rep")
+    ).withColumn("embedding", perturbed).drop("__rep").write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/embeddings.parquet")
+
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ev.crossJoin(rep).withColumn(
+            "event_id", F.col("event_id") * factor + F.col("__rep")
+        ).withColumn("user_id", F.col("user_id") * factor + F.col("__rep")).drop(
+            "__rep"
+        ).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+
+
+def _time_query(spark, fn, sf_dir: str, runs: int = 2) -> float:
+    best = None
+    for _ in range(runs):
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
+def scaled_section(spark, sf_dir: str, factor: int = 10, runs: int = 2) -> dict:
+    """{"factor": F, "queries": {name: {"base": s, "scaled": s, "ratio": r}}}.
+
+    ratio ~1 for map-only/partial-agg plans (10x rows absorbed by idle
+    cores at this core count), bounded small multiples for bucketed joins.
+    """
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    out_dir = tempfile.mkdtemp(prefix="spark_scaled_")
+    try:
+        build_scaled_dir(spark, sf_dir, out_dir, factor)
+        result = {}
+        for name in SCALED_QUERIES:
+            fn = qs[name]
+            base = _time_query(spark, fn, sf_dir, runs)
+            scaled = _time_query(spark, fn, out_dir, runs)
+            result[name] = {
+                "base": base,
+                "scaled": scaled,
+                "ratio": round(scaled / base, 2) if base > 0 else None,
+            }
+        return {"factor": factor, "queries": result}
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def main() -> None:
+    from minivectordb_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="scaling_bench", cores=cpus, shuffle_partitions=int(cpus))
+    section = scaled_section(spark, sf_dir, factor)
+    for name, row in section["queries"].items():
+        print(
+            f"{name:24s} base {row['base']:7.3f}s  "
+            f"x{factor} {row['scaled']:7.3f}s  ratio {row['ratio']}"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
