@@ -393,6 +393,15 @@ def q_simhash_pairs(spark, sf_dir):
     )
 
 
+def q_simhash_pairs64(spark, sf_dir):
+    """64-bit SimHash pairs (two salted 32-bit halves, 16-bit banding) —
+    the collision-bounded scale variant of simhash_pairs (65,536 band
+    values vs 256; same pigeonhole recall guarantee)."""
+    return simhash_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=SIMHASH_MAX_HAMMING, bits=64
+    )
+
+
 def q_neardup_cosine(spark, sf_dir):
     return embedding_neardup_pairs(
         _t(spark, sf_dir, "embeddings"),
@@ -679,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_jaccard_pairs": q_lsh_jaccard_pairs,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
+        "simhash_pairs64": q_simhash_pairs64,
         "neardup_cosine": q_neardup_cosine,
         "neardup_lsh": q_neardup_lsh,
         "ivf_assign": q_ivf_assign,
@@ -866,6 +876,50 @@ cand AS (
 SELECT id_a, id_b, hamming FROM (
   SELECT c.id_a, c.id_b,
          bit_count(xor(sa.simhash, sb.simhash))::BIGINT AS hamming
+  FROM cand c
+  JOIN sim sa ON sa.doc_id = c.id_a
+  JOIN sim sb ON sb.doc_id = c.id_b
+) WHERE hamming <= {SIMHASH_MAX_HAMMING}
+""".strip()
+
+
+def _oracle_simhash_pairs64() -> str:
+    def votes(src: str, prefix: str) -> str:
+        return ",\n    ".join(
+            f"list_sum(list_transform({src}, h -> ((h >> {b}) & 1) * 2 - 1))::BIGINT"
+            f" AS {prefix}{b}"
+            for b in range(32)
+        )
+
+    def fp(prefix: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN {prefix}{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32)
+        )
+
+    return f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+th AS (SELECT doc_id,
+        list_transform(tk, x -> {_sql_hash('x')}) AS hs,
+        list_transform(tk, x -> {_sql_hash("x || '#h'")}) AS hs2
+       FROM t),
+v AS (SELECT doc_id,
+    {votes('hs', 'a')},
+    {votes('hs2', 'c')}
+  FROM th),
+sim AS (SELECT doc_id, ({fp('a')})::BIGINT AS fp_lo, ({fp('c')})::BIGINT AS fp_hi FROM v),
+bk AS (SELECT sim.doc_id, u.b,
+        CASE u.b WHEN 0 THEN fp_lo & 65535
+                 WHEN 1 THEN (fp_lo >> 16) & 65535
+                 WHEN 2 THEN fp_hi & 65535
+                 ELSE (fp_hi >> 16) & 65535 END AS bv
+       FROM sim, unnest(range(0, 4)) AS u(b)),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bk l JOIN bk r ON l.b = r.b AND l.bv = r.bv AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b, hamming FROM (
+  SELECT c.id_a, c.id_b,
+         (bit_count(xor(sa.fp_lo, sb.fp_lo)) + bit_count(xor(sa.fp_hi, sb.fp_hi)))::BIGINT AS hamming
   FROM cand c
   JOIN sim sa ON sa.doc_id = c.id_a
   JOIN sim sb ON sb.doc_id = c.id_b
@@ -1128,6 +1182,7 @@ FROM documents
         "lsh_jaccard_pairs": _oracle_lsh_pairs(),
         "simhash": _oracle_simhash(),
         "simhash_pairs": _oracle_simhash_pairs(),
+        "simhash_pairs64": _oracle_simhash_pairs64(),
         "neardup_cosine": _oracle_neardup(),
         "neardup_lsh": _oracle_neardup_lsh(),
         "ivf_assign": _oracle_ivf_assign(),

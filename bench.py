@@ -70,9 +70,16 @@ def main():
     scaled = None
     if os.environ.get("SPARK_GRAFT_SCALED", "1") != "0":
         try:
-            from tools.scaling_bench import scaled_section
+            from tools.scaling_bench import default_scaled_base, scaled_section
 
-            scaled = scaled_section(spark, sf_dir, factor=10, runs=RUNS)
+            # ratios are the signal, not absolute seconds: run the scaled
+            # comparison from the small base (sf0.01 when available) so the
+            # whole bench stays bounded — sf0.1 x10 alone would take longer
+            # than the entire main loop
+            base_dir = os.environ.get(
+                "SPARK_GRAFT_SCALED_BASE", default_scaled_base(sf_dir)
+            )
+            scaled = scaled_section(spark, base_dir, factor=10, runs=RUNS)
         except Exception as e:
             print(f"bench scaled-section error: {e}", file=sys.stderr)
 

@@ -7,6 +7,7 @@ from minivectordb_spark.operators.dedup import (
     minhash_dedup_pairs,
     minhash_signatures,
     simhash_fingerprints,
+    simhash_fingerprints64,
     simhash_pairs,
 )
 from minivectordb_spark.operators.text import (
@@ -46,6 +47,7 @@ __all__ = [
     "minhash_dedup_pairs",
     "minhash_signatures",
     "simhash_fingerprints",
+    "simhash_fingerprints64",
     "simhash_pairs",
     "fingerprints",
     "lang_id",

@@ -106,6 +106,46 @@ def test_simhash_pairs_pigeonhole_recall(docs):
     assert got[(0, 1)] == 0  # identical texts -> identical fingerprints
 
 
+def test_simhash_pairs64_pigeonhole_recall(docs):
+    """64-bit variant: every pair at Hamming <= n_bands-1 over the combined
+    128... 64 bits must be found — checked against all-pairs brute force on
+    the two-half fingerprints."""
+    from minivectordb_spark.operators.dedup import (
+        simhash_fingerprints64,
+        simhash_pairs,
+    )
+
+    fps = {
+        r["doc_id"]: (r["simhash_lo"], r["simhash_hi"])
+        for r in simhash_fingerprints64(docs).collect()
+    }
+    ids = sorted(fps)
+
+    def ham(a, b):
+        return bin(fps[a][0] ^ fps[b][0]).count("1") + bin(
+            fps[a][1] ^ fps[b][1]
+        ).count("1")
+
+    expected = {
+        (a, b): ham(a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if ham(a, b) <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(docs, max_hamming=3, bits=64).collect()
+    }
+    assert got == expected
+    assert got[(0, 1)] == 0  # identical texts -> identical 64-bit fingerprints
+    # halves are genuinely independent: lo == 32-bit simhash, hi differs
+    from minivectordb_spark.operators.dedup import simhash_fingerprints
+
+    lo32 = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
+    assert all(fps[d][0] == lo32[d] for d in ids)
+    assert any(fps[d][0] != fps[d][1] for d in ids)
+
+
 def test_neardup_lsh_blocking_vs_bruteforce(spark):
     """Default (no block_col) near-dup path: sign-bit LSH blocking with
     multiprobe.  Identical vectors always share a bucket; every LSH pair

@@ -43,10 +43,23 @@ SCALED_QUERIES = [
     "minhash_signatures",
     "lsh_jaccard_pairs",
     "simhash_pairs",
+    "simhash_pairs64",
     "neardup_lsh",
     "events_asof",
     "events_sessionize",
 ]
+
+
+def default_scaled_base(sf_dir: str) -> str:
+    """Smallest sibling sf dir to use as the scaling base: replication
+    ratios are scale-invariant signals, so measuring them from sf0.01 keeps
+    the per-round bench bounded."""
+    parent = os.path.dirname(sf_dir.rstrip("/"))
+    for cand in ("sf0.01", "sf0.001"):
+        p = os.path.join(parent, cand)
+        if os.path.isdir(p):
+            return p
+    return sf_dir
 
 
 def build_scaled_dir(spark, sf_dir: str, out_dir: str, factor: int = 10) -> None:
@@ -119,7 +132,9 @@ def scaled_section(spark, sf_dir: str, factor: int = 10, runs: int = 2) -> dict:
         for name in SCALED_QUERIES:
             fn = qs[name]
             base = _time_query(spark, fn, sf_dir, runs)
+            print(f"scaling: {name} base {base}s", file=sys.stderr, flush=True)
             scaled = _time_query(spark, fn, out_dir, runs)
+            print(f"scaling: {name} x{factor} {scaled}s", file=sys.stderr, flush=True)
             result[name] = {
                 "base": base,
                 "scaled": scaled,
