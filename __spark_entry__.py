@@ -393,6 +393,26 @@ def q_simhash_pairs(spark, sf_dir):
     )
 
 
+def q_dedup_groups(spark, sf_dir):
+    """Dedup resolution: LSH near-dup pairs -> connected components
+    (iterative min-label propagation, operators/dedup.connected_components)
+    -> (id, component).  The oracle is a DuckDB recursive-CTE transitive
+    closure over the identical pair set."""
+    from minivectordb_spark.operators.dedup import connected_components
+
+    return connected_components(q_lsh_jaccard_pairs(spark, sf_dir))
+
+
+def q_dedup_resolve(spark, sf_dir):
+    """End-to-end dedup: documents minus every non-representative member of
+    a near-dup group (keep the min-doc_id survivor per component)."""
+    from minivectordb_spark.operators.dedup import dedup_survivors
+
+    return dedup_survivors(
+        _t(spark, sf_dir, "documents"), q_lsh_jaccard_pairs(spark, sf_dir)
+    )
+
+
 def q_simhash_pairs64(spark, sf_dir):
     """64-bit SimHash pairs (two salted 32-bit halves, 16-bit banding) —
     the collision-bounded scale variant of simhash_pairs (65,536 band
@@ -689,6 +709,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "simhash_pairs64": q_simhash_pairs64,
+        "dedup_groups": q_dedup_groups,
+        "dedup_resolve": q_dedup_resolve,
         "neardup_cosine": q_neardup_cosine,
         "neardup_lsh": q_neardup_lsh,
         "ivf_assign": q_ivf_assign,
@@ -880,6 +902,38 @@ SELECT id_a, id_b, hamming FROM (
   JOIN sim sa ON sa.doc_id = c.id_a
   JOIN sim sb ON sb.doc_id = c.id_b
 ) WHERE hamming <= {SIMHASH_MAX_HAMMING}
+""".strip()
+
+
+def _oracle_dedup_components() -> str:
+    """Recursive-CTE transitive closure over the LSH pair set: component =
+    min reachable id.  Closure size = sum of component sizes^2 — fine at
+    oracle scale (the Spark side is the scalable min-label iteration)."""
+    lsh = _oracle_lsh_pairs()
+    return f"""
+WITH RECURSIVE
+p AS ({lsh}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM p
+),
+closure(id, r) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT c.id, e.dst FROM closure c JOIN edges e ON e.src = c.r
+)
+SELECT id, MIN(r) AS component FROM closure GROUP BY id
+""".strip()
+
+
+def _oracle_dedup_resolve() -> str:
+    comp = _oracle_dedup_components()
+    return f"""
+SELECT d.* FROM documents d
+WHERE d.doc_id NOT IN (
+  SELECT id FROM ({comp}) WHERE id != component
+)
 """.strip()
 
 
@@ -1183,6 +1237,8 @@ FROM documents
         "simhash": _oracle_simhash(),
         "simhash_pairs": _oracle_simhash_pairs(),
         "simhash_pairs64": _oracle_simhash_pairs64(),
+        "dedup_groups": _oracle_dedup_components(),
+        "dedup_resolve": _oracle_dedup_resolve(),
         "neardup_cosine": _oracle_neardup(),
         "neardup_lsh": _oracle_neardup_lsh(),
         "ivf_assign": _oracle_ivf_assign(),

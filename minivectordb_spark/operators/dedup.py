@@ -484,6 +484,95 @@ def simhash_pairs(
     )
 
 
+# ---------------- dedup resolution: pairs -> groups -> survivors ----------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Resolve duplicate-pair edges into groups: (id, component) where
+    ``component`` is the minimum id reachable from ``id`` — the step that
+    turns any of the pair operators (LSH/SimHash/cosine) into an actual
+    dedup decision.  Only ids that appear in a pair are returned
+    (singletons are trivially their own survivor).
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min of its own label and its neighbors' labels; converges in
+    O(component diameter) rounds.  Duplicate groups are near-cliques
+    (diameter 1-2), so 2-3 rounds typical; ``max_iter`` bounds adversarial
+    chains.  Each round is one join + one groupBy (shuffle on node id);
+    ``localCheckpoint`` truncates the lineage so round N's plan does not
+    embed rounds 1..N-1 (the classic iterative-Spark trap).  This is the
+    same min-label scheme as GraphX/GraphFrames connectedComponents,
+    re-expressed on DataFrames so it needs no extra runtime.
+    """
+    edges_fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        edges_fwd.union(
+            edges_fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("__nbr"))
+        .select(
+            F.col("src").alias("id"), F.least(F.col("src"), F.col("__nbr")).alias("component")
+        )
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), F.col("component").alias("__c")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("__c").alias("__nbr_c"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                F.col("id"),
+                F.least(
+                    F.col("component"), F.coalesce(F.col("__nbr_c"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep one row per duplicate group (the min-id representative) plus
+    every row not in any pair: df minus {ids whose component != id}."""
+    comp = connected_components(pairs, id_a, id_b)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 # ---------------- embedding cosine near-dup ----------------
 
 def embedding_neardup_pairs(

@@ -176,6 +176,38 @@ def test_neardup_lsh_blocking_vs_bruteforce(spark):
         assert brute[p] == c
 
 
+def test_connected_components_chain_and_clique(spark):
+    """A 5-node chain (worst-case diameter) and a separate triangle must
+    both collapse to their min id; disconnected nodes absent from pairs."""
+    from minivectordb_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12)],
+        ["id_a", "id_b"],
+    )
+    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_connected_components_empty(spark):
+    from minivectordb_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(pairs).count() == 0
+
+
+def test_dedup_survivors(spark):
+    from minivectordb_spark.operators.dedup import dedup_survivors
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(6)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(0, 3), (3, 5), (1, 2)], ["id_a", "id_b"])
+    kept = sorted(r["doc_id"] for r in dedup_survivors(df, pairs).collect())
+    # groups {0,3,5} -> keep 0; {1,2} -> keep 1; singleton 4 kept
+    assert kept == [0, 1, 4]
+
+
 def test_text_stats_values(spark):
     df = spark.createDataFrame([(0, "the cat the dog")], ["doc_id", "text"])
     r = text_stats(df).collect()[0]
