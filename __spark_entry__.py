@@ -523,6 +523,26 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_events_sessions_native(spark, sf_dir):
+    """Native session_window rollup (streaming/events.session_rollup) over
+    the events table — the streaming-capable sessionization.  ts int64
+    nanos -> integral µs (`div 1000`, no double rounding) -> timestamp;
+    session_start returned as epoch µs (timestamps stay out of the compare
+    per the ns/µs gotcha)."""
+    from minivectordb_spark.streaming.events import session_rollup
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "__tus", F.expr("ts div 1000")
+    ).withColumn("__ts", F.timestamp_micros(F.col("__tus")))
+    out = session_rollup(ev, gap="30 minutes", ts_col="__ts")
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_start")).alias("session_start_us"),
+        "n_events",
+        "session_value",
+    )
+
+
 def q_events_asof(spark, sf_dir):
     """As-of join: for each purchase, the latest click at-or-before it by
     the same user (operators/temporal.py — one shuffle on the key, no
@@ -720,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "insert_unique": q_insert_unique,
         "autocut_topk": q_autocut_topk,
         "events_sessionize": q_events_sessionize,
+        "events_sessions_native": q_events_sessions_native,
         "events_asof": q_events_asof,
         "events_distinct_users": q_events_distinct_users,
         "events_percentiles": q_events_percentiles,
@@ -1272,6 +1293,23 @@ s AS (
 SELECT user_id, session_id::BIGINT AS session_id, count(*)::BIGINT AS n_events,
        round(sum(value), 2) AS session_value
 FROM s GROUP BY user_id, session_id
+""".strip(),
+        "events_sessions_native": """
+WITH w AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS tus, value,
+         CASE WHEN (epoch_ns(ts) // 1000)
+                   - lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT user_id, tus, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY tus) AS sid
+  FROM w
+)
+SELECT user_id, min(tus)::BIGINT AS session_start_us, count(*)::BIGINT AS n_events,
+       round(sum(value), 2) AS session_value
+FROM s GROUP BY user_id, sid
 """.strip(),
         "events_rollup": (
             "SELECT event_type, count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value "

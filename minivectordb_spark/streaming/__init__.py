@@ -1,7 +1,13 @@
 from minivectordb_spark.streaming.events import (
     hourly_event_counts,
+    session_rollup,
     stream_events,
     stream_vector_ingest,
 )
 
-__all__ = ["hourly_event_counts", "stream_events", "stream_vector_ingest"]
+__all__ = [
+    "hourly_event_counts",
+    "session_rollup",
+    "stream_events",
+    "stream_vector_ingest",
+]

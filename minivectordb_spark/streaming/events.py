@@ -59,6 +59,47 @@ def hourly_event_counts(events: DataFrame, watermark: str | None = "2 hours") ->
     )
 
 
+def session_rollup(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-user gap-based sessions via native ``session_window`` — the
+    streaming-capable twin of the batch lag/cumsum sessionization
+    (``q_events_sessionize``): one keyed aggregation, no window-function
+    pass, and on a stream the state store merges/evicts sessions with the
+    watermark (the 100 TB path: session state shards by user key).
+
+    Merge rule is session_window's: consecutive events belong to one
+    session iff their gap is STRICTLY LESS than ``gap`` (an event exactly
+    ``gap`` after the previous starts a new session) — one ulp different
+    from the lag-based variant's ``> gap`` break rule, mirrored exactly by
+    the SQL oracle.
+
+    Output: (user, session_start, n_events, session_value) where
+    ``session_start`` is the first event's timestamp in the session.
+    """
+    src = events
+    if watermark and events.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.col(user_col), F.session_window(F.col(ts_col), gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 2).alias("session_value"),
+        )
+        .select(
+            F.col(user_col),
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 def stream_events(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
     """File-source stream over an events directory (parquet micro-batches).
 

@@ -59,6 +59,39 @@ def test_hourly_counts_batch_equals_stream(spark, events_dir, tmp_path):
     assert got == expected
 
 
+def test_session_rollup_batch_equals_stream(spark, events_dir, tmp_path):
+    """Native session_window sessionization: the stream (complete mode)
+    must converge to exactly the batch result."""
+    from minivectordb_spark.streaming import session_rollup, stream_events
+
+    batch = spark.read.parquet(events_dir)
+    expected = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["session_value"])
+        for r in session_rollup(batch, gap="20 minutes").collect()
+    }
+    assert expected  # fixture produces multiple sessions
+
+    # watermark must cover the fixture's full time span: files stream in
+    # arbitrary order, so an aggressive watermark would late-drop events
+    # from an "old" file arriving after a "new" one
+    stream = stream_events(spark, events_dir, max_files_per_trigger=1)
+    q = (
+        session_rollup(stream, gap="20 minutes", watermark="6 hours")
+        .writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["session_value"])
+        for r in spark.sql("select * from sess_test").collect()
+    }
+    assert got == expected
+
+
 def test_stream_vector_ingest_roundtrip(spark, tmp_path):
     docs = spark.createDataFrame(
         [(1, "hello world"), (2, "hello spark")], ["doc_id", "text"]
