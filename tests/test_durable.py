@@ -111,6 +111,44 @@ def test_version_history_and_atomic_pointer(spark, base_df, tmp_path):
         assert f.read().strip() == "2"
 
 
+def test_mutation_sequence_matches_model(spark, tmp_path):
+    """Seeded random interleaving of deletes and unique inserts applied to
+    both the CoW table and a plain dict model: contents must agree after
+    every mutation AND after a cold reload at the end."""
+    import random
+
+    rng = random.Random(11)
+    root = str(tmp_path / "cow_seq")
+    model = {str(i): float(i) for i in range(30)}
+    df = spark.createDataFrame(
+        [(k, [v]) for k, v in model.items()], "id string, embedding array<double>"
+    )
+    t = DurableVectorTable.create(df, root, id_col="id", n_buckets=4)
+    next_id = 100
+    for step in range(8):
+        if model and rng.random() < 0.5:
+            victims = rng.sample(sorted(model), k=min(3, len(model)))
+            t = t.delete_embeddings_batch(victims)
+            for v in victims:
+                del model[v]
+        else:
+            newbies = {str(next_id + i): float(next_id + i) for i in range(2)}
+            next_id += 10
+            t = t.store_embeddings_batch(
+                spark.createDataFrame(
+                    [(k, [v]) for k, v in newbies.items()],
+                    "id string, embedding array<double>",
+                )
+            )
+            model.update(newbies)
+        assert t.count() == len(model), f"step {step}"
+    got = {r["id"]: r["embedding"][0] for r in t.to_df().collect()}
+    assert got == model
+    reloaded = DurableVectorTable.load(spark, root)
+    got2 = {r["id"]: r["embedding"][0] for r in reloaded.to_df().collect()}
+    assert got2 == model
+
+
 def test_vectortable_durable_bridge(spark, tmp_path):
     root = str(tmp_path / "vt_cow")
     vt = VectorTable.empty(spark).store_embeddings_batch(

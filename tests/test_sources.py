@@ -88,3 +88,59 @@ def test_migrate_parquet(spark, tmp_path):
     ).save(src)
     migrate_parquet(spark, src, dst, max_records_per_file=1)
     assert VectorTable.load(spark, dst).count() == 2
+
+
+def test_read_jsonl_corpus(spark, tmp_path):
+    from minivectordb_spark.sources import read_jsonl_corpus
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 7, "text": "hello world", "lang": "en"}\n'
+        '{"doc_id": 8, "text": "bonjour", "extra": 1}\n'
+    )
+    df = read_jsonl_corpus(spark, str(p), source="unit")
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert df.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+    assert rows[7]["lang"] == "en" and rows[7]["n_chars"] == 11
+    assert rows[8]["lang"] is None and rows[8]["source"] == "unit"
+
+
+def test_read_jsonl_corpus_assigns_ids(spark, tmp_path):
+    from minivectordb_spark.sources import read_jsonl_corpus
+
+    p = tmp_path / "noid.jsonl"
+    p.write_text('{"text": "a"}\n{"text": "b"}\n{"text": "c"}\n')
+    df = read_jsonl_corpus(spark, str(p), id_col=None)
+    ids = [r["doc_id"] for r in df.collect()]
+    assert len(set(ids)) == 3  # unique, not necessarily contiguous
+
+
+def test_read_csv_and_text_corpus(spark, tmp_path):
+    from minivectordb_spark.sources import read_csv_corpus, read_text_corpus
+
+    c = tmp_path / "docs.csv"
+    c.write_text("doc_id,text\n1,alpha beta\n2,gamma\n")
+    got = {r["doc_id"]: r["text"] for r in read_csv_corpus(spark, str(c)).collect()}
+    assert got == {1: "alpha beta", 2: "gamma"}
+
+    t = tmp_path / "raw.txt"
+    t.write_text("line one\nline two\n")
+    texts = sorted(r["text"] for r in read_text_corpus(spark, str(t)).collect())
+    assert texts == ["line one", "line two"]
+    whole = read_text_corpus(spark, str(t), whole_file=True).collect()
+    assert len(whole) == 1 and "line one" in whole[0]["text"]
+
+
+def test_corpus_feeds_dedup_pipeline(spark, tmp_path):
+    """Corpus reader output plugs straight into the dedup operators."""
+    from minivectordb_spark.operators.dedup import exact_dedup
+    from minivectordb_spark.sources import read_jsonl_corpus
+
+    p = tmp_path / "dups.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "same thing"}\n'
+        '{"doc_id": 2, "text": "same thing"}\n'
+        '{"doc_id": 3, "text": "unique"}\n'
+    )
+    df = read_jsonl_corpus(spark, str(p))
+    assert exact_dedup(df).count() == 2
