@@ -100,9 +100,16 @@ class DurableVectorTable:
         return cls(spark, path, manifest)
 
     @classmethod
-    def load(cls, spark: SparkSession, path: str) -> "DurableVectorTable":
-        with open(os.path.join(path, _MANIFEST_DIR, _LATEST)) as f:
-            version = int(f.read().strip())
+    def load(
+        cls, spark: SparkSession, path: str, version: int | None = None
+    ) -> "DurableVectorTable":
+        """Open the table at ``_latest``, or time-travel to an explicit
+        ``version``: every published manifest is immutable and generations
+        are only removed by ``vacuum``, so any un-vacuumed version reads
+        exactly the snapshot it was committed as."""
+        if version is None:
+            with open(os.path.join(path, _MANIFEST_DIR, _LATEST)) as f:
+                version = int(f.read().strip())
         with open(os.path.join(path, _MANIFEST_DIR, f"v{version}.json")) as f:
             manifest = json.load(f)
         return cls(spark, path, manifest)
@@ -187,9 +194,26 @@ class DurableVectorTable:
         """Durable unique insert: appends ``new_df``'s rows, rewriting only
         the buckets they hash into.  Raises on any id already present
         (the reference's 'Unique ID already exists.' contract) or duplicated
-        within the batch."""
+        within the batch.
+
+        ``new_df`` must carry the table's full column set.  For a table
+        created via ``VectorTable.save_durable`` (which includes derived
+        ``embedding_norm`` / ``meta_*`` columns), build the batch through
+        the same shaping: ``VectorTable.empty(spark)
+        .store_embeddings_batch(ids, vecs, metas).df``.
+        """
         id_col = self.manifest["id_col"]
         n_buckets = self.manifest["n_buckets"]
+        expected = {f["name"] for f in json.loads(self.manifest["schema"])["fields"]}
+        got = set(new_df.columns)
+        if got != expected:
+            raise ValueError(
+                "store_embeddings_batch: batch schema must match the table "
+                f"(missing: {sorted(expected - got)}, unexpected: "
+                f"{sorted(got - expected)}). For VectorTable-backed tables "
+                "build rows via VectorTable.empty(spark)"
+                ".store_embeddings_batch(...).df"
+            )
         stats = (
             new_df.withColumn("__b", _bucket_expr(id_col, n_buckets))
             .groupBy("__b")
@@ -225,6 +249,67 @@ class DurableVectorTable:
         new_manifest["version"] = self.manifest["version"] + 1
         _publish(self.path, new_manifest)
         return DurableVectorTable(self.spark, self.path, new_manifest)
+
+
+    # ---------------- maintenance ----------------
+
+    def compact(self, target_files_per_bucket: int = 1) -> "DurableVectorTable":
+        """Rewrite buckets whose live generation has fragmented into more
+        than ``target_files_per_bucket`` parquet files (repeated small
+        upserts) into one coalesced next generation.  Contents unchanged —
+        a new version is published so readers swap atomically; the small
+        files remain until ``vacuum``."""
+        new_manifest = json.loads(json.dumps(self.manifest))
+        buckets = new_manifest["buckets"]
+        changed = False
+        for k in range(self.manifest["n_buckets"]):
+            if buckets[str(k)]["rows"] == 0:
+                continue
+            bp = self._bucket_path(k)
+            n_files = sum(1 for f in os.listdir(bp) if f.endswith(".parquet"))
+            if n_files <= target_files_per_bucket:
+                continue
+            cur = self.spark.read.parquet(bp).coalesce(target_files_per_bucket)
+            self._rewrite_bucket(k, cur, buckets[str(k)]["rows"], buckets)
+            changed = True
+        if not changed:
+            return self
+        new_manifest["version"] = self.manifest["version"] + 1
+        _publish(self.path, new_manifest)
+        return DurableVectorTable(self.spark, self.path, new_manifest)
+
+    def vacuum(self, keep_versions: int = 1) -> list[str]:
+        """Delete generation dirs referenced by NO manifest among the
+        newest ``keep_versions`` manifests, then drop the older manifest
+        files — bounds disk growth after many mutations.  Time travel only
+        reaches versions that survive the vacuum (same contract as Delta's
+        VACUUM).  Returns the removed generation paths."""
+        import shutil
+
+        mdir = os.path.join(self.path, _MANIFEST_DIR)
+        versions = sorted(
+            int(f[1:-5]) for f in os.listdir(mdir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        keep = set(versions[-max(1, keep_versions):])
+        live: set[str] = set()
+        for v in keep:
+            with open(os.path.join(mdir, f"v{v}.json")) as f:
+                m = json.load(f)
+            for k, b in m["buckets"].items():
+                live.add(os.path.join("data", f"bucket={k}", f"gen={b['gen']}"))
+        removed = []
+        data_dir = os.path.join(self.path, "data")
+        for bucket_dir in os.listdir(data_dir) if os.path.isdir(data_dir) else []:
+            for gen_dir in os.listdir(os.path.join(data_dir, bucket_dir)):
+                rel = os.path.join("data", bucket_dir, gen_dir)
+                if rel not in live:
+                    shutil.rmtree(os.path.join(self.path, rel), ignore_errors=True)
+                    removed.append(rel)
+        for v in versions:
+            if v not in keep:
+                os.remove(os.path.join(mdir, f"v{v}.json"))
+        return removed
 
 
 def _publish(path: str, manifest: dict) -> None:

@@ -1,6 +1,7 @@
 from minivectordb_spark.streaming.events import (
     hourly_event_counts,
     session_rollup,
+    stream_durable_ingest,
     stream_events,
     stream_vector_ingest,
 )
@@ -8,6 +9,7 @@ from minivectordb_spark.streaming.events import (
 __all__ = [
     "hourly_event_counts",
     "session_rollup",
+    "stream_durable_ingest",
     "stream_events",
     "stream_vector_ingest",
 ]

@@ -157,3 +157,48 @@ def stream_vector_ingest(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def stream_durable_ingest(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    model: str = "hash64",
+    n_buckets: int = 16,
+):
+    """Streaming ingest into a ``DurableVectorTable``: each micro-batch is
+    embedded, deduped (in-batch and vs the table), and committed as ONE
+    copy-on-write version — the atomic manifest swap means a reader never
+    sees a torn batch, and a crashed batch replays idempotently (its ids
+    are anti-joined away on retry).  The first micro-batch creates the
+    table.  Only the id-hash buckets the batch touches are rewritten."""
+    import os
+
+    from minivectordb_spark.durable import DurableVectorTable
+    from minivectordb_spark.embedder import embed_column
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fresh = batch_df.dropDuplicates([id_col])
+        embedded = embed_column(fresh, text_col, out_col="embedding", model=model)
+        manifest_exists = os.path.exists(
+            os.path.join(table_path, "_manifest", "_latest")
+        )
+        if not manifest_exists:
+            DurableVectorTable.create(
+                embedded, table_path, id_col=id_col, n_buckets=n_buckets
+            )
+            return
+        t = DurableVectorTable.load(batch_df.sparkSession, table_path)
+        new_rows = embedded.join(
+            t.to_df().select(id_col), id_col, "left_anti"
+        )
+        if new_rows.limit(1).count():
+            t.store_embeddings_batch(new_rows)
+
+    return (
+        stream_df.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

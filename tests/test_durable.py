@@ -149,6 +149,58 @@ def test_mutation_sequence_matches_model(spark, tmp_path):
     assert got2 == model
 
 
+def test_insert_schema_mismatch_clear_error(spark, tmp_path):
+    """A batch missing the table's derived columns must fail with the
+    actionable contract message, not an AnalysisException mid-union."""
+    root = str(tmp_path / "vt_schema")
+    vt = VectorTable.empty(spark).store_embeddings_batch(["a"], [[1.0, 0.0]])
+    d = vt.save_durable(root, n_buckets=2)
+    bare = spark.createDataFrame([("b", [0.0, 1.0])], "id string, embedding array<double>")
+    with pytest.raises(ValueError, match="embedding_norm"):
+        d.store_embeddings_batch(bare)
+    # the documented bridge shape works
+    shaped = VectorTable.empty(spark).store_embeddings_batch(["b"], [[0.0, 1.0]]).df
+    assert d.store_embeddings_batch(shaped).count() == 2
+
+
+def test_time_travel(spark, base_df, tmp_path):
+    root = str(tmp_path / "cow_tt")
+    t = DurableVectorTable.create(base_df, root, id_col="id", n_buckets=4)
+    t.delete_embeddings_batch(["0", "1", "2"])
+    assert DurableVectorTable.load(spark, root).count() == 37
+    v0 = DurableVectorTable.load(spark, root, version=0)
+    assert v0.count() == 40
+    assert "0" in {r["id"] for r in v0.to_df().collect()}
+
+
+def test_compact_and_vacuum(spark, base_df, tmp_path):
+    root = str(tmp_path / "cow_cv")
+    t = DurableVectorTable.create(base_df, root, id_col="id", n_buckets=2)
+    # several small upserts fragment the buckets into many files
+    for i in (500, 501, 502):
+        t = t.store_embeddings_batch(
+            spark.createDataFrame(
+                [(str(i), [1.0, 1.0], "x")],
+                "id string, embedding array<double>, tag string",
+            )
+        )
+    before = {r["id"] for r in t.to_df().collect()}
+
+    t2 = t.compact(target_files_per_bucket=1)
+    assert t2.manifest["version"] == t.manifest["version"] + 1
+    assert {r["id"] for r in t2.to_df().collect()} == before
+    for k in range(2):
+        bp = t2._bucket_path(k)
+        assert sum(1 for f in os.listdir(bp) if f.endswith(".parquet")) == 1
+
+    removed = t2.vacuum(keep_versions=1)
+    assert removed  # superseded generations dropped
+    # latest still reads fine; old versions are gone
+    assert {r["id"] for r in DurableVectorTable.load(spark, root).to_df().collect()} == before
+    with pytest.raises(FileNotFoundError):
+        DurableVectorTable.load(spark, root, version=0)
+
+
 def test_vectortable_durable_bridge(spark, tmp_path):
     root = str(tmp_path / "vt_cow")
     vt = VectorTable.empty(spark).store_embeddings_batch(

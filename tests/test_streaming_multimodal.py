@@ -177,6 +177,41 @@ def test_sample_frames(spark):
     assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
 
 
+def test_stream_durable_ingest_versions_and_uniqueness(spark, tmp_path):
+    """Streaming into the CoW table: batch 1 creates it, batch 2 (with a
+    replayed id) commits one new version containing only the fresh row;
+    the final table reloads with unique ids."""
+    from minivectordb_spark.durable import DurableVectorTable
+    from minivectordb_spark.streaming import stream_durable_ingest
+
+    src = str(tmp_path / "din")
+    table_path = str(tmp_path / "dout")
+    ck = str(tmp_path / "dck")
+
+    spark.createDataFrame(
+        [(1, "hello world"), (2, "hello spark")], ["doc_id", "text"]
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = stream_durable_ingest(stream, table_path, ck, n_buckets=4).start()
+    q.awaitTermination(120)
+    t = DurableVectorTable.load(spark, table_path)
+    assert t.count() == 2 and t.manifest["version"] == 0
+
+    spark.createDataFrame(
+        [(1, "replayed"), (3, "brand new")], ["doc_id", "text"]
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = stream_durable_ingest(stream, table_path, ck, n_buckets=4).start()
+    q.awaitTermination(120)
+    t2 = DurableVectorTable.load(spark, table_path)
+    assert t2.manifest["version"] == 1
+    rows = {r["doc_id"]: r for r in t2.to_df().collect()}
+    assert sorted(rows) == [1, 2, 3]
+    assert rows[1]["text"] == "hello world"  # replay did not overwrite
+    assert len(rows[1]["embedding"]) == 64
+
+
 def test_streaming_dedup_across_microbatches(spark, tmp_path):
     """Two files -> two micro-batches (maxFilesPerTrigger=1): a key repeated
     across batches must be emitted as first-seen ONCE, duplicates counted."""
