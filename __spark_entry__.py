@@ -393,6 +393,43 @@ def q_simhash_pairs(spark, sf_dir):
     )
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Sliding-window token chunking (operators/prep.chunk_documents):
+    64-token windows, 16-token overlap — the training-corpus windowing op.
+    Map-only + one bounded Generate."""
+    from minivectordb_spark.operators.prep import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    )
+
+
+def q_scrub_text(spark, sf_dir):
+    """PII-ish scrubbing (emails/URLs/long digit runs) — three chained
+    JVM regexp_replace passes, patterns chosen Java-regex AND
+    RE2-compatible so the oracle applies them verbatim."""
+    from minivectordb_spark.operators.prep import scrub_text
+
+    return scrub_text(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "scrubbed"
+    )
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic per-language sampling (hash-gated, no RNG state):
+    keep 100% of 'de', 25% of 'en', 10% of everything else.  The identical
+    md5 gate reproduces in DuckDB — sampleBy never could."""
+    from minivectordb_spark.operators.prep import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        fractions={"de": 1.0, "en": 0.25},
+        strata_col="lang",
+        id_col="doc_id",
+        default_fraction=0.10,
+    )
+
+
 def q_dedup_groups(spark, sf_dir):
     """Dedup resolution: LSH near-dup pairs -> connected components
     (iterative min-label propagation, operators/dedup.connected_components)
@@ -729,6 +766,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "simhash_pairs64": q_simhash_pairs64,
+        "doc_chunks": q_doc_chunks,
+        "scrub_text": q_scrub_text,
+        "sample_stratified": q_sample_stratified,
         "dedup_groups": q_dedup_groups,
         "dedup_resolve": q_dedup_resolve,
         "neardup_cosine": q_neardup_cosine,
@@ -923,6 +963,52 @@ SELECT id_a, id_b, hamming FROM (
   JOIN sim sa ON sa.doc_id = c.id_a
   JOIN sim sb ON sb.doc_id = c.id_b
 ) WHERE hamming <= {SIMHASH_MAX_HAMMING}
+""".strip()
+
+
+def _oracle_doc_chunks() -> str:
+    chunk, stride = 64, 48
+    sl = f"list_slice(tk, chunk_id*{stride} + 1, chunk_id*{stride} + {chunk})"
+    return f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+c AS (SELECT doc_id, tk, len(tk) AS n FROM t),
+w AS (SELECT doc_id, tk,
+        unnest(range(0, CASE WHEN n = 0 THEN 0
+                             ELSE 1 + (greatest(n - {chunk}, 0) + {stride - 1}) // {stride} END)) AS chunk_id
+      FROM c)
+SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+       array_to_string({sl}, ' ') AS chunk_text,
+       len({sl})::BIGINT AS chunk_tokens
+FROM w
+""".strip()
+
+
+def _oracle_scrub() -> str:
+    from minivectordb_spark.operators.prep import EMAIL_RE, LONG_NUM_RE, URL_RE
+
+    return f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '{EMAIL_RE}', '<EMAIL>', 'g'),
+         '{URL_RE}', '<URL>', 'g'),
+         '{LONG_NUM_RE}', '<NUM>', 'g') AS scrubbed
+FROM documents
+""".strip()
+
+
+def _oracle_sample_stratified() -> str:
+    from minivectordb_spark.operators.prep import SAMPLE_BUCKETS
+
+    def gate(frac: float) -> str:
+        thr = int(round(frac * SAMPLE_BUCKETS))
+        key = "concat_ws('#', 's0', lang, doc_id::VARCHAR)"
+        return f"({_sql_hash(key)} % {SAMPLE_BUCKETS}) < {thr}"
+
+    return f"""
+SELECT * FROM documents
+WHERE (lang = 'de' AND {gate(1.0)})
+   OR (lang = 'en' AND {gate(0.25)})
+   OR (lang NOT IN ('de', 'en') AND {gate(0.10)})
 """.strip()
 
 
@@ -1258,6 +1344,9 @@ FROM documents
         "simhash": _oracle_simhash(),
         "simhash_pairs": _oracle_simhash_pairs(),
         "simhash_pairs64": _oracle_simhash_pairs64(),
+        "doc_chunks": _oracle_doc_chunks(),
+        "scrub_text": _oracle_scrub(),
+        "sample_stratified": _oracle_sample_stratified(),
         "dedup_groups": _oracle_dedup_components(),
         "dedup_resolve": _oracle_dedup_resolve(),
         "neardup_cosine": _oracle_neardup(),

@@ -12,6 +12,11 @@ from minivectordb_spark.operators.dedup import (
     simhash_fingerprints64,
     simhash_pairs,
 )
+from minivectordb_spark.operators.prep import (
+    chunk_documents,
+    scrub_text,
+    stratified_sample,
+)
 from minivectordb_spark.operators.text import (
     fingerprints,
     lang_id,
@@ -41,6 +46,9 @@ from minivectordb_spark.operators.partitioning import (
 from minivectordb_spark.operators.util import materialize
 
 __all__ = [
+    "chunk_documents",
+    "scrub_text",
+    "stratified_sample",
     "connected_components",
     "dedup_survivors",
     "embedding_neardup_pairs",

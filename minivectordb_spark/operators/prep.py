@@ -1,0 +1,134 @@
+"""Corpus-preparation operators: chunking, scrubbing, deterministic
+sampling — the transforms between raw documents and training batches.
+
+Same design contract as operators/text.py: pure built-in column
+expressions (whole-stage codegen, zero Python), every expression with an
+exact DuckDB twin for the correctness oracle, and map-only / bounded-growth
+plan shapes that hold at 100 TB:
+
+- ``chunk_documents``: one Generate (posexplode) whose fan-out is
+  tokens/stride per doc — output volume is ~input volume x (1 +
+  overlap/stride), never quadratic.
+- ``scrub_text``: three chained regexp_replace passes, JVM-side.
+- ``stratified_sample``: hash-gated filter — no RNG state, no shuffle, and
+  (unlike ``df.sampleBy``) reproducible bit-for-bit in any engine from the
+  row's own bytes, so train/holdout splits stay stable across reruns and
+  re-partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from minivectordb_spark.operators.hashing import md5i32
+from minivectordb_spark.operators.text import tokens
+from minivectordb_spark.operators.util import materialize
+
+# Java-regex AND RE2-compatible patterns (no lookaround/backrefs) so the
+# DuckDB oracle applies the literally identical expressions.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+URL_RE = "https?://[^ ]+"
+LONG_NUM_RE = "[0-9]{6,}"
+
+SAMPLE_BUCKETS = 10_000
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window token chunks: windows of ``chunk_tokens`` whitespace
+    tokens starting every ``chunk_tokens - overlap`` tokens (the standard
+    training-corpus windowing).  Documents shorter than one window yield
+    one chunk; empty documents yield none.
+
+    Output: (id, chunk_id, chunk_text, chunk_tokens) — chunk_id is the
+    0-based window index.
+
+    Plan: token array staged once behind a Generate barrier, then one
+    posexplode over the per-doc window count; slice/array_join are
+    per-row expressions.  Map-only + bounded fan-out.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("require 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks_df = materialize(df, tokens(F.col(text_col)), "__toks", [id_col])
+    n = F.size(F.col("__toks"))
+    # windows: 1 + ceil(max(0, n - chunk) / stride)   (0 when n == 0)
+    extra = F.greatest(n - F.lit(chunk_tokens), F.lit(0))
+    n_chunks = F.lit(1) + F.floor((extra + F.lit(stride - 1)) / F.lit(stride)).cast(
+        "int"
+    )
+    # guard: sequence(0, -1) would generate a DESCENDING [0, -1] in Spark,
+    # so empty docs must produce an explicitly empty window list
+    windows = F.when(n == 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(0), n_chunks - 1)
+    )
+    exploded = toks_df.select(
+        F.col(id_col),
+        F.col("__toks"),
+        F.explode(windows).alias("chunk_id"),
+    )
+    piece = F.slice(
+        F.col("__toks"), F.col("chunk_id") * stride + 1, chunk_tokens
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("long").alias("chunk_tokens"),
+    )
+
+
+def scrub_expr(text: Column) -> Column:
+    """Emails -> <EMAIL>, URLs -> <URL>, 6+-digit runs -> <NUM> — the
+    standard pre-training redaction pass, order-sensitive (emails first so
+    their digit runs don't half-match)."""
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, URL_RE, "<URL>")
+    return F.regexp_replace(out, LONG_NUM_RE, "<NUM>")
+
+
+def scrub_text(df: DataFrame, text_col: str = "text", out_col: str = "scrubbed") -> DataFrame:
+    return df.withColumn(out_col, scrub_expr(F.col(text_col)))
+
+
+def sample_gate(key: Column, fraction: float) -> Column:
+    """Deterministic keep-gate: hash the key into [0, SAMPLE_BUCKETS) and
+    keep the fixed prefix — the same row always lands on the same side,
+    in any engine, at any parallelism."""
+    return F.pmod(md5i32(key), F.lit(SAMPLE_BUCKETS)) < int(
+        round(fraction * SAMPLE_BUCKETS)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    salt: str = "s0",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (the data-mixing op: e.g. keep
+    100% of rare languages, 10% of English).  The gate hashes
+    (salt, stratum, id), so changing ``salt`` redraws the sample and
+    equal fractions across strata stay uncorrelated with any other salt's
+    draw.  Map-only filter; fractions resolve via a literal CASE — no join.
+    """
+    key = F.concat_ws("#", F.lit(salt), F.col(strata_col), F.col(id_col).cast("string"))
+    gate = None
+    for stratum, frac in sorted(fractions.items()):
+        cond = (F.col(strata_col) == stratum) & sample_gate(key, frac)
+        gate = cond if gate is None else (gate | cond)
+    others = ~F.col(strata_col).isin(*fractions.keys()) if fractions else F.lit(True)
+    if default_fraction > 0:
+        cond = others & sample_gate(key, default_fraction)
+        gate = cond if gate is None else (gate | cond)
+    if gate is None:
+        gate = F.lit(False)
+    return df.filter(gate)

@@ -308,3 +308,75 @@ def test_mllib_lsh_neighbors_recall(emb_df):
     assert len(set(got) & set(exact)) >= 5
     top = approx.collect()[0]
     assert -1.001 <= top["score"] <= 1.001
+
+
+def test_chunk_documents_windows(spark):
+    from minivectordb_spark.operators.prep import chunk_documents
+
+    text10 = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, text10), (2, "short text"), (3, "")], ["doc_id", "text"]
+    )
+    rows = chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 10 tokens, stride 3 -> starts 0,3,6 -> 1+ceil(6/3)=3 chunks
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["chunk_text"] for r in c1] == [
+        "w0 w1 w2 w3",
+        "w3 w4 w5 w6",
+        "w6 w7 w8 w9",
+    ]
+    # consecutive chunks share exactly `overlap` tokens
+    assert c1[0]["chunk_text"].split()[-1] == c1[1]["chunk_text"].split()[0]
+    # doc 2: shorter than one window -> one (short) chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_tokens"] == 2
+    # doc 3: empty -> no chunks
+    assert 3 not in by_doc
+
+
+def test_chunk_documents_exact_boundary(spark):
+    from minivectordb_spark.operators.prep import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    rows = chunk_documents(df, chunk_tokens=4, overlap=2).collect()
+    assert len(rows) == 1  # n == chunk_tokens -> exactly one window
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_scrub_text(spark):
+    from minivectordb_spark.operators.prep import scrub_text
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@test.org or https://x.io/p?q=1 card 1234567890 ok 123")],
+        ["doc_id", "text"],
+    )
+    out = scrub_text(df).first()["scrubbed"]
+    assert out == "mail <EMAIL> or <URL> card <NUM> ok 123"
+
+
+def test_stratified_sample_deterministic(spark):
+    from minivectordb_spark.operators.prep import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(400)], ["doc_id", "lang"]
+    )
+    kw = dict(fractions={"de": 1.0, "en": 0.25}, strata_col="lang", id_col="doc_id")
+    a = {r["doc_id"] for r in stratified_sample(df, **kw).collect()}
+    b = {r["doc_id"] for r in stratified_sample(df, **kw).collect()}
+    assert a == b  # bit-for-bit reproducible
+    de = {i for i in a if i % 2 == 0}
+    en = {i for i in a if i % 2 == 1}
+    assert len(de) == 200  # fraction 1.0 keeps the whole stratum
+    assert 20 <= len(en) <= 80  # ~25% of 200, hash-uniform
+    # a different salt redraws the sample
+    c = {r["doc_id"] for r in stratified_sample(df, **kw, salt="s1").collect()}
+    assert c != a
+    # no default fraction -> unknown strata drop
+    df2 = spark.createDataFrame([(1, "fr")], ["doc_id", "lang"])
+    assert stratified_sample(df2, **kw).count() == 0
