@@ -393,6 +393,15 @@ def q_simhash_pairs(spark, sf_dir):
     )
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """Per-vector int8 quantization codec (scoring.quantize_embeddings):
+    floor(x*scale + 0.5) half-up rounding — the one rule both engines
+    reproduce bit-for-bit on doubles."""
+    from minivectordb_spark.scoring import quantize_embeddings
+
+    return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
 def q_doc_chunks(spark, sf_dir):
     """Sliding-window token chunking (operators/prep.chunk_documents):
     64-token windows, 16-token overlap — the training-corpus windowing op.
@@ -766,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "simhash_pairs64": q_simhash_pairs64,
+        "quantize_embeddings": q_quantize_embeddings,
         "doc_chunks": q_doc_chunks,
         "scrub_text": q_scrub_text,
         "sample_stratified": q_sample_stratified,
@@ -1344,6 +1354,22 @@ FROM documents
         "simhash": _oracle_simhash(),
         "simhash_pairs": _oracle_simhash_pairs(),
         "simhash_pairs64": _oracle_simhash_pairs64(),
+        "quantize_embeddings": """
+WITH m AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, embedding,
+         CASE WHEN mx > 0 THEN 127.0::DOUBLE / mx ELSE 0.0::DOUBLE END AS scale
+  FROM m
+)
+SELECT vec_id, scale,
+       list_transform(embedding,
+         x -> greatest(-127, least(127, floor((x::DOUBLE) * scale + 0.5)))::INTEGER) AS qvec
+FROM s
+""".strip(),
         "doc_chunks": _oracle_doc_chunks(),
         "scrub_text": _oracle_scrub(),
         "sample_stratified": _oracle_sample_stratified(),

@@ -206,6 +206,62 @@ def knn_batch(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization for embedding storage:
+    scale = 127 / max|x| (0 for the zero vector), q_i = clip(floor(x_i *
+    scale + 0.5), -127, 127) — 4x smaller at rest than float32, 8x vs the
+    double arrays Spark materializes, with <= 0.4% max per-element error.
+    The usearch variant's ``dtype='int8'`` storage story
+    (sharded_vector_database_usearch.py:621-627) as a columnar codec.
+
+    floor(x + 0.5) instead of round(): round-half-up is the one rounding
+    rule every engine reproduces bit-for-bit on doubles (numpy rint
+    banker's-rounds, SQL round() dialects disagree; floor does not).
+
+    Map-only; the scale column is staged behind a Generate barrier so the
+    array_max isn't re-evaluated per element inside the transform lambda.
+
+    Output: (id, scale round(6), qvec array<int>).  Recover vectors with
+    ``dequantize_expr``; score directly with ``Int8MatmulScorer``.
+    """
+    from minivectordb_spark.operators.util import materialize
+
+    # explicit double casts: the stored column is float32, and without them
+    # one engine computes in float32 while the other promotes — parity dies
+    mx = F.array_max(F.transform(F.col(emb_col), lambda x: F.abs(x.cast("double"))))
+    scale = F.when(mx > 0, F.lit(127.0) / mx).otherwise(F.lit(0.0))
+    staged = materialize(df.select(id_col, emb_col), scale, "__scale", [id_col, emb_col])
+    q = F.transform(
+        F.col(emb_col),
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127),
+                F.floor(x.cast("double") * F.col("__scale") + F.lit(0.5)).cast("int"),
+            ),
+        ),
+    )
+    # raw double scale: one IEEE division -> bit-identical in every engine
+    # (round(double, 6) is NOT — decimal formatting differs in the last
+    # digit between engines, so no cosmetic rounding here)
+    return staged.select(
+        F.col(id_col),
+        F.col("__scale").alias("scale"),
+        q.alias("qvec"),
+    )
+
+
+def dequantize_expr(qvec: Column, scale: Column) -> Column:
+    """int8 codes -> approximate float vector (exact zeros for scale 0)."""
+    return F.when(scale > 0, F.transform(qvec, lambda q: q.cast("double") / scale)).otherwise(
+        F.transform(qvec, lambda q: F.lit(0.0))
+    )
+
+
 def _partial_topk_rows(scores: np.ndarray, ids: np.ndarray, kk: int) -> np.ndarray:
     """Batch-local top-k row indices with the GLOBAL tiebreak (score desc,
     id asc).  Plain argpartition on score alone is nondeterministic when

@@ -85,6 +85,15 @@ def test_delete_filter_pushed(spark, sf):
     assert "Not(In(vec_id" in plan or "NOT vec_id" in plan
 
 
+def test_prep_ops_map_only(spark, sf):
+    # corpus-prep ops must stay shuffle-free: scrub/sample are pure
+    # filters/projections, chunking adds exactly one Generate
+    for name in ("scrub_text", "sample_stratified", "doc_chunks", "quantize_embeddings"):
+        plan = physical_plan(_q(name, spark, sf))
+        assert "Exchange" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
 def test_neardup_lsh_no_cartesian(spark, sf):
     # the default (no block_col) near-dup path must be a bucketed equi-join,
     # never a cross-join (VERDICT r1: the 100x scale-killer)

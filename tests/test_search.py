@@ -286,6 +286,43 @@ def test_matmul_scorer_tied_corpus_matches_exact(spark):
     assert sorted(r["vec_id"] for r in got) == sorted(r["vec_id"] for r in exact) == [0, 1, 2, 3]
 
 
+def test_quantize_roundtrip_and_cosine(spark):
+    """int8 codec: per-element roundtrip error bounded by 0.5/scale, zero
+    vector exact, and dequantized cosine within ~1e-2 of exact."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from minivectordb_spark.scoring import dequantize_expr, quantize_embeddings
+
+    rows = [
+        (0, [1.0, -2.0, 0.5, 4.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),
+        (2, [-0.001, 0.002, -0.003, 0.004]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = quantize_embeddings(df)
+    back = {
+        r["vec_id"]: (r["scale"], r["deq"])
+        for r in q.withColumn(
+            "deq", dequantize_expr(F.col("qvec"), F.col("scale"))
+        ).collect()
+    }
+    for vid, orig in rows:
+        scale, deq = back[vid]
+        if all(x == 0 for x in orig):
+            assert scale == 0.0 and deq == [0.0] * 4
+            continue
+        bound = 0.5 / scale + 1e-12
+        for o, d in zip(orig, deq):
+            assert abs(o - d) <= bound
+        dot = sum(a * b for a, b in zip(orig, deq))
+        cos = dot / (
+            math.sqrt(sum(a * a for a in orig)) * math.sqrt(sum(b * b for b in deq))
+        )
+        assert cos > 0.9999
+
+
 def test_int8_scorer_rank_overlap(spark, sf_dir):
     import numpy as np
     from pyspark.sql import functions as F
