@@ -506,6 +506,26 @@ def q_ivf_search(spark, sf_dir):
     return ivf_search(e, seed_centroids(e, N_CENTROIDS), QVEC, k=10, nprobe=NPROBE)
 
 
+def q_ivf_search_indexed(spark, sf_dir):
+    """Persisted-IVF search (operators/ann.save_ivf_index +
+    ivf_search_indexed): assignments partitioned by centroid_id on disk,
+    probes read only their partition dirs (PartitionFilters pruning).
+    Same centroids + same (vec_id, score) contract as q_ivf_search, so the
+    SAME oracle SQL verifies it."""
+    import os
+    import tempfile
+
+    from minivectordb_spark.operators.ann import ivf_search_indexed, save_ivf_index
+
+    e = _t(spark, sf_dir, "embeddings")
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ivf_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    save_ivf_index(e, seed_centroids(e, N_CENTROIDS), idx)
+    return ivf_search_indexed(spark, idx, QVEC, k=10, nprobe=NPROBE)
+
+
 def q_point_lookup(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return (
@@ -785,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_lsh": q_neardup_lsh,
         "ivf_assign": q_ivf_assign,
         "ivf_search": q_ivf_search,
+        "ivf_search_indexed": q_ivf_search_indexed,
         "point_lookup": q_point_lookup,
         "delete_batch": q_delete_batch,
         "insert_unique": q_insert_unique,
@@ -1379,6 +1400,7 @@ FROM s
         "neardup_lsh": _oracle_neardup_lsh(),
         "ivf_assign": _oracle_ivf_assign(),
         "ivf_search": _oracle_ivf_search(),
+        "ivf_search_indexed": _oracle_ivf_search(),
         "point_lookup": (
             "SELECT vec_id, generate_subscripts(embedding, 1)::BIGINT - 1 AS pos, "
             "unnest(embedding::DOUBLE[]) AS val FROM embeddings WHERE vec_id = 42"

@@ -138,16 +138,7 @@ def ivf_search(
     cents = _collect_centroids(centroids)
     q = [float(x) for x in query]
     qn = math.sqrt(sum(x * x for x in q))
-
-    def cos_to_query(vec: list[float]) -> float:
-        dot = 0.0
-        for a, b in zip(vec, q):
-            dot += float(a) * b
-        n = math.sqrt(sum(float(a) * float(a) for a in vec))
-        return dot / (n * qn) if n > 0 else 0.0
-
-    ranked = sorted(cents, key=lambda t: (-cos_to_query(t[1]), t[0]))
-    probe_ids = {cid for cid, _ in ranked[:nprobe]}
+    probe_ids = set(_rank_probes(cents, q, nprobe))
 
     from minivectordb_spark.operators.util import materialize
     from minivectordb_spark.scoring import dot_expr, norm_expr
@@ -159,6 +150,92 @@ def ivf_search(
     score = dot_expr(F.col(emb_col), q) / (F.col("__n") * F.lit(qn))
     return (
         candidates.withColumn("score", F.round(score, 6))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(F.col(id_col), F.col("score"))
+    )
+
+
+def _rank_probes(
+    cents: list[tuple[int, list[float]]], query: list[float], nprobe: int
+) -> list[int]:
+    q = [float(x) for x in query]
+    qn = math.sqrt(sum(x * x for x in q))
+
+    def cos_to_query(vec: list[float]) -> float:
+        dot = sum(float(a) * b for a, b in zip(vec, q))
+        n = math.sqrt(sum(float(a) * float(a) for a in vec))
+        return dot / (n * qn) if n > 0 else 0.0
+
+    ranked = sorted(cents, key=lambda t: (-cos_to_query(t[1]), t[0]))
+    return [int(cid) for cid, _ in ranked[:nprobe]]
+
+
+def save_ivf_index(
+    df: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> None:
+    """Persist an IVF index: row assignments written PARTITIONED BY
+    centroid_id (each cluster is its own directory) plus the centroid
+    table.  A search probing nprobe clusters then lists and reads ONLY
+    those nprobe directories — partition pruning at the file level, so at
+    100 TB a probe touches ~nprobe/K of the bytes at rest instead of
+    filtering a full scan.  The assignment pass itself is the map-only
+    ``ivf_assign`` expression (no join); one shuffle on centroid_id lays
+    the clusters out contiguously."""
+    from minivectordb_spark.operators.util import materialize
+    from minivectordb_spark.scoring import norm_expr
+
+    cents = _collect_centroids(centroids)
+    staged = materialize(df, norm_expr(F.col(emb_col)), "__n", [id_col, emb_col])
+    best = _assignment_struct(F.col(emb_col), cents, norm_col=F.col("__n"))
+    assigned = materialize(staged, best, "__best", [id_col, emb_col]).select(
+        F.col(id_col),
+        F.col(emb_col),
+        (-F.col("__best.neg_id")).alias("centroid_id"),
+    )
+    (
+        assigned.repartition("centroid_id")
+        .write.partitionBy("centroid_id")
+        .mode("overwrite")
+        .parquet(f"{path}/assignments")
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_search_indexed(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Search a ``save_ivf_index`` layout: centroids ranked driver-side
+    (K rows), then an exact top-k over ONLY the probed partition dirs —
+    the scan's PartitionFilters show the pruning (plan-asserted in
+    test_plans).  Same (id, score) contract and same results as the
+    on-the-fly ``ivf_search`` given the same centroids."""
+    from minivectordb_spark.operators.util import materialize
+    from minivectordb_spark.scoring import dot_expr, norm_expr
+
+    centroids = spark.read.parquet(f"{path}/centroids")
+    cents = _collect_centroids(centroids)
+    probes = _rank_probes(cents, query, nprobe)
+    q = [float(x) for x in query]
+    qn = math.sqrt(sum(x * x for x in q))
+
+    cand = spark.read.parquet(f"{path}/assignments").filter(
+        F.col("centroid_id").isin(*probes)
+    )
+    staged = materialize(cand, norm_expr(F.col(emb_col)), "__n", [id_col, emb_col])
+    score = dot_expr(F.col(emb_col), q) / (F.col("__n") * F.lit(qn))
+    return (
+        staged.withColumn("score", F.round(score, 6))
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
         .select(F.col(id_col), F.col("score"))

@@ -380,3 +380,31 @@ def test_stratified_sample_deterministic(spark):
     # no default fraction -> unknown strata drop
     df2 = spark.createDataFrame([(1, "fr")], ["doc_id", "lang"])
     assert stratified_sample(df2, **kw).count() == 0
+
+
+def test_ivf_indexed_matches_onthefly(spark, tmp_path):
+    """Persisted-index search returns exactly the on-the-fly ivf_search
+    results for the same centroids/query/nprobe."""
+    import random
+
+    from minivectordb_spark.operators.ann import (
+        ivf_search,
+        ivf_search_indexed,
+        save_ivf_index,
+        seed_centroids,
+    )
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = seed_centroids(df, 6)
+    query = [rng.uniform(-1, 1) for _ in range(8)]
+
+    idx = str(tmp_path / "ivf")
+    save_ivf_index(df, cents, idx)
+    live = [(r["vec_id"], r["score"]) for r in ivf_search(df, cents, query, k=7, nprobe=2).collect()]
+    stored = [
+        (r["vec_id"], r["score"])
+        for r in ivf_search_indexed(spark, idx, query, k=7, nprobe=2).collect()
+    ]
+    assert stored == live and len(stored) == 7

@@ -85,6 +85,16 @@ def test_delete_filter_pushed(spark, sf):
     assert "Not(In(vec_id" in plan or "NOT vec_id" in plan
 
 
+def test_ivf_indexed_partition_pruning(spark, sf):
+    # persisted-IVF search must read only the probed partition dirs: the
+    # scan's PartitionFilters carry the centroid_id IN-list
+    df = _q("ivf_search_indexed", spark, sf)
+    plan = physical_plan(df)
+    assert "PartitionFilters" in plan
+    idx = plan.index("PartitionFilters")
+    assert "centroid_id" in plan[idx : idx + 200]
+
+
 def test_prep_ops_map_only(spark, sf):
     # corpus-prep ops must stay shuffle-free: scrub/sample are pure
     # filters/projections, chunking adds exactly one Generate
