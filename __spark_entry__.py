@@ -439,6 +439,18 @@ def q_sample_stratified(spark, sf_dir):
     )
 
 
+def q_mix_fractions(spark, sf_dir):
+    """Temperature-scaled data-mix weights per language (prep.
+    temperature_fractions, tau=0.7): p_i ∝ n_i^0.7 — the multilingual
+    rare-upweighting rule.  One count agg + broadcast normalization."""
+    from minivectordb_spark.operators.prep import temperature_fractions
+
+    out = temperature_fractions(_t(spark, sf_dir, "documents"), "lang", tau=0.7)
+    return out.select(
+        "stratum", "n", F.round("mix_frac", 6).alias("mix_frac")
+    )
+
+
 def q_dedup_groups(spark, sf_dir):
     """Dedup resolution: LSH near-dup pairs -> connected components
     (iterative min-label propagation, operators/dedup.connected_components)
@@ -799,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "scrub_text": q_scrub_text,
         "sample_stratified": q_sample_stratified,
+        "mix_fractions": q_mix_fractions,
         "dedup_groups": q_dedup_groups,
         "dedup_resolve": q_dedup_resolve,
         "neardup_cosine": q_neardup_cosine,
@@ -1394,6 +1407,12 @@ FROM s
         "doc_chunks": _oracle_doc_chunks(),
         "scrub_text": _oracle_scrub(),
         "sample_stratified": _oracle_sample_stratified(),
+        "mix_fractions": """
+WITH c AS (SELECT lang AS stratum, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+p AS (SELECT stratum, n, pow(n::DOUBLE, 0.7) AS w FROM c),
+t AS (SELECT sum(w) AS tot FROM p)
+SELECT stratum, n, round(w / tot, 6) AS mix_frac FROM p, t
+""".strip(),
         "dedup_groups": _oracle_dedup_components(),
         "dedup_resolve": _oracle_dedup_resolve(),
         "neardup_cosine": _oracle_neardup(),

@@ -106,6 +106,31 @@ def sample_gate(key: Column, fraction: float) -> Column:
     )
 
 
+def temperature_fractions(
+    df: DataFrame,
+    strata_col: str = "lang",
+    tau: float = 0.7,
+) -> DataFrame:
+    """Temperature-scaled mixing weights over strata (the multilingual
+    training-mix rule: p_i ∝ n_i^tau, tau<1 upweights rare strata).
+    Returns (stratum, n, mix_frac) with mix_frac summing to 1 — feed the
+    resulting per-stratum rates into ``stratified_sample`` to materialize
+    the mix.  One count aggregation + a broadcast-size normalization."""
+    counts = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    powed = counts.withColumn("__w", F.pow(F.col("n").cast("double"), F.lit(tau)))
+    total = powed.agg(F.sum("__w").alias("__t"))
+    return (
+        powed.crossJoin(F.broadcast(total))
+        .select(
+            "stratum",
+            "n",
+            (F.col("__w") / F.col("__t")).alias("mix_frac"),
+        )
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     fractions: dict[str, float],

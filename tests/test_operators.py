@@ -408,3 +408,19 @@ def test_ivf_indexed_matches_onthefly(spark, tmp_path):
         for r in ivf_search_indexed(spark, idx, query, k=7, nprobe=2).collect()
     ]
     assert stored == live and len(stored) == 7
+
+
+def test_temperature_fractions(spark):
+    """tau<1 upweights rare strata; fractions sum to 1; tau=1 recovers
+    plain proportions."""
+    from minivectordb_spark.operators.prep import temperature_fractions
+
+    df = spark.createDataFrame(
+        [(i, "en" if i < 90 else "sw") for i in range(100)], ["doc_id", "lang"]
+    )
+    t7 = {r["stratum"]: r["mix_frac"] for r in temperature_fractions(df, tau=0.7).collect()}
+    t1 = {r["stratum"]: r["mix_frac"] for r in temperature_fractions(df, tau=1.0).collect()}
+    assert abs(sum(t7.values()) - 1.0) < 1e-9
+    assert t1["en"] == pytest.approx(0.9) and t1["sw"] == pytest.approx(0.1)
+    assert t7["sw"] > t1["sw"]  # rare stratum upweighted at tau < 1
+    assert t7["en"] < t1["en"]

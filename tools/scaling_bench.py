@@ -40,6 +40,8 @@ SCALED_QUERIES = [
     "tpch_q1",
     "text_stats",
     "ivf_assign",
+    "doc_chunks",
+    "quantize_embeddings",
     "minhash_signatures",
     "lsh_jaccard_pairs",
     "simhash_pairs",
