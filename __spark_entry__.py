@@ -439,6 +439,14 @@ def q_sample_stratified(spark, sf_dir):
     )
 
 
+def q_vocabulary(spark, sf_dir):
+    """Top-200 corpus vocabulary with doc frequencies (prep.vocabulary):
+    explode + combiner-reduced groupBy, TakeOrderedAndProject final."""
+    from minivectordb_spark.operators.prep import vocabulary
+
+    return vocabulary(_t(spark, sf_dir, "documents"), top_n=200)
+
+
 def q_mix_fractions(spark, sf_dir):
     """Temperature-scaled data-mix weights per language (prep.
     temperature_fractions, tau=0.7): p_i ∝ n_i^0.7 — the multilingual
@@ -812,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_text": q_scrub_text,
         "sample_stratified": q_sample_stratified,
         "mix_fractions": q_mix_fractions,
+        "vocabulary": q_vocabulary,
         "dedup_groups": q_dedup_groups,
         "dedup_resolve": q_dedup_resolve,
         "neardup_cosine": q_neardup_cosine,
@@ -1407,6 +1416,17 @@ FROM s
         "doc_chunks": _oracle_doc_chunks(),
         "scrub_text": _oracle_scrub(),
         "sample_stratified": _oracle_sample_stratified(),
+        "vocabulary": f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+e AS (SELECT unnest(tk) AS token FROM t),
+d AS (SELECT doc_id, unnest(list_distinct(tk)) AS token FROM t),
+c AS (SELECT token, count(*)::BIGINT AS count FROM e GROUP BY token),
+f AS (SELECT token, count(*)::BIGINT AS doc_freq FROM d GROUP BY token)
+SELECT c.token, c.count, f.doc_freq
+FROM c JOIN f USING (token)
+ORDER BY count DESC, token ASC
+LIMIT 200
+""".strip(),
         "mix_fractions": """
 WITH c AS (SELECT lang AS stratum, count(*)::BIGINT AS n FROM documents GROUP BY lang),
 p AS (SELECT stratum, n, pow(n::DOUBLE, 0.7) AS w FROM c),

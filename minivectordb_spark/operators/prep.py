@@ -106,6 +106,31 @@ def sample_gate(key: Column, fraction: float) -> Column:
     )
 
 
+def vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int | None = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus token-frequency table (token, count, doc_freq) — the vocab /
+    tokenizer-training precursor.  One explode + one partial-aggregated
+    groupBy on the token (the only shuffle, combiner-reduced map-side);
+    ``top_n`` turns the final ordering into TakeOrderedAndProject instead
+    of a global sort.  Ordering: count desc, token asc (deterministic)."""
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    doc_toks = df.select(
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("count"))
+    dfreq = doc_toks.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    out = (
+        counts.join(dfreq, "token")
+        .filter(F.col("count") >= min_count)
+        .orderBy(F.col("count").desc(), F.col("token").asc())
+    )
+    return out.limit(top_n) if top_n else out
+
+
 def temperature_fractions(
     df: DataFrame,
     strata_col: str = "lang",

@@ -424,3 +424,18 @@ def test_temperature_fractions(spark):
     assert t1["en"] == pytest.approx(0.9) and t1["sw"] == pytest.approx(0.1)
     assert t7["sw"] > t1["sw"]  # rare stratum upweighted at tau < 1
     assert t7["en"] < t1["en"]
+
+
+def test_vocabulary(spark):
+    from minivectordb_spark.operators.prep import vocabulary
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c"), (3, "")], ["doc_id", "text"]
+    )
+    rows = vocabulary(df).collect()
+    got = {r["token"]: (r["count"], r["doc_freq"]) for r in rows}
+    assert got == {"a": (3, 2), "b": (1, 1), "c": (1, 1)}
+    assert rows[0]["token"] == "a"  # count desc first
+    top1 = vocabulary(df, top_n=1).collect()
+    assert len(top1) == 1 and top1[0]["token"] == "a"
+    assert {r["token"] for r in vocabulary(df, min_count=2).collect()} == {"a"}
