@@ -439,6 +439,22 @@ def q_sample_stratified(spark, sf_dir):
     )
 
 
+def q_corpus_pipeline(spark, sf_dir):
+    """End-to-end training-corpus pipeline: scrub (PII redaction) ->
+    exact dedup on the SCRUBBED text (scrubbing canonicalizes, so docs
+    differing only in redacted spans collapse) -> sliding-window chunking.
+    One map pass + one dedup shuffle + one Generate — the composed
+    flagship of the prep family."""
+    from minivectordb_spark.operators.dedup import exact_dedup
+    from minivectordb_spark.operators.prep import chunk_documents, scrub_expr
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", scrub_expr(F.col("text"))
+    )
+    kept = exact_dedup(docs)
+    return chunk_documents(kept, chunk_tokens=64, overlap=16)
+
+
 def q_vocabulary(spark, sf_dir):
     """Top-200 corpus vocabulary with doc frequencies (prep.vocabulary):
     explode + combiner-reduced groupBy, TakeOrderedAndProject final."""
@@ -821,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "mix_fractions": q_mix_fractions,
         "vocabulary": q_vocabulary,
+        "corpus_pipeline": q_corpus_pipeline,
         "dedup_groups": q_dedup_groups,
         "dedup_resolve": q_dedup_resolve,
         "neardup_cosine": q_neardup_cosine,
@@ -1019,11 +1036,11 @@ SELECT id_a, id_b, hamming FROM (
 """.strip()
 
 
-def _oracle_doc_chunks() -> str:
+def _oracle_doc_chunks(src: str = "documents") -> str:
     chunk, stride = 64, 48
     sl = f"list_slice(tk, chunk_id*{stride} + 1, chunk_id*{stride} + {chunk})"
     return f"""
-WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM {src}),
 c AS (SELECT doc_id, tk, len(tk) AS n FROM t),
 w AS (SELECT doc_id, tk,
         unnest(range(0, CASE WHEN n = 0 THEN 0
@@ -1046,6 +1063,26 @@ SELECT doc_id,
          '{URL_RE}', '<URL>', 'g'),
          '{LONG_NUM_RE}', '<NUM>', 'g') AS scrubbed
 FROM documents
+""".strip()
+
+
+def _oracle_corpus_pipeline() -> str:
+    from minivectordb_spark.operators.prep import EMAIL_RE, LONG_NUM_RE, URL_RE
+
+    scrub = (
+        "regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{EMAIL_RE}', '<EMAIL>', 'g'), '{URL_RE}', '<URL>', 'g'), "
+        f"'{LONG_NUM_RE}', '<NUM>', 'g')"
+    )
+    chunks = _oracle_doc_chunks(src="kept")
+    return f"""
+WITH scrubbed AS (SELECT doc_id, {scrub} AS text FROM documents),
+kept AS (
+  SELECT doc_id, text FROM scrubbed
+  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+),
+final AS ({chunks})
+SELECT * FROM final
 """.strip()
 
 
@@ -1416,6 +1453,7 @@ FROM s
         "doc_chunks": _oracle_doc_chunks(),
         "scrub_text": _oracle_scrub(),
         "sample_stratified": _oracle_sample_stratified(),
+        "corpus_pipeline": _oracle_corpus_pipeline(),
         "vocabulary": f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
 e AS (SELECT unnest(tk) AS token FROM t),
