@@ -173,6 +173,10 @@ class DurableVectorTable:
         new_manifest = json.loads(json.dumps(self.manifest))
         buckets = new_manifest["buckets"]
         for k, ids in by_bucket.items():
+            if buckets[str(k)]["rows"] == 0:
+                # empty bucket has no generation dir to read — the ids are
+                # simply absent (strict contract, same as a miss below)
+                raise KeyError(f"Embedding ids not found: {ids}")
             cur = self.spark.read.parquet(self._bucket_path(k))
             present = {
                 r[id_col]

@@ -71,6 +71,22 @@ def test_delete_missing_id_raises(spark, base_df, tmp_path):
         t.delete_embeddings_batch(["999"])
 
 
+def test_delete_into_empty_bucket_raises_keyerror(spark, tmp_path):
+    """An id hashing to a bucket with zero rows is a clean KeyError miss,
+    not a read failure on the nonexistent generation dir."""
+    one = spark.createDataFrame(
+        [("a", [1.0])], "id string, embedding array<double>"
+    )
+    t = DurableVectorTable.create(one, str(tmp_path / "cow1"), id_col="id", n_buckets=8)
+    # 7 of 8 buckets are empty; scan candidate ids until one hashes there
+    for cand in ("zz", "qq", "m1", "m2", "m3"):
+        try:
+            t.delete_embeddings_batch([cand])
+            raise AssertionError("delete of missing id must raise")
+        except KeyError:
+            pass
+
+
 def test_insert_unique_and_clash(spark, base_df, tmp_path):
     root = str(tmp_path / "cow")
     t = DurableVectorTable.create(base_df, root, id_col="id", n_buckets=8)

@@ -85,6 +85,14 @@ def test_delete_filter_pushed(spark, sf):
     assert "Not(In(vec_id" in plan or "NOT vec_id" in plan
 
 
+def test_vocabulary_partial_aggregation_and_takeordered(spark, sf):
+    # token counting must combine map-side (partial HashAggregate before
+    # the exchange) and the top-n must be TakeOrdered, not a global sort
+    plan = physical_plan(_q("vocabulary", spark, sf))
+    assert "partial_count" in plan or "partial" in plan.lower()
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_ivf_indexed_partition_pruning(spark, sf):
     # persisted-IVF search must read only the probed partition dirs: the
     # scan's PartitionFilters carry the centroid_id IN-list

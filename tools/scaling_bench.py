@@ -41,6 +41,7 @@ SCALED_QUERIES = [
     "text_stats",
     "ivf_assign",
     "doc_chunks",
+    "vocabulary",
     "quantize_embeddings",
     "minhash_signatures",
     "lsh_jaccard_pairs",
