@@ -69,6 +69,18 @@ class DurableVectorTable:
     ) -> "DurableVectorTable":
         """Write ``df`` as generation 0 of every bucket."""
         spark = df.sparkSession
+        # id hygiene up front: a NULL id would silently vanish in later
+        # delete filters (NULL ~isin) and a duplicate would desync the
+        # manifest row counts — both corrupt the table forever
+        stats = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(id_col).alias("nn"),
+            F.count_distinct(id_col).alias("d"),
+        ).collect()[0]
+        if stats["nn"] != stats["n"]:
+            raise ValueError("DurableVectorTable.create: NULL ids are not allowed")
+        if stats["d"] != stats["n"]:
+            raise ValueError("Unique ID already exists.")
         os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
         buckets: dict[str, dict] = {}
         with_b = df.withColumn("__b", _bucket_expr(id_col, n_buckets))
@@ -221,9 +233,15 @@ class DurableVectorTable:
         stats = (
             new_df.withColumn("__b", _bucket_expr(id_col, n_buckets))
             .groupBy("__b")
-            .agg(F.count(F.lit(1)).alias("n"), F.count_distinct(id_col).alias("d"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(id_col).alias("nn"),
+                F.count_distinct(id_col).alias("d"),
+            )
             .collect()
         )
+        if any(r["nn"] != r["n"] for r in stats):
+            raise ValueError("store_embeddings_batch: NULL ids are not allowed")
         if any(r["n"] != r["d"] for r in stats):
             raise ValueError("Unique ID already exists.")
         rows_by_bucket = {int(r["__b"]): int(r["n"]) for r in stats}

@@ -553,6 +553,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausting max_iter with labels still moving means the result is
+        # NOT the true components (a >max_iter-diameter chain) — returning
+        # it silently would corrupt the dedup decision downstream
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            "(component diameter exceeds max_iter); raise max_iter"
+        )
     edges.unpersist()
     return labels
 

@@ -56,7 +56,7 @@ def salted_join(
     unmatched small row would surface once per replica (n_salt copies),
     breaking the exact-multiplicity guarantee.
     """
-    if how not in ("inner", "left"):
+    if how.lower().replace("_", "") not in ("inner", "left", "leftouter"):
         raise ValueError(
             f"salted_join supports how='inner'|'left' (got {how!r}): "
             "replicating the small side would emit unmatched small rows "

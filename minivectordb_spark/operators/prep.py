@@ -128,7 +128,7 @@ def vocabulary(
         .filter(F.col("count") >= min_count)
         .orderBy(F.col("count").desc(), F.col("token").asc())
     )
-    return out.limit(top_n) if top_n else out
+    return out.limit(top_n) if top_n is not None else out
 
 
 def temperature_fractions(
@@ -175,7 +175,13 @@ def stratified_sample(
     for stratum, frac in sorted(fractions.items()):
         cond = (F.col(strata_col) == stratum) & sample_gate(key, frac)
         gate = cond if gate is None else (gate | cond)
-    others = ~F.col(strata_col).isin(*fractions.keys()) if fractions else F.lit(True)
+    # NULL-safe: ~isin() is NULL (not True) for a NULL stratum, which
+    # would silently drop every unlabeled row from the default bucket
+    others = (
+        F.coalesce(~F.col(strata_col).isin(*fractions.keys()), F.lit(True))
+        if fractions
+        else F.lit(True)
+    )
     if default_fraction > 0:
         cond = others & sample_gate(key, default_fraction)
         gate = cond if gate is None else (gate | cond)

@@ -33,7 +33,22 @@ def _normalize(df: DataFrame, text_col: str, id_col: str | None, source: str | N
     if id_col and id_col in df.columns:
         if id_col != "doc_id":
             df = df.withColumnRenamed(id_col, "doc_id")
-        df = df.withColumn("doc_id", F.col("doc_id").cast("long"))
+        # non-numeric ids must never become silent NULLs (they'd corrupt
+        # every downstream id join/ordering): numeric ids cast through,
+        # string ids map to a stable md5-derived long, NULL ids fall back
+        # to a per-read unique id
+        from minivectordb_spark.operators.hashing import md5i32
+
+        df = df.withColumn(
+            "doc_id",
+            F.coalesce(
+                # try_cast: under ANSI mode a plain cast THROWS on
+                # non-numeric strings instead of yielding NULL
+                F.col("doc_id").try_cast("long"),
+                md5i32(F.col("doc_id").cast("string")),
+                F.monotonically_increasing_id(),
+            ),
+        )
     else:
         df = df.withColumn("doc_id", F.monotonically_increasing_id())
     if "lang" not in df.columns:

@@ -181,7 +181,13 @@ def stream_durable_ingest(
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
         fresh = batch_df.dropDuplicates([id_col])
-        embedded = embed_column(fresh, text_col, out_col="embedding", model=model)
+        # localCheckpoint: the create/store paths below each run several
+        # jobs (stats agg, clash probes, per-bucket writes) — without a
+        # materialization every one would re-run the embedding inference
+        # over the whole micro-batch
+        embedded = embed_column(
+            fresh, text_col, out_col="embedding", model=model
+        ).localCheckpoint()
         manifest_exists = os.path.exists(
             os.path.join(table_path, "_manifest", "_latest")
         )
@@ -193,7 +199,7 @@ def stream_durable_ingest(
         t = DurableVectorTable.load(batch_df.sparkSession, table_path)
         new_rows = embedded.join(
             t.to_df().select(id_col), id_col, "left_anti"
-        )
+        ).localCheckpoint()
         if new_rows.limit(1).count():
             t.store_embeddings_batch(new_rows)
 

@@ -231,3 +231,16 @@ def test_vectortable_durable_bridge(spark, tmp_path):
     assert vt2.dim == 2
     ids, scores, metas = vt2.find_most_similar([1.0, 1.0], k=3)
     assert len(ids) == 3 and "id4" not in ids
+
+
+def test_create_rejects_null_and_duplicate_ids(spark, tmp_path):
+    nulls = spark.createDataFrame(
+        [(None, [1.0]), ("b", [2.0])], "id string, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="NULL ids"):
+        DurableVectorTable.create(nulls, str(tmp_path / "n"), id_col="id")
+    dups = spark.createDataFrame(
+        [("a", [1.0]), ("a", [2.0])], "id string, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="Unique ID"):
+        DurableVectorTable.create(dups, str(tmp_path / "d"), id_col="id")

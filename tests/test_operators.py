@@ -439,3 +439,37 @@ def test_vocabulary(spark):
     top1 = vocabulary(df, top_n=1).collect()
     assert len(top1) == 1 and top1[0]["token"] == "a"
     assert {r["token"] for r in vocabulary(df, min_count=2).collect()} == {"a"}
+
+
+def test_stratified_sample_null_stratum_default_bucket(spark):
+    """NULL strata must fall into the default bucket, not be silently
+    dropped by a NULL ~isin() (review finding)."""
+    from minivectordb_spark.operators.prep import stratified_sample
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "en"), (3, None)], "doc_id long, lang string"
+    )
+    kept = stratified_sample(
+        df, fractions={"en": 1.0}, default_fraction=1.0
+    ).collect()
+    assert sorted(r["doc_id"] for r in kept) == [1, 2, 3]
+
+
+def test_vocabulary_top_n_zero(spark):
+    from minivectordb_spark.operators.prep import vocabulary
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    assert vocabulary(df, top_n=0).count() == 0
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    from minivectordb_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(chain, max_iter=1)
+    # with enough rounds the same chain resolves fine
+    got = {r["id"]: r["component"] for r in connected_components(chain, max_iter=10).collect()}
+    assert set(got.values()) == {0}

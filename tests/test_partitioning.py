@@ -60,3 +60,10 @@ def test_repartition_for_write(spark):
     df = spark.range(1000)
     out = repartition_for_write(df, target_rows_per_file=300)
     assert out.rdd.getNumPartitions() == 4
+
+
+def test_salted_join_accepts_left_aliases(spark):
+    big = spark.createDataFrame([("k", 1)], ["key", "payload"])
+    small = spark.createDataFrame([("k", "v")], ["key", "val"])
+    for how in ("left_outer", "leftouter", "LEFT"):
+        assert salted_join(big, small, "key", how=how).count() == 1

@@ -144,3 +144,16 @@ def test_corpus_feeds_dedup_pipeline(spark, tmp_path):
     )
     df = read_jsonl_corpus(spark, str(p))
     assert exact_dedup(df).count() == 2
+
+
+def test_read_jsonl_corpus_string_ids_stable_not_null(spark, tmp_path):
+    """String ids map to stable (non-NULL) longs instead of silently
+    becoming NULL through the cast (review finding)."""
+    from minivectordb_spark.sources import read_jsonl_corpus
+
+    p = tmp_path / "strid.jsonl"
+    p.write_text('{"doc_id": "doc-a", "text": "x"}\n{"doc_id": "doc-b", "text": "y"}\n')
+    a = {r["text"]: r["doc_id"] for r in read_jsonl_corpus(spark, str(p)).collect()}
+    b = {r["text"]: r["doc_id"] for r in read_jsonl_corpus(spark, str(p)).collect()}
+    assert None not in a.values() and len(set(a.values())) == 2
+    assert a == b  # deterministic across reads
