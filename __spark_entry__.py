@@ -439,6 +439,18 @@ def q_sample_stratified(spark, sf_dir):
     )
 
 
+BM25_QUERY = ["vector", "hash", "join"]
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 keyword retrieval (operators/bm25.bm25_search): the sparse leg
+    of hybrid search — two tiny stats collects then one map-only scoring
+    pass into TakeOrderedAndProject."""
+    from minivectordb_spark.operators.bm25 import bm25_search
+
+    return bm25_search(_t(spark, sf_dir, "documents"), BM25_QUERY, k=20)
+
+
 def q_corpus_pipeline(spark, sf_dir):
     """End-to-end training-corpus pipeline: scrub (PII redaction) ->
     exact dedup on the SCRUBBED text (scrubbing canonicalizes, so docs
@@ -838,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_fractions": q_mix_fractions,
         "vocabulary": q_vocabulary,
         "corpus_pipeline": q_corpus_pipeline,
+        "bm25_search": q_bm25_search,
         "dedup_groups": q_dedup_groups,
         "dedup_resolve": q_dedup_resolve,
         "neardup_cosine": q_neardup_cosine,
@@ -1063,6 +1076,36 @@ SELECT doc_id,
          '{URL_RE}', '<URL>', 'g'),
          '{LONG_NUM_RE}', '<NUM>', 'g') AS scrubbed
 FROM documents
+""".strip()
+
+
+def _oracle_bm25() -> str:
+    from minivectordb_spark.operators.bm25 import DEFAULT_B, DEFAULT_K1
+
+    k1, b = DEFAULT_K1, DEFAULT_B
+    toks = sorted(set(BM25_QUERY))
+    dfs_cols = ",\n    ".join(
+        f"sum(CASE WHEN list_contains(tk, '{t}') THEN 1 ELSE 0 END)::BIGINT AS df_{t}"
+        for t in toks
+    )
+
+    def term(t: str) -> str:
+        idf = f"ln((n - df_{t} + 0.5) / (df_{t} + 0.5) + 1.0)"
+        tf = f"len(list_filter(tk, x -> x = '{t}'))::DOUBLE"
+        denom = f"({tf} + {k1} * ({1.0 - b} + ({b} * len(tk)::DOUBLE) / avgdl))"
+        return f"(({idf} * {tf}) * {k1 + 1.0} / {denom})"
+
+    score = " + ".join(term(t) for t in toks)
+    return f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+st AS (SELECT count(*)::BIGINT AS n,
+              sum(len(tk))::DOUBLE / count(*) AS avgdl FROM t),
+dfs AS (SELECT
+    {dfs_cols}
+  FROM t),
+sc AS (SELECT doc_id, round(0.0 + {score}, 6) AS bm25 FROM t, st, dfs)
+SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
+ORDER BY bm25 DESC, doc_id ASC LIMIT 20
 """.strip()
 
 
@@ -1454,6 +1497,7 @@ FROM s
         "scrub_text": _oracle_scrub(),
         "sample_stratified": _oracle_sample_stratified(),
         "corpus_pipeline": _oracle_corpus_pipeline(),
+        "bm25_search": _oracle_bm25(),
         "vocabulary": f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
 e AS (SELECT unnest(tk) AS token FROM t),

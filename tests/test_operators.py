@@ -473,3 +473,41 @@ def test_connected_components_nonconvergence_raises(spark):
     # with enough rounds the same chain resolves fine
     got = {r["id"]: r["component"] for r in connected_components(chain, max_iter=10).collect()}
     assert set(got.values()) == {0}
+
+
+def test_bm25_hand_computed(spark):
+    """3-doc corpus, single-token query — score checked against the Okapi
+    formula computed by hand in Python."""
+    import math
+
+    from minivectordb_spark.operators.bm25 import bm25_search
+
+    df = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "cat"), (3, "fish fish")], ["doc_id", "text"]
+    )
+    rows = bm25_search(df, ["cat"], k=10).collect()
+    got = {r["doc_id"]: r["bm25"] for r in rows}
+    n, avgdl = 3, (3 + 1 + 2) / 3
+    df_t = 2
+    idf = math.log((n - df_t + 0.5) / (df_t + 0.5) + 1.0)
+
+    def okapi(tf, dl):
+        return round(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6)
+
+    assert got == {1: okapi(2, 3), 2: okapi(1, 1)}  # doc 3 has no match
+    # doc 2 (dl=1, tf=1) outranks doc 1 (dl=3, tf=2): length normalization
+    # beats raw tf at these sizes — exactly what the formula says
+    assert got[2] > got[1]
+
+
+def test_bm25_multi_token_and_empty(spark):
+    from minivectordb_spark.operators.bm25 import bm25_search
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d"), (3, "x y z")], ["doc_id", "text"]
+    )
+    rows = bm25_search(df, ["a", "d"], k=10).collect()
+    ids = {r["doc_id"] for r in rows}
+    assert ids == {1, 2}
+    assert bm25_search(df, ["zzz"], k=5).count() == 0  # absent token
+    assert bm25_search(df, [], k=5).count() == 0
