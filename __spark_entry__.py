@@ -451,6 +451,24 @@ def q_bm25_search(spark, sf_dir):
     return bm25_search(_t(spark, sf_dir, "documents"), BM25_QUERY, k=20)
 
 
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid search: dense top-50 (cosine kNN over embeddings) + sparse
+    top-50 (BM25 over documents, vec_id==doc_id in the fixture corpus)
+    fused by Reciprocal Rank Fusion (operators/hybrid.rrf_fuse) — the
+    no-normalization fusion standard."""
+    from minivectordb_spark.operators.bm25 import bm25_search
+    from minivectordb_spark.operators.hybrid import rrf_fuse
+
+    dense = knn(
+        _t(spark, sf_dir, "embeddings"), QVEC, k=50, emb_col="embedding",
+        id_col="vec_id",
+    ).select("vec_id", F.round("score", 6).alias("score"))
+    sparse = bm25_search(_t(spark, sf_dir, "documents"), BM25_QUERY, k=50)
+    return rrf_fuse(
+        dense, sparse, "score", "bm25", k=10, id_a="vec_id", id_b="doc_id"
+    )
+
+
 def q_corpus_pipeline(spark, sf_dir):
     """End-to-end training-corpus pipeline: scrub (PII redaction) ->
     exact dedup on the SCRUBBED text (scrubbing canonicalizes, so docs
@@ -851,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocabulary": q_vocabulary,
         "corpus_pipeline": q_corpus_pipeline,
         "bm25_search": q_bm25_search,
+        "hybrid_rrf": q_hybrid_rrf,
         "dedup_groups": q_dedup_groups,
         "dedup_resolve": q_dedup_resolve,
         "neardup_cosine": q_neardup_cosine,
@@ -1079,7 +1098,7 @@ FROM documents
 """.strip()
 
 
-def _oracle_bm25() -> str:
+def _oracle_bm25(limit: int = 20) -> str:
     from minivectordb_spark.operators.bm25 import DEFAULT_B, DEFAULT_K1
 
     k1, b = DEFAULT_K1, DEFAULT_B
@@ -1105,7 +1124,29 @@ dfs AS (SELECT
   FROM t),
 sc AS (SELECT doc_id, round(0.0 + {score}, 6) AS bm25 FROM t, st, dfs)
 SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
-ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+ORDER BY bm25 DESC, doc_id ASC LIMIT {limit}
+""".strip()
+
+
+def _oracle_hybrid_rrf() -> str:
+    cos = _sql_cos_lit("embedding", QVEC, QNORM)
+    sparse = _oracle_bm25(limit=50)
+    return f"""
+WITH d50 AS (
+  SELECT vec_id AS id, round({cos}, 6) AS score FROM embeddings
+  ORDER BY {cos} DESC, vec_id ASC LIMIT 50
+),
+dr AS (SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS ra FROM d50),
+s50 AS (SELECT doc_id AS id, bm25 FROM ({sparse})),
+sr AS (SELECT id, row_number() OVER (ORDER BY bm25 DESC, id ASC) AS rb FROM s50),
+f AS (
+  SELECT id,
+         (CASE WHEN ra IS NOT NULL THEN 1.0 / (60.0 + ra) ELSE 0.0 END
+          + CASE WHEN rb IS NOT NULL THEN 1.0 / (60.0 + rb) ELSE 0.0 END) AS rrfraw
+  FROM dr FULL OUTER JOIN sr USING (id)
+)
+SELECT id, round(rrfraw, 6) AS rrf FROM f
+ORDER BY rrf DESC, id ASC LIMIT 10
 """.strip()
 
 
@@ -1498,6 +1539,7 @@ FROM s
         "sample_stratified": _oracle_sample_stratified(),
         "corpus_pipeline": _oracle_corpus_pipeline(),
         "bm25_search": _oracle_bm25(),
+        "hybrid_rrf": _oracle_hybrid_rrf(),
         "vocabulary": f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
 e AS (SELECT unnest(tk) AS token FROM t),

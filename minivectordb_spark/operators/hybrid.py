@@ -1,0 +1,67 @@
+"""Hybrid retrieval fusion: combine ranked lists from the dense leg
+(scoring.knn) and the sparse leg (bm25.bm25_search) — or any two ranked
+frames — with Reciprocal Rank Fusion.
+
+RRF (Cormack/Clarke/Buettcher, SIGIR'09):
+
+    rrf(d) = sum over lists L of 1 / (C + rank_L(d)),   C = 60
+
+Rank-based fusion needs no score normalization (cosine and BM25 live on
+incomparable scales), which is why it is the standard first fusion every
+hybrid search ships.
+
+Plan: each leg is already a top-n (TakeOrderedAndProject); ranking adds a
+single-partition window over n rows per leg (bounded by construction, same
+contract as autocut), then one full-outer join of two n-row frames and a
+final top-k.  Corpus-side cost is entirely inside the legs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+RRF_C = 60
+
+
+def _with_rank(df: DataFrame, score_col: str, id_col: str) -> DataFrame:
+    # constant partition key (same trick as autocut_df): tiny input by
+    # contract, and an explicit partitionSpec keeps WindowExec quiet
+    pkey = F.coalesce(
+        F.pmod(F.length(F.col(id_col).cast("string")), F.lit(1)), F.lit(0)
+    )
+    w = Window.partitionBy(pkey).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return df.select(F.col(id_col), F.row_number().over(w).alias("__rank"))
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    score_a: str,
+    score_b: str,
+    k: int = 10,
+    id_a: str = "id",
+    id_b: str = "id",
+    c: int = RRF_C,
+) -> DataFrame:
+    """(id, rrf) top-k from two ranked frames.  Ids present in only one
+    list contribute that list's term alone (full-outer union of the legs).
+    Ranks are (score desc, id asc) — the engine-wide tie order."""
+    a = _with_rank(ranked_a, score_a, id_a).withColumnRenamed("__rank", "__ra")
+    if id_a != "id":
+        a = a.withColumnRenamed(id_a, "id")
+    b = _with_rank(ranked_b, score_b, id_b).withColumnRenamed("__rank", "__rb")
+    if id_b != "id":
+        b = b.withColumnRenamed(id_b, "id")
+    joined = a.join(b, "id", "full_outer")
+    term = lambda r: F.when(  # noqa: E731
+        F.col(r).isNotNull(), F.lit(1.0) / (F.lit(float(c)) + F.col(r))
+    ).otherwise(F.lit(0.0))
+    rrf = term("__ra") + term("__rb")
+    return (
+        joined.select(F.col("id"), F.round(rrf, 6).alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col("id").asc())
+        .limit(k)
+    )

@@ -511,3 +511,22 @@ def test_bm25_multi_token_and_empty(spark):
     assert ids == {1, 2}
     assert bm25_search(df, ["zzz"], k=5).count() == 0  # absent token
     assert bm25_search(df, [], k=5).count() == 0
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF on two 3-row lists with one shared id — exact 1/(60+rank) sums,
+    single-list ids contribute one term."""
+    from minivectordb_spark.operators.hybrid import rrf_fuse
+
+    a = spark.createDataFrame([(1, 0.9), (2, 0.8), (3, 0.7)], ["vec_id", "s"])
+    b = spark.createDataFrame([(2, 5.0), (9, 4.0)], ["doc_id", "t"])
+    rows = rrf_fuse(a, b, "s", "t", k=10, id_a="vec_id", id_b="doc_id").collect()
+    got = {r["id"]: r["rrf"] for r in rows}
+    assert got == {
+        1: round(1 / 61, 6),
+        2: round(1 / 62 + 1 / 61, 6),  # rank 2 dense, rank 1 sparse
+        3: round(1 / 63, 6),
+        9: round(1 / 62, 6),
+    }
+    # shared id ranks first
+    assert rows[0]["id"] == 2
