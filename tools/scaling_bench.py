@@ -42,6 +42,7 @@ SCALED_QUERIES = [
     "ivf_assign",
     "doc_chunks",
     "vocabulary",
+    "bm25_search",
     "quantize_embeddings",
     "minhash_signatures",
     "lsh_jaccard_pairs",
