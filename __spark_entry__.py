@@ -396,10 +396,16 @@ def q_simhash_pairs(spark, sf_dir):
 def q_quantize_embeddings(spark, sf_dir):
     """Per-vector int8 quantization codec (scoring.quantize_embeddings):
     floor(x*scale + 0.5) half-up rounding — the one rule both engines
-    reproduce bit-for-bit on doubles."""
+    reproduce bit-for-bit on doubles.  The qvec array is flattened to
+    scalar q00..q63 columns so the harness canonicalizer can hash the
+    result (same shape trick as q_minhash_signatures)."""
     from minivectordb_spark.scoring import quantize_embeddings
 
-    return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    q = quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    cols = [F.col("vec_id"), F.col("scale")] + [
+        F.element_at(F.col("qvec"), j + 1).alias(f"q{j:02d}") for j in range(DIM)
+    ]
+    return q.select(*cols)
 
 
 def q_doc_chunks(spark, sf_dir):
@@ -1528,12 +1534,17 @@ s AS (
   SELECT vec_id, embedding,
          CASE WHEN mx > 0 THEN 127.0::DOUBLE / mx ELSE 0.0::DOUBLE END AS scale
   FROM m
+),
+q AS (
+  SELECT vec_id, scale,
+         list_transform(embedding,
+           x -> greatest(-127, least(127, floor((x::DOUBLE) * scale + 0.5)))::INTEGER) AS qvec
+  FROM s
 )
 SELECT vec_id, scale,
-       list_transform(embedding,
-         x -> greatest(-127, least(127, floor((x::DOUBLE) * scale + 0.5)))::INTEGER) AS qvec
-FROM s
-""".strip(),
+"""
+        + ",\n".join(f"       qvec[{j + 1}] AS q{j:02d}" for j in range(DIM))
+        + "\nFROM q",
         "doc_chunks": _oracle_doc_chunks(),
         "scrub_text": _oracle_scrub(),
         "sample_stratified": _oracle_sample_stratified(),
