@@ -475,6 +475,39 @@ def q_hybrid_rrf(spark, sf_dir):
     )
 
 
+HYBRID_BATCH_QUERIES = {
+    0: ["vector", "hash", "join"],
+    1: ["spark", "filter", "merge"],
+    2: ["window", "group", "sort"],
+}
+HYBRID_LEG_K = 20
+
+
+def q_hybrid_rrf_batch(spark, sf_dir):
+    """Batch hybrid search (VERDICT r3 item 7): per-query dense top-20
+    (knn_batch, query vectors = embeddings vec_id < 3) + per-query sparse
+    top-20 (bm25_search_batch, one corpus pass for all 3 keyword sets)
+    fused per query by rrf_fuse_batch into top-5 — the hybrid completion
+    of the reference's find_most_similar_batch
+    (minivectordb/vector_database.py:538-563)."""
+    from minivectordb_spark.operators.bm25 import bm25_search_batch
+    from minivectordb_spark.operators.hybrid import rrf_fuse_batch
+
+    e = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    qvecs = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    dense = knn_batch(
+        qvecs, e, k=HYBRID_LEG_K, corpus_id_col="vec_id", corpus_emb_col="embedding"
+    ).select("query_id", "vec_id", F.round("score", 6).alias("score"))
+    sparse = bm25_search_batch(docs, HYBRID_BATCH_QUERIES, k=HYBRID_LEG_K)
+    return rrf_fuse_batch(
+        dense, sparse, "score", "bm25", k=5, id_a="vec_id", id_b="doc_id"
+    )
+
+
 def q_corpus_pipeline(spark, sf_dir):
     """End-to-end training-corpus pipeline: scrub (PII redaction) ->
     exact dedup on the SCRUBBED text (scrubbing canonicalizes, so docs
@@ -844,17 +877,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver verifies only the first 50 entries, so the
+    # four queries that missed the r02/r03 windows lead, and redundant
+    # twins are demoted to demoted_queries() (still oracle-checked locally
+    # by tests/test_demoted_queries.py).
     return {
+        "clean_corpus": q_clean_corpus,
+        "multimodal_features": q_multimodal_features,
+        "search_pipeline": q_search_pipeline,
+        "rerank_topk": q_rerank_topk,
         "knn_topk": q_knn_topk,
         "knn_filtered": q_knn_filtered,
         "knn_batch": q_knn_batch,
-        "knn_matmul": q_knn_matmul,
         "filter_events_and": q_filter_events_and,
         "filter_events_or": q_filter_events_or,
         "filter_events_exclude": q_filter_events_exclude,
         "filter_docs_in": q_filter_docs_in,
         "events_agg": q_events_agg,
-        "events_hourly": q_events_hourly,
         "tpch_q1": q_tpch_q1,
         "top_customers": q_top_customers,
         "text_stats": q_text_stats,
@@ -873,9 +912,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "mix_fractions": q_mix_fractions,
         "vocabulary": q_vocabulary,
-        "corpus_pipeline": q_corpus_pipeline,
         "bm25_search": q_bm25_search,
         "hybrid_rrf": q_hybrid_rrf,
+        "hybrid_rrf_batch": q_hybrid_rrf_batch,
         "dedup_groups": q_dedup_groups,
         "dedup_resolve": q_dedup_resolve,
         "neardup_cosine": q_neardup_cosine,
@@ -888,17 +927,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "insert_unique": q_insert_unique,
         "autocut_topk": q_autocut_topk,
         "events_sessionize": q_events_sessionize,
-        "events_sessions_native": q_events_sessions_native,
         "events_asof": q_events_asof,
-        "events_distinct_users": q_events_distinct_users,
         "events_percentiles": q_events_percentiles,
         "events_stats": q_events_stats,
         "top_orders_per_cust": q_top_orders_per_cust,
         "events_rollup": q_events_rollup,
-        "clean_corpus": q_clean_corpus,
-        "multimodal_features": q_multimodal_features,
-        "search_pipeline": q_search_pipeline,
-        "rerank_topk": q_rerank_topk,
+    }
+
+
+def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Queries trimmed from the driver's 50-entry window (VERDICT r3 item 1:
+    "trim or merge redundant entries so the registry is ≤50").  Each is a
+    near-duplicate of a still-registered query:
+
+    - knn_matmul: alternative physical strategy for knn_batch (same oracle)
+    - events_hourly: simple time-bucket groupBy; events_agg/rollup cover it
+    - events_distinct_users: count_distinct variant of events_agg
+    - events_sessions_native: session_window twin of events_sessionize
+      (identical output, batch==stream equivalence unit-tested)
+    - corpus_pipeline: scrub→dedup→chunk composition; every stage is
+      separately green and clean_corpus is the graded composition
+
+    Still oracle-verified every round by tests/test_demoted_queries.py,
+    which runs the same compare as the driver gate at sf0.001.
+    """
+    return {
+        "knn_matmul": q_knn_matmul,
+        "events_hourly": q_events_hourly,
+        "events_distinct_users": q_events_distinct_users,
+        "events_sessions_native": q_events_sessions_native,
+        "corpus_pipeline": q_corpus_pipeline,
     }
 
 
@@ -1104,11 +1162,11 @@ FROM documents
 """.strip()
 
 
-def _oracle_bm25(limit: int = 20) -> str:
+def _oracle_bm25(limit: int = 20, query_tokens: list[str] | None = None) -> str:
     from minivectordb_spark.operators.bm25 import DEFAULT_B, DEFAULT_K1
 
     k1, b = DEFAULT_K1, DEFAULT_B
-    toks = sorted(set(BM25_QUERY))
+    toks = sorted(set(query_tokens if query_tokens is not None else BM25_QUERY))
     dfs_cols = ",\n    ".join(
         f"sum(CASE WHEN list_contains(tk, '{t}') THEN 1 ELSE 0 END)::BIGINT AS df_{t}"
         for t in toks
@@ -1153,6 +1211,43 @@ f AS (
 )
 SELECT id, round(rrfraw, 6) AS rrf FROM f
 ORDER BY rrf DESC, id ASC LIMIT 10
+""".strip()
+
+
+def _oracle_hybrid_rrf_batch() -> str:
+    cos = _sql_cos_cols("c.embedding", "q.qe")
+    sparse_legs = "\nUNION ALL\n".join(
+        f"SELECT {qid} AS query_id, doc_id AS id, bm25 FROM "
+        f"({_oracle_bm25(limit=HYBRID_LEG_K, query_tokens=toks)})"
+        for qid, toks in sorted(HYBRID_BATCH_QUERIES.items())
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
+dense AS (
+  SELECT query_id, id, score FROM (
+    SELECT q.query_id, c.vec_id AS id, round({cos}, 6) AS score,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY {cos} DESC, c.vec_id ASC) AS rn
+    FROM embeddings c CROSS JOIN q
+  ) WHERE rn <= {HYBRID_LEG_K}
+),
+dr AS (SELECT query_id, id,
+              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) AS ra
+       FROM dense),
+sparse AS ({sparse_legs}),
+sr AS (SELECT query_id, id,
+              row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, id ASC) AS rb
+       FROM sparse),
+f AS (
+  SELECT query_id, id,
+         (CASE WHEN ra IS NOT NULL THEN 1.0 / (60.0 + ra) ELSE 0.0 END
+          + CASE WHEN rb IS NOT NULL THEN 1.0 / (60.0 + rb) ELSE 0.0 END) AS rrfraw
+  FROM dr FULL OUTER JOIN sr USING (query_id, id)
+)
+SELECT query_id, id, rrf FROM (
+  SELECT query_id, id, round(rrfraw, 6) AS rrf,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(rrfraw, 6) DESC, id ASC) AS rk
+  FROM f
+) WHERE rk <= 5
 """.strip()
 
 
@@ -1551,6 +1646,7 @@ SELECT vec_id, scale,
         "corpus_pipeline": _oracle_corpus_pipeline(),
         "bm25_search": _oracle_bm25(),
         "hybrid_rrf": _oracle_hybrid_rrf(),
+        "hybrid_rrf_batch": _oracle_hybrid_rrf_batch(),
         "vocabulary": f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
 e AS (SELECT unnest(tk) AS token FROM t),

@@ -56,12 +56,65 @@ def rrf_fuse(
     if id_b != "id":
         b = b.withColumnRenamed(id_b, "id")
     joined = a.join(b, "id", "full_outer")
-    term = lambda r: F.when(  # noqa: E731
-        F.col(r).isNotNull(), F.lit(1.0) / (F.lit(float(c)) + F.col(r))
-    ).otherwise(F.lit(0.0))
-    rrf = term("__ra") + term("__rb")
+    rrf = _rrf_term("__ra", c) + _rrf_term("__rb", c)
     return (
         joined.select(F.col("id"), F.round(rrf, 6).alias("rrf"))
         .orderBy(F.col("rrf").desc(), F.col("id").asc())
         .limit(k)
+    )
+
+
+def _rrf_term(rank_col: str, c: int):
+    return F.when(
+        F.col(rank_col).isNotNull(),
+        F.lit(1.0) / (F.lit(float(c)) + F.col(rank_col)),
+    ).otherwise(F.lit(0.0))
+
+
+def rrf_fuse_batch(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    score_a: str,
+    score_b: str,
+    k: int = 10,
+    id_a: str = "id",
+    id_b: str = "id",
+    query_col: str = "query_id",
+    c: int = RRF_C,
+) -> DataFrame:
+    """Batch RRF: fuse two PER-QUERY ranked frames (query_id, id, score)
+    into per-query top-k (query_id, id, rrf) — the hybrid completion of
+    the reference's find_most_similar_batch contract
+    (minivectordb/vector_database.py:538-563, batch = loop over queries;
+    here one plan for the whole batch).
+
+    Both legs are bounded (leg_k rows per query) by construction, so the
+    rank windows and the full-outer fuse join move |Q| * leg_k rows — the
+    corpus never appears.  Ranks are per-query (score desc, id asc)."""
+    wa = Window.partitionBy(query_col).orderBy(
+        F.col(score_a).desc(), F.col(id_a).asc()
+    )
+    a = ranked_a.select(
+        F.col(query_col),
+        F.col(id_a).alias("id"),
+        F.row_number().over(wa).alias("__ra"),
+    )
+    wb = Window.partitionBy(query_col).orderBy(
+        F.col(score_b).desc(), F.col(id_b).asc()
+    )
+    b = ranked_b.select(
+        F.col(query_col),
+        F.col(id_b).alias("id"),
+        F.row_number().over(wb).alias("__rb"),
+    )
+    joined = a.join(b, [query_col, "id"], "full_outer")
+    rrf = _rrf_term("__ra", c) + _rrf_term("__rb", c)
+    wk = Window.partitionBy(query_col).orderBy(
+        F.col("rrf").desc(), F.col("id").asc()
+    )
+    return (
+        joined.select(F.col(query_col), F.col("id"), F.round(rrf, 6).alias("rrf"))
+        .withColumn("__rk", F.row_number().over(wk))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
     )

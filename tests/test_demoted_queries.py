@@ -1,0 +1,66 @@
+"""Oracle verification for the queries trimmed out of the driver's
+50-entry window (VERDICT r3 item 1 sanctioned the trim: "trim or merge
+redundant entries so the registry is ≤50").
+
+demoted_queries() entries are near-duplicates of still-registered queries
+but remain part of the engine's public surface, so every round this test
+runs the SAME compare the driver gate runs — Spark result vs DuckDB
+oracle, row count + name-sorted columns + order-insensitive values — at
+sf0.001.
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+@pytest.mark.parametrize("name", sorted(entry.demoted_queries()))
+def test_demoted_query_matches_oracle(spark, sf_dir, duck, name):
+    oracles = entry.oracle_sql()
+    assert name in oracles, f"demoted query {name} lost its oracle"
+    sdf = entry.demoted_queries()[name](spark, sf_dir).toPandas()
+    ddf = duck.sql(oracles[name]).df()
+    assert len(sdf) == len(ddf), f"rowcount spark={len(sdf)} duck={len(ddf)}"
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    a, b = _canon(sdf), _canon(ddf)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            eq = (av.values == bv.values) | (
+                pd.isna(av.values) & pd.isna(bv.values)
+            )
+            assert eq.all(), f"col {c}: {(~eq).sum()} float mismatches"
+        else:
+            assert av.astype(str).equals(bv.astype(str)), f"col {c} mismatch"
+
+
+def test_demoted_disjoint_from_registry():
+    qs, dq = entry.queries(), entry.demoted_queries()
+    assert not set(qs) & set(dq)
+    assert len(qs) <= 50, "driver verifies only the first 50 entries"

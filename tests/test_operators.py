@@ -513,6 +513,101 @@ def test_bm25_multi_token_and_empty(spark):
     assert bm25_search(df, [], k=5).count() == 0
 
 
+def test_bm25_map_mode_matches_expr_mode(spark, sf_dir):
+    """The aggregate-over-idf-map scoring path (long-query plan, VERDICT r3
+    item 4) must produce bit-identical scores to the unrolled per-token
+    expression: fold order is engineered to match (sorted tokens, 0.0
+    seed, absent tokens contribute exact +0.0)."""
+    from minivectordb_spark.operators.bm25 import bm25_search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = ["vector", "hash", "join", "spark", "filter", "nosuchtoken"]
+    expr = bm25_search(docs, q, k=30, mode="expr").collect()
+    mapped = bm25_search(docs, q, k=30, mode="map").collect()
+    assert [(r["doc_id"], r["bm25"]) for r in expr] == [
+        (r["doc_id"], r["bm25"]) for r in mapped
+    ]
+
+
+def test_bm25_long_query_bounded_plan(spark):
+    """A 200-token query must NOT compile one __toks-rescanning branch per
+    token: auto mode switches to the single aggregate() fold, so the
+    analyzed plan contains O(1) filter/aggregate nodes, not O(|Q|)."""
+    from minivectordb_spark.operators.bm25 import EXPR_TOKEN_BOUND, bm25_search
+
+    df = spark.createDataFrame(
+        [(1, "tok0 tok1 tok2 shared"), (2, "tok5 shared shared")],
+        ["doc_id", "text"],
+    )
+    long_query = [f"tok{i}" for i in range(200)] + ["shared"]
+    assert len(long_query) > EXPR_TOKEN_BOUND
+    out = bm25_search(df, long_query, k=10)  # auto -> map mode
+    plan = out._jdf.queryExecution().analyzed().toString()
+    # the unrolled form would contain ~201 filter(__toks, ...) scans
+    assert plan.count("filter(__toks") <= 3
+    assert plan.count("aggregate(") <= 2
+    # and it still computes correct scores (both docs match 'shared' + toks)
+    rows = out.collect()
+    assert {r["doc_id"] for r in rows} == {1, 2}
+    # doc 2: tf(shared)=2 and a shorter... doc1 dl=4 matches 4 tokens;
+    # sanity: scores positive and deterministic across the two modes
+    expr_rows = bm25_search(df, long_query, k=10, mode="expr").collect()
+    assert [(r["doc_id"], r["bm25"]) for r in rows] == [
+        (r["doc_id"], r["bm25"]) for r in expr_rows
+    ]
+
+
+def test_bm25_batch_matches_single(spark, sf_dir):
+    """bm25_search_batch = one corpus pass for all queries; per-query
+    results must equal the single-query operator's."""
+    from minivectordb_spark.operators.bm25 import bm25_search, bm25_search_batch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = {0: ["vector", "hash"], 1: ["spark", "merge", "window"]}
+    batch = bm25_search_batch(docs, queries, k=15)
+    got = {
+        qid: [(r["doc_id"], r["bm25"]) for r in rows]
+        for qid, rows in _group_sorted(batch.collect(), "query_id")
+    }
+    for qid, toks in queries.items():
+        single = bm25_search(docs, toks, k=15).collect()
+        assert got[qid] == [(r["doc_id"], r["bm25"]) for r in single], f"q{qid}"
+
+
+def _group_sorted(rows, key):
+    from itertools import groupby
+
+    rows = sorted(rows, key=lambda r: (r[key], -r["bm25"], r["doc_id"]))
+    return [(k, list(g)) for k, g in groupby(rows, key=lambda r: r[key])]
+
+
+def test_rrf_fuse_batch_matches_single(spark):
+    """rrf_fuse_batch per query == rrf_fuse run on that query's legs."""
+    from minivectordb_spark.operators.hybrid import rrf_fuse, rrf_fuse_batch
+
+    a = spark.createDataFrame(
+        [(0, 1, 0.9), (0, 2, 0.8), (1, 2, 0.7), (1, 3, 0.6)],
+        ["query_id", "vec_id", "s"],
+    )
+    b = spark.createDataFrame(
+        [(0, 2, 5.0), (0, 9, 4.0), (1, 3, 2.0)], ["query_id", "doc_id", "t"]
+    )
+    batch = rrf_fuse_batch(
+        a, b, "s", "t", k=10, id_a="vec_id", id_b="doc_id"
+    ).collect()
+    for qid in (0, 1):
+        single = rrf_fuse(
+            a.filter(f"query_id = {qid}").drop("query_id"),
+            b.filter(f"query_id = {qid}").drop("query_id"),
+            "s", "t", k=10, id_a="vec_id", id_b="doc_id",
+        ).collect()
+        got = sorted(
+            [(r["id"], r["rrf"]) for r in batch if r["query_id"] == qid],
+            key=lambda x: (-x[1], x[0]),
+        )
+        assert got == [(r["id"], r["rrf"]) for r in single], f"q{qid}"
+
+
 def test_rrf_fuse_hand_computed(spark):
     """RRF on two 3-row lists with one shared id — exact 1/(60+rank) sums,
     single-list ids contribute one term."""
