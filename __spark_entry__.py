@@ -65,6 +65,9 @@ N_CENTROIDS = 10
 NPROBE = 3
 SIMHASH_MAX_HAMMING = 3  # exact recall for < n_bands=4 (pigeonhole)
 NEARDUP_PLANES = default_projection_planes(DIM)  # 4 planes, seed 7
+# caller-pinned planes for q_neardup_cosine: 64 buckets, literal-inlined in
+# both the Spark plan and the DuckDB oracle (VERDICT r3 item 2)
+NEARDUP_COS_PLANES = default_projection_planes(DIM, n_planes=6)
 DELETE_IDS = list(range(0, 50, 5))
 INSERT_IDS = [0, 1, 2, 3, 4, 1000000, 1000001, 1000002, 1000003, 1000004]
 COEFFS = minhash_coeffs(N_HASHES, seed=42)
@@ -574,11 +577,18 @@ def q_simhash_pairs64(spark, sf_dir):
 
 
 def q_neardup_cosine(spark, sf_dir):
+    """Explicit-planes LSH near-dup (VERDICT r3 item 2): re-pointed from
+    block_col="label" (fixed 10-value blocking — quadratic within-block at
+    100x) to caller-pinned sign-bit LSH planes (2^6 buckets, Hamming-1
+    multiprobe).  Literal planes make the plan exactly oracle-reproducible
+    at ANY sf; the adaptive sibling (neardup_lsh) instead derives plane
+    count from corpus size.  block_col blocking survives as an operator
+    option for genuinely growing-cardinality keys (unit-tested)."""
     return embedding_neardup_pairs(
         _t(spark, sf_dir, "embeddings"),
         emb_col="embedding",
         id_col="vec_id",
-        block_col="label",
+        planes=NEARDUP_COS_PLANES,
         threshold=NEARDUP_COS,
     )
 
@@ -1363,22 +1373,24 @@ SELECT id_a, id_b, hamming FROM (
 """.strip()
 
 
-def _sql_rp_bucket(emb: str) -> str:
+def _sql_rp_bucket(emb: str, planes=None) -> str:
     terms = " + ".join(
         f"(CASE WHEN {_sql_dot_lit(emb, p)} >= 0 THEN {1 << i} ELSE 0 END)"
-        for i, p in enumerate(NEARDUP_PLANES)
+        for i, p in enumerate(planes if planes is not None else NEARDUP_PLANES)
     )
     return f"({terms})::BIGINT"
 
 
-def _oracle_neardup_lsh() -> str:
+def _oracle_neardup_lsh(planes=None) -> str:
     cos = _sql_cos_cols("ea.embedding", "eb.embedding")
-    n_planes = len(NEARDUP_PLANES)
+    if planes is None:
+        planes = NEARDUP_PLANES
+    n_planes = len(planes)
     probe_list = "[bucket" + "".join(
         f", xor(bucket, {1 << i}::BIGINT)" for i in range(n_planes)
     ) + "]"
     return f"""
-WITH bk AS (SELECT vec_id, {_sql_rp_bucket('embedding')} AS bucket FROM embeddings),
+WITH bk AS (SELECT vec_id, {_sql_rp_bucket('embedding', planes)} AS bucket FROM embeddings),
 pr AS (SELECT vec_id, unnest({probe_list}) AS probe FROM bk),
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -1394,13 +1406,9 @@ SELECT * FROM (
 
 
 def _oracle_neardup() -> str:
-    cos = _sql_cos_cols("a.embedding", "b.embedding")
-    return f"""
-SELECT * FROM (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS blk, round({cos}, 6) AS cosine
-  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-) WHERE cosine >= {NEARDUP_COS}
-""".strip()
+    """q_neardup_cosine twin: the same LSH candidate/verify shape as
+    _oracle_neardup_lsh but over the caller-pinned 6-plane literals."""
+    return _oracle_neardup_lsh(planes=NEARDUP_COS_PLANES)
 
 
 def _oracle_ivf_assign() -> str:
