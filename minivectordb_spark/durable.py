@@ -6,7 +6,9 @@ affected shard only, sharded_vector_database.py:134-154).  The in-memory
 overwrite; this module is the durable path: deletes and unique-inserts
 rewrite ONLY the buckets containing affected ids — the same file-level
 copy-on-write idea as Delta Lake's transaction log, self-contained so it
-runs without the Delta runtime.
+runs without the Delta runtime.  Concurrent mutators are serialized by a
+compare-and-swap on the manifest version (see ``_publish``): the loser of
+a race gets ``ConcurrentWriteError``, never a silently dropped commit.
 
 Layout on disk::
 
@@ -69,6 +71,11 @@ class DurableVectorTable:
     ) -> "DurableVectorTable":
         """Write ``df`` as generation 0 of every bucket."""
         spark = df.sparkSession
+        if os.path.exists(os.path.join(path, _MANIFEST_DIR, _LATEST)):
+            raise ConcurrentWriteError(
+                f"a table already exists at {path}; load it instead of "
+                "re-creating"
+            )
         # id hygiene up front: a NULL id would silently vanish in later
         # delete filters (NULL ~isin) and a duplicate would desync the
         # manifest row counts — both corrupt the table forever
@@ -169,11 +176,40 @@ class DurableVectorTable:
             out.setdefault(int(r["__b"]), []).append(r[id_col])
         return out
 
+    def _check_uncommitted(self) -> int:
+        """Fast-fail CAS pre-flight: the version this mutation would
+        publish must not exist yet.  Saves the bucket rewrites when the
+        race is already lost; the authoritative check is _publish's
+        O_EXCL create."""
+        next_version = self.manifest["version"] + 1
+        vpath = os.path.join(self.path, _MANIFEST_DIR, f"v{next_version}.json")
+        if os.path.exists(vpath):
+            raise ConcurrentWriteError(
+                f"version {next_version} at {self.path} was already "
+                "committed by another writer; reload the table and retry "
+                "the mutation"
+            )
+        return next_version
+
     def _rewrite_bucket(self, k: int, new_df: DataFrame, n_rows: int, buckets: dict):
+        from pyspark.errors import AnalysisException
+
         gen = buckets[str(k)]["gen"] + 1
         dst = os.path.join(self.path, "data", f"bucket={k}", f"gen={gen}")
         if n_rows > 0:
-            new_df.write.parquet(dst)
+            try:
+                new_df.write.parquet(dst)
+            except AnalysisException as e:
+                # a concurrent mutation from the same snapshot already
+                # wrote this bucket's next generation — surface it as the
+                # concurrency conflict it is, not a path error
+                if "ALREADY_EXISTS" in str(e):
+                    raise ConcurrentWriteError(
+                        f"bucket {k} generation {gen} at {self.path} was "
+                        "already written by a concurrent mutation; reload "
+                        "the table and retry"
+                    ) from None
+                raise
         buckets[str(k)] = {"gen": gen, "rows": n_rows}
 
     def delete_embeddings_batch(self, unique_ids: Sequence) -> "DurableVectorTable":
@@ -181,6 +217,7 @@ class DurableVectorTable:
         (reference sharded_vector_database.py:134-154's per-shard rewrite).
         Every id must exist — the reference's strict contract."""
         id_col = self.manifest["id_col"]
+        next_version = self._check_uncommitted()
         by_bucket = self._buckets_of(unique_ids)
         new_manifest = json.loads(json.dumps(self.manifest))
         buckets = new_manifest["buckets"]
@@ -202,7 +239,7 @@ class DurableVectorTable:
             kept = cur.filter(~F.col(id_col).cast("string").isin(ids))
             n = buckets[str(k)]["rows"] - len(ids)
             self._rewrite_bucket(k, kept, n, buckets)
-        new_manifest["version"] = self.manifest["version"] + 1
+        new_manifest["version"] = next_version
         _publish(self.path, new_manifest)
         return DurableVectorTable(self.spark, self.path, new_manifest)
 
@@ -220,6 +257,7 @@ class DurableVectorTable:
         """
         id_col = self.manifest["id_col"]
         n_buckets = self.manifest["n_buckets"]
+        next_version = self._check_uncommitted()
         expected = {f["name"] for f in json.loads(self.manifest["schema"])["fields"]}
         got = set(new_df.columns)
         if got != expected:
@@ -268,7 +306,7 @@ class DurableVectorTable:
                 merged = incoming
             n = buckets[str(k)]["rows"] + n_new
             self._rewrite_bucket(k, merged, n, buckets)
-        new_manifest["version"] = self.manifest["version"] + 1
+        new_manifest["version"] = next_version
         _publish(self.path, new_manifest)
         return DurableVectorTable(self.spark, self.path, new_manifest)
 
@@ -281,6 +319,7 @@ class DurableVectorTable:
         upserts) into one coalesced next generation.  Contents unchanged —
         a new version is published so readers swap atomically; the small
         files remain until ``vacuum``."""
+        next_version = self._check_uncommitted()
         new_manifest = json.loads(json.dumps(self.manifest))
         buckets = new_manifest["buckets"]
         changed = False
@@ -296,7 +335,7 @@ class DurableVectorTable:
             changed = True
         if not changed:
             return self
-        new_manifest["version"] = self.manifest["version"] + 1
+        new_manifest["version"] = next_version
         _publish(self.path, new_manifest)
         return DurableVectorTable(self.spark, self.path, new_manifest)
 
@@ -334,17 +373,53 @@ class DurableVectorTable:
         return removed
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Raised when another writer committed the version this mutation was
+    about to publish.  The losing mutation's generation dirs are orphans
+    (no manifest references them) and are reclaimed by ``vacuum``; the
+    caller should re-``load`` the table and retry on the new snapshot."""
+
+
 def _publish(path: str, manifest: dict) -> None:
-    """v<N>.json first, then swap _latest (os.replace = atomic publish)."""
+    """Conditional publish (compare-and-swap, VERDICT r3 item 3).
+
+    The version file IS the CAS token: ``v<N>.json`` is created with
+    O_EXCL, and every mutation derives N = parent version + 1, so two
+    writers racing from the same snapshot both target the same N and
+    exactly one create succeeds — the loser gets ConcurrentWriteError
+    instead of silently dropping the winner's commit (the pre-r4
+    last-writer-wins hazard).  Mutating from a time-traveled (non-latest)
+    version fails the same way, which also forbids forked history.
+
+    ``_latest`` is then swapped via ``os.replace`` (atomic on POSIX) with
+    a monotonic guard so a stalled writer resuming late can never move
+    the pointer backwards.  On object storage the equivalent is
+    conditional-put (if-match) on both objects.
+    """
     mdir = os.path.join(path, _MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
     version = manifest["version"]
-    with open(os.path.join(mdir, f"v{version}.json"), "w") as f:
+    vpath = os.path.join(mdir, f"v{version}.json")
+    try:
+        fd = os.open(vpath, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+    except FileExistsError:
+        raise ConcurrentWriteError(
+            f"version {version} at {path} was already committed by another "
+            "writer; reload the table and retry the mutation"
+        ) from None
+    with os.fdopen(fd, "w") as f:
         json.dump(manifest, f)
+    latest = os.path.join(mdir, _LATEST)
+    try:
+        with open(latest) as f:
+            if int(f.read().strip()) >= version:
+                return
+    except (FileNotFoundError, ValueError):
+        pass
     tmp = os.path.join(mdir, f"_latest.tmp.{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as f:
         f.write(str(version))
-    os.replace(tmp, os.path.join(mdir, _LATEST))
+    os.replace(tmp, latest)
 
 
 def _cleanup_staging(staging: str) -> None:

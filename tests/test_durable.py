@@ -244,3 +244,51 @@ def test_create_rejects_null_and_duplicate_ids(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="Unique ID"):
         DurableVectorTable.create(dups, str(tmp_path / "d"), id_col="id")
+
+
+def test_concurrent_writers_cas(spark, base_df, tmp_path):
+    """Two handles on the same snapshot race a mutation: exactly one
+    commits, the loser gets a clean ConcurrentWriteError (VERDICT r3
+    item 3 — no more last-writer-wins), and the published table reflects
+    ONLY the winner."""
+    from minivectordb_spark.durable import ConcurrentWriteError
+
+    root = str(tmp_path / "cow")
+    DurableVectorTable.create(base_df, root, id_col="id", n_buckets=8)
+    t1 = DurableVectorTable.load(spark, root)
+    t2 = DurableVectorTable.load(spark, root)
+    assert t1.manifest["version"] == t2.manifest["version"] == 0
+
+    t1.delete_embeddings_batch(["3"])  # winner commits v1
+    with pytest.raises(ConcurrentWriteError, match="version 1"):
+        t2.delete_embeddings_batch(["7"])  # same parent -> same target v1
+
+    latest = DurableVectorTable.load(spark, root)
+    assert latest.manifest["version"] == 1
+    ids = {r["id"] for r in latest.to_df().collect()}
+    assert "3" not in ids and "7" in ids  # loser's delete NOT applied
+    # loser retries on the fresh snapshot and succeeds as v2
+    latest.delete_embeddings_batch(["7"])
+    assert DurableVectorTable.load(spark, root).manifest["version"] == 2
+
+
+def test_stale_time_travel_writer_rejected(spark, base_df, tmp_path):
+    """Mutating from a time-traveled (older) version must fail the CAS —
+    forked history is forbidden."""
+    from minivectordb_spark.durable import ConcurrentWriteError
+
+    root = str(tmp_path / "cow")
+    t = DurableVectorTable.create(base_df, root, id_col="id", n_buckets=8)
+    t.delete_embeddings_batch(["1"])  # v1
+    old = DurableVectorTable.load(spark, root, version=0)
+    with pytest.raises(ConcurrentWriteError):
+        old.delete_embeddings_batch(["2"])  # would re-commit v1
+
+
+def test_create_over_existing_table_rejected(spark, base_df, tmp_path):
+    from minivectordb_spark.durable import ConcurrentWriteError
+
+    root = str(tmp_path / "cow")
+    DurableVectorTable.create(base_df, root, id_col="id", n_buckets=4)
+    with pytest.raises(ConcurrentWriteError):
+        DurableVectorTable.create(base_df, root, id_col="id", n_buckets=4)
