@@ -177,17 +177,25 @@ def bm25_search_batch(
     b: float = DEFAULT_B,
 ) -> DataFrame:
     """Multi-query BM25 in ONE corpus pass: (query_id, doc_id, bm25) with
-    per-query top-k.  Same plan discipline as scoring.knn_batch — the
-    corpus (the 100 TB side) never shuffles for the join:
+    per-query top-k.  The classic sparse-retrieval postings shape, which
+    is also the 100 TB shape — nothing ever materializes |corpus| x |Q|
+    rows (a first cut cross-joined the staged corpus against the query
+    frame and was 7x slower at sf0.1: 150k duplicated token arrays):
 
     1. global stats (N, avgdl) + df_t for the UNION of all query tokens —
        two bounded collects, same as single-query;
-    2. a tiny (query_id, token->idf map) frame built driver-side and
-       broadcast into a nested-loop cross join with the staged corpus;
-    3. the map-aggregate score (_bm25_map_score) per (doc, query) pair —
-       constant expression depth regardless of per-query token count;
-    4. per-query top-k window over rows with bm25 > 0 (sparse by
-       construction: only docs sharing a token with the query survive).
+    2. postings: explode tokens, keep ONLY the union-token hits (the
+       isin filter runs map-side inside the explode projection), then one
+       (doc, token) groupBy for tf — the only corpus shuffle, carrying
+       just the matching postings (sparse by construction);
+    3. broadcast-join the tiny (query_id, token, idf) frame on token —
+       each posting fans out only to the queries containing its token;
+    4. per (query, doc): fold the term list in SORTED token order
+       (sort_array over a collect_list of ≤|q| structs) so the float
+       addition order is bit-identical to the single-query operator and
+       the DuckDB oracle;
+    5. per-query top-k window over the scored pairs (bounded: only docs
+       sharing ≥1 token with the query exist at this point).
     """
     from pyspark.sql import Window
 
@@ -195,19 +203,49 @@ def bm25_search_batch(
     all_toks = sorted({t for toks in queries.values() for t in toks})
     dfs = doc_frequencies(df, all_toks, text_col)
     idf = {t: _idf(n, dfs[t]) for t in all_toks}
+    if not all_toks:
+        schema = f"query_id bigint, {id_col} " \
+            f"{dict(df.dtypes)[id_col]}, bm25 double"
+        return df.sparkSession.createDataFrame([], schema)
 
-    spark = df.sparkSession
     qrows = [
-        (int(qid), {t: float(idf[t]) for t in sorted(set(toks))})
+        (int(qid), t, float(idf[t]))
         for qid, toks in sorted(queries.items())
+        for t in sorted(set(toks))
     ]
-    qdf = spark.createDataFrame(qrows, "query_id bigint, __idf map<string,double>")
+    qdf = df.sparkSession.createDataFrame(
+        qrows, "query_id bigint, __tok string, __idf double"
+    )
 
-    staged = materialize(df, tokens(F.col(text_col)), "__toks", [id_col])
-    scored = staged.crossJoin(F.broadcast(qdf)).select(
-        "query_id",
-        F.col(id_col),
-        F.round(_bm25_map_score(F.col("__idf"), avgdl, k1, b), 6).alias("bm25"),
+    postings = (
+        df.select(
+            F.col(id_col),
+            F.size(tokens(F.col(text_col))).cast("double").alias("__dl"),
+            F.explode(tokens(F.col(text_col))).alias("__tok"),
+        )
+        .filter(F.col("__tok").isin(all_toks))
+        .groupBy(id_col, "__dl", "__tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("__tf"))
+    )
+    terms = postings.join(F.broadcast(qdf), "__tok")
+    pairs = terms.groupBy("query_id", id_col, "__dl").agg(
+        F.sort_array(
+            F.collect_list(F.struct("__tok", "__tf", "__idf"))
+        ).alias("__terms")
+    )
+    dl = F.col("__dl")
+    score = F.aggregate(
+        F.col("__terms"),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + s["__idf"] * s["__tf"] * F.lit(k1 + 1.0)
+        / (
+            s["__tf"]
+            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl))
+        ),
+    )
+    scored = pairs.select(
+        "query_id", F.col(id_col), F.round(score, 6).alias("bm25")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("bm25").desc(), F.col(id_col).asc()
