@@ -79,21 +79,41 @@ _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # the events table stores ts as parquet TIMESTAMP(NANOS), which
-        # Spark only reads via the legacy long mapping; queries that need
-        # wall-clock semantics convert the int64 nanos explicitly.  The
-        # toggle is consulted at schema-resolution time only, so scope it
-        # to this read and restore — a session-global set here would leak
-        # into unrelated same-session reads of other nanos tables.
+        # Engine contract: events.ts is int64 epoch-nanos — every temporal
+        # query (sessionize gap math, asof, hourly buckets) does integral
+        # arithmetic on it, and the DuckDB oracles compare via epoch_ns/
+        # epoch_us.  Testdata generations differ in the parquet physical
+        # type, so normalize here, once:
+        #   - TIMESTAMP(NANOS): Spark only reads it via the legacy long
+        #     mapping — toggle scoped to this read (a session-global set
+        #     would leak into unrelated nanos tables).
+        #   - timestamp[us] (current driver data, read as TIMESTAMP_NTZ):
+        #     wall-clock diff from the NTZ epoch literal — timestampdiff on
+        #     two NTZ operands involves no session timezone, so the value
+        #     is the same int64 the NANOS layout carried.
         prev = spark.conf.get(_NANOS_CONF, None)
         spark.conf.set(_NANOS_CONF, "true")
         try:
-            return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         finally:
             if prev is None:
                 spark.conf.unset(_NANOS_CONF)
             else:
                 spark.conf.set(_NANOS_CONF, prev)
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type == "timestamp_ntz":
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"
+                ),
+            )
+        elif ts_type == "timestamp":
+            # tz-adjusted µs instant: unix_micros is exact (no tz math on
+            # an instant), ×1000 restores the nanos contract
+            df = df.withColumn("ts", F.unix_micros("ts") * F.lit(1000))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
