@@ -620,14 +620,24 @@ def q_neardup_lsh(spark, sf_dir):
     stays ~target_block_size (VERDICT r1 item 3).  At sf0.01 — the
     driver's correctness scale — the adaptive choice resolves to exactly
     NEARDUP_PLANES (4 planes, seed 7), which is what the static DuckDB
-    oracle inlines, so parity holds by construction; at larger sf the
-    plane count rises (5 at sf0.1, 7 at 10x) and results are the operator
-    contract (recall >= Hamming-1 coverage), not a fixed literal plan."""
+    oracle inlines, AND max_probes=4 >= P means query-directed probing
+    degenerates to full Hamming-1, so parity holds by construction; at
+    larger sf the plane count rises (5 at sf0.1, 7 at 10x) while probe
+    count stays 1+4 per row (VERDICT r3 item 6: the exhaustive 1+P probe
+    factor was the measured super-linear term — candidates grew 21.8x at
+    10x data, 1.6x of it the P+1 growth), and results are the operator
+    contract (query-directed multiprobe recall), not a fixed literal
+    plan."""
     return embedding_neardup_pairs(
         _t(spark, sf_dir, "embeddings"),
         emb_col="embedding",
         id_col="vec_id",
         threshold=NEARDUP_COS,
+        max_probes=4,
+        # 32 not 64: halves bucket occupancy — the measured candidate-count
+        # driver at 10x — while still resolving to P=4 at N=500 (sf0.01),
+        # so the oracle's 4-plane literal plan is unchanged
+        target_block_size=32,
     )
 
 

@@ -628,6 +628,7 @@ def embedding_neardup_pairs(
     threshold: float = 0.9,
     planes: list[list[float]] | None = None,
     multiprobe: bool = True,
+    max_probes: int | None = None,
     brute_force: bool = False,
     target_block_size: int = 64,
 ) -> DataFrame:
@@ -642,10 +643,17 @@ def embedding_neardup_pairs(
       is its ``random_projection_buckets`` bucket over ``planes``
       (deterministic literals, oracle-reproducible).  Block count is 2^P,
       and P can rise with corpus size, so block population — and the
-      within-block pair count — stays bounded.  With ``multiprobe`` one
-      join side also probes the P buckets at bucket-Hamming 1, so any pair
-      whose buckets differ in <= 1 sign bit is still compared (bounds the
-      recall loss from near-dups straddling a hyperplane).  ``planes=None``
+      within-block pair count — stays bounded.  With ``multiprobe`` each
+      row also probes buckets at bucket-Hamming 1, so a pair whose buckets
+      differ in <= 1 sign bit is still compared (bounds the recall loss
+      from near-dups straddling a hyperplane).  ``max_probes`` switches
+      Hamming-1 probing from exhaustive (all P flips — a log-N per-row
+      factor, since P grows with the corpus) to query-directed
+      (multi-probe LSH, Lv et al.): flip only the ``max_probes`` planes
+      the vector is closest to, the ones a true near-neighbor most likely
+      straddles, making probe count constant in N.  A pair is kept when
+      EITHER endpoint probes the differing bit (candidates are
+      canonicalized least/greatest before dedup).  ``planes=None``
       derives planes from the data: P = max(4, ceil(log2(N /
       ``target_block_size``))) planes (one count + one-row dim peek), so
       bucket count GROWS with the corpus and expected block population
@@ -658,7 +666,7 @@ def embedding_neardup_pairs(
     """
     from minivectordb_spark.operators.ann import (
         default_projection_planes,
-        random_projection_buckets,
+        random_projection_probes,
     )
     from minivectordb_spark.operators.util import materialize
     from minivectordb_spark.scoring import norm_expr
@@ -680,7 +688,16 @@ def embedding_neardup_pairs(
             )
             planes = default_projection_planes(dim, n_planes=n_planes)
         n_planes = len(planes)
-        buckets = random_projection_buckets(df, planes, id_col=id_col, emb_col=emb_col)
+        k_probes = (
+            n_planes if max_probes is None else min(max_probes, n_planes)
+        )
+        buckets = random_projection_probes(
+            df,
+            planes,
+            id_col=id_col,
+            emb_col=emb_col,
+            max_probes=(k_probes if multiprobe else 0),
+        )
 
     a_cols = [
         F.col(id_col).alias("id_a"),
@@ -697,28 +714,37 @@ def embedding_neardup_pairs(
         # arrays must not ride through the exploded multiprobe join (at 10x
         # replication that shuffle dominated the whole query).  Embeddings
         # are re-attached AFTER the candidate pairs are deduped.
-        slim = buckets.select(F.col(id_col), F.col("bucket"))
-        probes = [F.col("bucket")] + (
-            [
-                F.col("bucket").bitwiseXOR(F.lit(1 << i)).cast("long")
-                for i in range(n_planes)
-            ]
-            if multiprobe
-            else []
+        a_ids = buckets.select(
+            F.col(id_col).alias("id_a"), F.explode("probes").alias("__probe")
         )
-        # left side probes its own bucket plus the n_planes Hamming-1
-        # neighbors; right side stays home — covers bucket-distance <= 1
-        a_ids = slim.select(
-            F.col(id_col).alias("id_a"), F.explode(F.array(*probes)).alias("__probe")
+        b_ids = buckets.select(
+            F.col(id_col).alias("id_b"), F.col("bucket").alias("__home")
         )
-        b_ids = slim.select(F.col(id_col).alias("id_b"), F.col("bucket").alias("__home"))
-        cand = (
-            a_ids.join(b_ids, F.col("__probe") == F.col("__home"))
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-        )
-        if multiprobe:
-            cand = cand.dropDuplicates(["id_a", "id_b"])
+        joined_ids = a_ids.join(b_ids, F.col("__probe") == F.col("__home"))
+        if multiprobe and k_probes < n_planes:
+            # capped probing: each side flips only ITS k closest planes, so
+            # the pair survives if either endpoint reaches the other's home
+            # bucket — canonicalize the orientation before the dedup
+            # instead of pruning on id order at the join
+            cand = (
+                joined_ids.filter(F.col("id_a") != F.col("id_b"))
+                .select(
+                    F.least("id_a", "id_b").alias("id_lo"),
+                    F.greatest("id_a", "id_b").alias("id_hi"),
+                )
+                .select(
+                    F.col("id_lo").alias("id_a"), F.col("id_hi").alias("id_b")
+                )
+            )
+        else:
+            # full Hamming-1 (or home-only): both endpoints probe every
+            # differing bit, so either-side coverage equals smaller-side
+            # coverage — prune half the orientations at the join instead
+            # of doubling the dedup input
+            cand = joined_ids.filter(F.col("id_a") < F.col("id_b")).select(
+                "id_a", "id_b"
+            )
+        cand = cand.dropDuplicates(["id_a", "id_b"])
         joined = cand.join(
             base.select(*a_cols), "id_a"
         ).join(base.select(*b_cols), "id_b")
