@@ -212,6 +212,62 @@ def test_stream_durable_ingest_versions_and_uniqueness(spark, tmp_path):
     assert len(rows[1]["embedding"]) == 64
 
 
+def test_stream_durable_ingest_kill_and_resume(spark, tmp_path):
+    """Restart recovery (VERDICT r3 item 10): interrupt the stream after
+    the first micro-batch committed to the table, then resume — TWICE,
+    once with the checkpoint intact (normal restart: source offsets skip
+    the done batch) and once with the checkpoint DELETED (worst-case: the
+    whole source replays against a table that already holds batch 1).
+    Both must end exactly-once: every id present once, replayed rows
+    neither duplicated nor overwritten, and a pure-replay micro-batch
+    must not commit a spurious table version."""
+    import shutil
+
+    from minivectordb_spark.durable import DurableVectorTable
+    from minivectordb_spark.streaming import stream_durable_ingest
+
+    src = str(tmp_path / "kin")
+    table_path = str(tmp_path / "kout")
+    ck = str(tmp_path / "kck")
+
+    def _file(rows):
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    _file([(1, "alpha"), (2, "beta")])
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+
+    # batch 1 commits, then the query is stopped before the source grows
+    q = stream_durable_ingest(stream, table_path, ck, n_buckets=4).start()
+    q.awaitTermination(120)
+    assert DurableVectorTable.load(spark, table_path).count() == 2
+
+    # normal restart: checkpoint intact, two more files arrive
+    _file([(3, "gamma")])
+    _file([(2, "beta-replayed"), (4, "delta")])
+    q = stream_durable_ingest(stream, table_path, ck, n_buckets=4).start()
+    q.awaitTermination(120)
+    t = DurableVectorTable.load(spark, table_path)
+    rows = {r["doc_id"]: r["text"] for r in t.to_df().collect()}
+    assert rows == {1: "alpha", 2: "beta", 3: "gamma", 4: "delta"}
+    v_after_resume = t.manifest["version"]
+
+    # crash-grade resume: checkpoint lost entirely -> EVERY file replays;
+    # the table-side anti-join is the only thing standing between the
+    # replay and duplicate ids
+    shutil.rmtree(ck)
+    q = stream_durable_ingest(stream, table_path, ck, n_buckets=4).start()
+    q.awaitTermination(120)
+    t2 = DurableVectorTable.load(spark, table_path)
+    rows2 = {r["doc_id"]: r["text"] for r in t2.to_df().collect()}
+    assert rows2 == rows  # exactly-once ids, originals not overwritten
+    # pure-replay batches write no new rows, so no version was committed
+    assert t2.manifest["version"] == v_after_resume
+
+
 def test_streaming_dedup_across_microbatches(spark, tmp_path):
     """Two files -> two micro-batches (maxFilesPerTrigger=1): a key repeated
     across batches must be emitted as first-seen ONCE, duplicates counted."""
