@@ -567,6 +567,21 @@ def q_mix_fractions(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing (prep.pack_sequences): BPE-ish token
+    counts laid end-to-end per shard (doc_id % 8), cut every 512 tokens —
+    the GPT-style concatenation-packing step between a cleaned corpus and
+    training batches.  One hash shuffle + per-shard window cumsum, no UDF;
+    parallelism = n_shards (sized to the cluster at real scale)."""
+    from minivectordb_spark.operators.prep import pack_sequences
+    from minivectordb_spark.operators.text import bpe_ish_token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", bpe_ish_token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(docs, budget=512, n_shards=8)
+
+
 def q_dedup_groups(spark, sf_dir):
     """Dedup resolution: LSH near-dup pairs -> connected components
     (iterative min-label propagation, operators/dedup.connected_components)
@@ -969,7 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
         "events_percentiles": q_events_percentiles,
-        "events_stats": q_events_stats,
+        "pack_sequences": q_pack_sequences,
         "top_orders_per_cust": q_top_orders_per_cust,
         "events_rollup": q_events_rollup,
     }
@@ -987,6 +1002,9 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       (identical output, batch==stream equivalence unit-tested)
     - corpus_pipeline: scrub→dedup→chunk composition; every stage is
       separately green and clean_corpus is the graded composition
+    - events_stats: avg/stddev aggregates per event_type — the plain-agg
+      shape is graded three ways already (events_agg, tpch_q1,
+      text_stats); swapped out for pack_sequences (r4)
 
     Still oracle-verified every round by tests/test_demoted_queries.py,
     which runs the same compare as the driver gate at sf0.001.
@@ -997,6 +1015,7 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_distinct_users": q_events_distinct_users,
         "events_sessions_native": q_events_sessions_native,
         "corpus_pipeline": q_corpus_pipeline,
+        "events_stats": q_events_stats,
     }
 
 
@@ -1701,6 +1720,25 @@ WITH c AS (SELECT lang AS stratum, count(*)::BIGINT AS n FROM documents GROUP BY
 p AS (SELECT stratum, n, pow(n::DOUBLE, 0.7) AS w FROM c),
 t AS (SELECT sum(w) AS tot FROM p)
 SELECT stratum, n, round(w / tot, 6) AS mix_frac FROM p, t
+""".strip(),
+        "pack_sequences": """
+WITH t AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_tokens,
+    (doc_id % 8)::BIGINT AS shard
+  FROM documents
+),
+s AS (
+  SELECT doc_id, shard, n_tokens,
+    (SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) AS st
+  FROM t
+)
+SELECT doc_id, shard,
+  (shard * 1000000000000 + (st // 512))::BIGINT AS seq,
+  (st % 512)::BIGINT AS seq_off,
+  n_tokens
+FROM s
 """.strip(),
         "dedup_groups": _oracle_dedup_components(),
         "dedup_resolve": _oracle_dedup_resolve(),

@@ -188,3 +188,56 @@ def stratified_sample(
     if gate is None:
         gate = F.lit(False)
     return df.filter(gate)
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences by
+    concatenation packing: within a shard, documents are laid end-to-end
+    in ``id_col`` order and the token stream is cut every ``budget``
+    tokens — each document's sequence is the window containing its START
+    offset (GPT-style packing: a document may straddle the cut; the
+    reference has no packing op — this is pipeline surface the engine
+    adds for LLM training prep).
+
+    Spark-first shape: one shuffle (hash by shard), one per-shard
+    window cumsum — no driver loop, no UDF, and an exact SQL twin
+    (SUM OVER PARTITION BY ... ROWS UNBOUNDED PRECEDING), unlike
+    first-fit-decreasing bin packing whose close-on-overflow recursion is
+    not window-expressible.  Parallelism equals ``n_shards``: size it to
+    the cluster (shards are independent token streams, so more shards
+    only adds more, shorter sequences).  ``shard = id % n_shards`` keeps
+    the layout reproducible from row bytes alone in any engine.
+
+    Output: one row per document — shard, seq (global: shard * 10^12 +
+    window index), seq_off (start offset within the window), n_tokens.
+    """
+    from pyspark.sql import Window
+
+    tok = F.col(token_col).cast("long")
+    shard = (F.col(id_col) % F.lit(n_shards)).cast("long")
+    staged = df.select(
+        F.col(id_col), tok.alias("__tok"), shard.alias("shard")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("__tok").over(w) - F.col("__tok")).alias("__start")
+    staged = staged.select(F.col(id_col), F.col("shard"), F.col("__tok"), start)
+    return staged.select(
+        F.col(id_col),
+        F.col("shard"),
+        (
+            F.col("shard") * F.lit(1_000_000_000_000)
+            + F.floor(F.col("__start") / F.lit(budget))
+        ).alias("seq"),
+        (F.col("__start") % F.lit(budget)).alias("seq_off"),
+        F.col("__tok").alias("n_tokens"),
+    )

@@ -671,3 +671,42 @@ def test_rrf_fuse_hand_computed(spark):
     }
     # shared id ranks first
     assert rows[0]["id"] == 2
+
+
+def test_pack_sequences_hand_computed(spark):
+    """Concatenation packing: shard = id % 2, budget 10; hand-checked
+    start offsets, window ids, straddling doc, and an over-budget doc."""
+    from minivectordb_spark.operators.prep import pack_sequences
+
+    rows = [
+        # shard 0: ids 0,2,4  tokens 6,6,25 -> starts 0,6,12
+        (0, 6), (2, 6), (4, 25),
+        # shard 1: ids 1,3    tokens 10,3  -> starts 0,10
+        (1, 10), (3, 3),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(df, budget=10, n_shards=2).collect()
+    }
+    G = 1_000_000_000_000
+    assert (out[0]["seq"], out[0]["seq_off"]) == (0, 0)
+    # doc 2 starts at offset 6 inside window 0 and straddles into window 1
+    assert (out[2]["seq"], out[2]["seq_off"]) == (0, 6)
+    # doc 4 is longer than the budget: it owns window 1 onward, seq = start//B
+    assert (out[4]["seq"], out[4]["seq_off"]) == (1, 2)
+    assert (out[1]["seq"], out[1]["seq_off"]) == (G + 0, 0)
+    assert (out[3]["seq"], out[3]["seq_off"]) == (G + 1, 0)
+
+
+def test_pack_sequences_plan_single_exchange(spark):
+    """One hash shuffle (by shard) and zero Python UDFs: the window cumsum
+    must reuse the shard partitioning, not add a second Exchange."""
+    from minivectordb_spark.operators.prep import pack_sequences
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("n_tokens")
+    )
+    plan = pack_sequences(df, budget=64, n_shards=4)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -51,6 +51,7 @@ SCALED_QUERIES = [
     "neardup_lsh",
     "events_asof",
     "events_sessionize",
+    "pack_sequences",
 ]
 
 
