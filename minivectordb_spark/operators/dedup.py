@@ -736,15 +736,22 @@ def embedding_neardup_pairs(
                     F.col("id_lo").alias("id_a"), F.col("id_hi").alias("id_b")
                 )
             )
+            cand = cand.dropDuplicates(["id_a", "id_b"])
         else:
             # full Hamming-1 (or home-only): both endpoints probe every
             # differing bit, so either-side coverage equals smaller-side
             # coverage — prune half the orientations at the join instead
-            # of doubling the dedup input
+            # of doubling the dedup input.  No dedup shuffle either: a
+            # one-sided candidate (x, y) with bucket distance d is emitted
+            # exactly once — by x's home probe when d = 0 (x's flipped
+            # probes each differ from y's bucket) and by x's flip of THE
+            # differing bit when d = 1 (every other probe differs from
+            # y's bucket in >= 1 bit) — so pairs are unique by
+            # construction (measured: cand_raw == cand_dedup at 1x and
+            # 10x in the r4 diagnostic)
             cand = joined_ids.filter(F.col("id_a") < F.col("id_b")).select(
                 "id_a", "id_b"
             )
-        cand = cand.dropDuplicates(["id_a", "id_b"])
         joined = cand.join(
             base.select(*a_cols), "id_a"
         ).join(base.select(*b_cols), "id_b")
