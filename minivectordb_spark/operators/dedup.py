@@ -455,14 +455,27 @@ def simhash_pairs(
         hamming_expr = F.bit_count(
             F.col("__fp_a").bitwiseXOR(F.col("__fp_b"))
         ).cast("long")
+    # Fingerprints are 1-2 longs, so carry them THROUGH the band self-join
+    # (unlike the embedding near-dup path, where 64-dim arrays must stay
+    # out of the exploded join): hamming verifies inline on the joined
+    # row, the <= max_hamming filter runs before any dedup, and the one
+    # distinct shrinks from candidate-set size to verified-output size
+    # (a pair agreeing on several bands collides once per band).  Two
+    # re-attach joins disappear from the plan.
     buckets = fp.select(
-        F.col(id_col), F.posexplode(bands).alias("band_idx", "band_val")
+        F.col(id_col),
+        *fp_cols_a,
+        F.posexplode(bands).alias("band_idx", "band_val"),
     )
-    left = buckets.alias("l")
-    right = buckets.alias("r")
-    cand = (
-        left.join(
-            right,
+    right = fp.select(
+        F.col(id_col),
+        *fp_cols_b,
+        F.posexplode(bands).alias("band_idx", "band_val"),
+    )
+    return (
+        buckets.alias("l")
+        .join(
+            right.alias("r"),
             (F.col("l.band_idx") == F.col("r.band_idx"))
             & (F.col("l.band_val") == F.col("r.band_val"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
@@ -470,17 +483,10 @@ def simhash_pairs(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
+            hamming_expr.alias("hamming"),
         )
-        .distinct()
-    )
-    a = fp.select(F.col(id_col).alias("id_a"), *fp_cols_a)
-    b = fp.select(F.col(id_col).alias("id_b"), *fp_cols_b)
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("hamming", hamming_expr)
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
