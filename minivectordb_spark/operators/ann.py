@@ -310,6 +310,49 @@ def default_projection_planes(
     ]
 
 
+def _plane_dots_staged(
+    df: DataFrame,
+    planes: list[list[float]],
+    id_col: str,
+    emb_col: str,
+) -> DataFrame:
+    """(id, __dots) with __dots = array of per-plane dot products, evaluated
+    behind a Generate barrier (operators.util.materialize) so each zip_with
+    dot runs EXACTLY ONCE per row.  Without the barrier, CollapseProject
+    inlines the P aggregate() dots into every downstream consumer (bucket
+    bits, margins, each multiprobe flip, plus Generate's implicit
+    size()-filter), and — HOFs being outside whole-stage codegen — nothing
+    deduplicates them: measured at 10x replication the inlined form paid
+    ~10x the dot-product work per row and dominated the candidate join."""
+    from minivectordb_spark.operators.util import materialize
+
+    emb = F.col(emb_col).cast("array<double>")
+    dots = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(emb, F.array(*[F.lit(float(x)) for x in p]), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for p in planes
+        ]
+    )
+    return materialize(df, dots, "__dots", [id_col])
+
+
+def _bucket_from_dots(n_planes: int) -> Column:
+    """Sign-bit bucket from a materialized ``__dots`` column: bit i =
+    (dot_i >= 0).  element_at over a real column is cheap per reference."""
+    bucket = None
+    for i in range(n_planes):
+        t = (
+            F.when(F.element_at("__dots", i + 1) >= 0, F.lit(1 << i).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        bucket = t if bucket is None else bucket + t
+    return bucket
+
+
 def random_projection_buckets(
     df: DataFrame,
     planes: list[list[float]],
@@ -317,21 +360,12 @@ def random_projection_buckets(
     emb_col: str = "embedding",
 ) -> DataFrame:
     """Sign-bit LSH bucket per vector: bit i = (embedding . plane_i) >= 0.
-    Map-only; same-bucket rows are ANN candidates.  ``planes`` are
-    deterministic literals so the oracle reproduces the bucketing."""
-    bit_terms = []
-    for i, p in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in p])
-        dot = F.aggregate(
-            F.zip_with(F.col(emb_col).cast("array<double>"), arr, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bit_terms.append(F.when(dot >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")))
-    bucket = bit_terms[0]
-    for t in bit_terms[1:]:
-        bucket = bucket + t
-    return df.select(F.col(id_col), bucket.alias("bucket"))
+    Map-only (dot products staged behind a Generate barrier — see
+    ``_plane_dots_staged``); same-bucket rows are ANN candidates.
+    ``planes`` are deterministic literals so the oracle reproduces the
+    bucketing."""
+    staged = _plane_dots_staged(df, planes, id_col, emb_col)
+    return staged.select(F.col(id_col), _bucket_from_dots(len(planes)).alias("bucket"))
 
 
 def random_projection_probes(
@@ -352,42 +386,36 @@ def random_projection_probes(
     per vector, a log-N per-row factor that measurably super-linearizes
     the candidate join at 10x replication.  ``max_probes=0`` probes the
     home bucket only.  Margin ties break by plane index (struct sort), so
-    the probe set is deterministic and oracle-reproducible.  Map-only.
-    """
+    the probe set is deterministic and oracle-reproducible.  Map-only;
+    the P plane dots, the bucket, and the probe array are each staged
+    behind a Generate barrier so every sub-expression evaluates once per
+    row (the un-staged form re-evaluated the P dots inside each flip and
+    again in Generate's size()-filter — measured ~10x the per-row work
+    and a 2.7x candidate-join slowdown at 10x replication)."""
     import math
 
-    emb = F.col(emb_col).cast("array<double>")
-    dots = []
+    from minivectordb_spark.operators.util import materialize
+
+    n_planes = len(planes)
+    staged = _plane_dots_staged(df, planes, id_col, emb_col)
+    staged = materialize(
+        staged, _bucket_from_dots(n_planes), "bucket", [id_col, "__dots"]
+    )
+    k = n_planes if max_probes is None else min(max_probes, n_planes)
+    invs = []
     for p in planes:
-        arr = F.array(*[F.lit(float(x)) for x in p])
         nrm = math.sqrt(sum(x * x for x in p))
-        inv = 1.0 / nrm if nrm > 0 else 0.0
-        dot = F.aggregate(
-            F.zip_with(emb, arr, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        dots.append((dot, inv))
-    bucket = None
-    for i, (dot, _) in enumerate(dots):
-        t = (
-            F.when(dot >= 0, F.lit(1 << i).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-        )
-        bucket = t if bucket is None else bucket + t
-    k = len(planes) if max_probes is None else min(max_probes, len(planes))
+        invs.append(1.0 / nrm if nrm > 0 else 0.0)
     margins = F.array(
         *[
             F.struct(
-                (F.abs(dot) * F.lit(inv)).alias("m"), F.lit(i).alias("i")
+                (F.abs(F.element_at("__dots", i + 1)) * F.lit(invs[i])).alias("m"),
+                F.lit(i).alias("i"),
             )
-            for i, (dot, inv) in enumerate(dots)
+            for i in range(n_planes)
         ]
     )
-    staged = df.select(
-        F.col(id_col), bucket.alias("bucket"), margins.alias("__margins")
-    )
-    flips = F.slice(F.array_sort(F.col("__margins")), 1, k)
+    flips = F.slice(F.array_sort(margins), 1, k)
     probes = F.concat(
         F.array(F.col("bucket")),
         F.transform(
@@ -398,4 +426,5 @@ def random_projection_probes(
             ),
         ),
     )
-    return staged.select(F.col(id_col), F.col("bucket"), probes.alias("probes"))
+    staged = materialize(staged, probes, "probes", [id_col, "bucket"])
+    return staged.select(F.col(id_col), F.col("bucket"), F.col("probes"))

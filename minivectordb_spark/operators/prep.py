@@ -236,7 +236,10 @@ def pack_sequences(
         F.col("shard"),
         (
             F.col("shard") * F.lit(1_000_000_000_000)
-            + F.floor(F.col("__start") / F.lit(budget))
+            # integral `div` on longs, not floor(double division): exact at
+            # any cumulative token count (doubles lose exactness past 2^53),
+            # matching the oracle's integer `//` (ADVICE r4)
+            + F.expr(f"__start div {int(budget)}")
         ).alias("seq"),
         (F.col("__start") % F.lit(budget)).alias("seq_off"),
         F.col("__tok").alias("n_tokens"),

@@ -30,6 +30,11 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # UTC pin: timestamp columns read as LTZ must mean the same instant
+        # as the oracle's epoch arithmetic regardless of host timezone —
+        # without this, isAdjustedToUTC=false parquet micros would bake a
+        # session-timezone shift into unix_micros (ADVICE r4)
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

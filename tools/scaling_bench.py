@@ -52,6 +52,12 @@ SCALED_QUERIES = [
     "events_asof",
     "events_sessionize",
     "pack_sequences",
+    # the four most expensive graded queries (VERDICT r4 item 2): the
+    # plans a 100 TB grade rests on need measured ratios, not prose
+    "dedup_groups",
+    "dedup_resolve",
+    "neardup_cosine",
+    "hybrid_rrf_batch",
 ]
 
 
@@ -130,6 +136,7 @@ def scaled_section(spark, sf_dir: str, factor: int = 10, runs: int = 2) -> dict:
     import __spark_entry__ as entry
 
     qs = entry.queries()
+    counters = getattr(entry, "scaling_counters", lambda: {})()
     out_dir = tempfile.mkdtemp(prefix="spark_scaled_")
     try:
         build_scaled_dir(spark, sf_dir, out_dir, factor)
@@ -145,6 +152,16 @@ def scaled_section(spark, sf_dir: str, factor: int = 10, runs: int = 2) -> dict:
                 "scaled": scaled,
                 "ratio": round(scaled / base, 2) if base > 0 else None,
             }
+        # recorded plan counters (untimed): candidate pairs, bucket
+        # occupancy, probe factor — scaling claims stay falsifiable.
+        # Collected AFTER the whole timing loop so counter jobs can't
+        # pollute a later query's timed runs with GC/scheduler pressure.
+        for name, fn in counters.items():
+            if name in result:
+                result[name]["counters"] = {
+                    "base": fn(spark, sf_dir),
+                    "scaled": fn(spark, out_dir),
+                }
         return {"factor": factor, "queries": result}
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -163,6 +180,9 @@ def main() -> None:
             f"{name:24s} base {row['base']:7.3f}s  "
             f"x{factor} {row['scaled']:7.3f}s  ratio {row['ratio']}"
         )
+        if "counters" in row:
+            for side in ("base", "scaled"):
+                print(f"  {side:6s} counters: {row['counters'][side]}")
     spark.stop()
 
 
