@@ -63,6 +63,7 @@ JACCARD_MIN = 0.005
 NEARDUP_COS = 0.35
 N_CENTROIDS = 10
 NPROBE = 3
+KMEANS_ITERS = 2  # fixed Lloyd's iteration count (oracle unrolls the same)
 SIMHASH_MAX_HAMMING = 3  # exact recall for < n_bands=4 (pigeonhole)
 NEARDUP_PLANES = default_projection_planes(DIM)  # 4 planes, seed 7
 # caller-pinned planes for q_neardup_cosine: 64 buckets, literal-inlined in
@@ -663,6 +664,19 @@ def q_ivf_assign(spark, sf_dir):
     return ivf_assign(e, seed_centroids(e, N_CENTROIDS))
 
 
+def q_ivf_assign_kmeans(spark, sf_dir):
+    """Data-adaptive IVF assignment (VERDICT r4 item 6): centroids FITTED
+    by the deterministic Lloyd's k-means (ann.lloyd_kmeans_centroids —
+    seeded init, KMEANS_ITERS fixed iterations, centers rounded 6dp each
+    step), then the same map-only argmax assignment as q_ivf_assign.  The
+    oracle replays the identical fit relationally (unrolled CTEs, zero
+    literals), so the green row covers fit AND assignment."""
+    from minivectordb_spark.operators.ann import lloyd_kmeans_centroids
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_assign(e, lloyd_kmeans_centroids(e, N_CENTROIDS, iters=KMEANS_ITERS))
+
+
 def q_ivf_search(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return ivf_search(e, seed_centroids(e, N_CENTROIDS), QVEC, k=10, nprobe=NPROBE)
@@ -976,7 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_resolve": q_dedup_resolve,
         "neardup_cosine": q_neardup_cosine,
         "neardup_lsh": q_neardup_lsh,
-        "ivf_assign": q_ivf_assign,
+        "ivf_assign_kmeans": q_ivf_assign_kmeans,
         "ivf_search": q_ivf_search,
         "ivf_search_indexed": q_ivf_search_indexed,
         "point_lookup": q_point_lookup,
@@ -1027,9 +1041,21 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
             planes=NEARDUP_COS_PLANES,
         )
 
+    def c_dedup_groups(spark: SparkSession, sf_dir: str) -> dict:
+        # CC cost scales with the PAIR set, which the replication harness
+        # grows quadratically inside each 10-clique by design — the
+        # recorded edge count makes a super-linear wall attributable to
+        # input shape, not plan shape
+        pairs = q_lsh_jaccard_pairs(spark, sf_dir)
+        return {
+            "input_pairs": int(pairs.count()),
+            "output_rows": int(q_dedup_groups(spark, sf_dir).count()),
+        }
+
     return {
         "neardup_lsh": c_neardup_lsh,
         "neardup_cosine": c_neardup_cosine,
+        "dedup_groups": c_dedup_groups,
     }
 
 
@@ -1048,6 +1074,10 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - events_stats: avg/stddev aggregates per event_type — the plain-agg
       shape is graded three ways already (events_agg, tpch_q1,
       text_stats); swapped out for pack_sequences (r4)
+    - ivf_assign: seed-centroid assignment; swapped for ivf_assign_kmeans
+      (r5), which grades the SAME map-only assignment plus the
+      deterministic Lloyd's fit — and ivf_search / ivf_search_indexed's
+      green rows exercise seed-centroid assignment end-to-end anyway
 
     Still oracle-verified every round by tests/test_demoted_queries.py,
     which runs the same compare as the driver gate at sf0.001.
@@ -1059,6 +1089,7 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions_native": q_events_sessions_native,
         "corpus_pipeline": q_corpus_pipeline,
         "events_stats": q_events_stats,
+        "ivf_assign": q_ivf_assign,
     }
 
 
@@ -1516,6 +1547,57 @@ SELECT vec_id, centroid_id, round(cc, 6) AS centroid_cos FROM scored WHERE rn = 
 """.strip()
 
 
+def _oracle_ivf_assign_kmeans() -> str:
+    """Replays the deterministic Lloyd's fit relationally: c0 = seed
+    centroids (n lowest-id vectors), then per iteration t: a{t} = argmax-
+    cosine assignment against c{t} (min-id tiebreak), l{t} = per-dimension
+    member means rounded to 6 decimals, c{t+1} = l{t} with empty clusters
+    keeping their c{t} center.  Zero inlined literals — the oracle derives
+    the same centers the Spark fit collects."""
+    cos = _sql_cos_cols("e.embedding", "c.ce")
+    ctes = [
+        f"c0 AS (SELECT vec_id AS centroid_id, embedding AS ce "
+        f"FROM embeddings ORDER BY vec_id ASC LIMIT {N_CENTROIDS})"
+    ]
+    for t in range(KMEANS_ITERS):
+        ctes.append(
+            f"""a{t} AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos} DESC, c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN c{t} c
+  ) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""x{t} AS (
+  SELECT centroid_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding::DOUBLE[]) AS v
+  FROM a{t}
+)"""
+        )
+        ctes.append(
+            f"l{t} AS (SELECT centroid_id, list(mv ORDER BY i) AS ce FROM "
+            f"(SELECT centroid_id, i, round(avg(v), 6) AS mv FROM x{t} "
+            f"GROUP BY centroid_id, i) GROUP BY centroid_id)"
+        )
+        ctes.append(
+            f"c{t + 1} AS (SELECT c.centroid_id, coalesce(l.ce, c.ce) AS ce "
+            f"FROM c{t} c LEFT JOIN l{t} l USING (centroid_id))"
+        )
+    final = f"c{KMEANS_ITERS}"
+    cte_block = ",\n".join(ctes)
+    return f"""
+WITH {cte_block},
+scored AS (
+  SELECT e.vec_id, c.centroid_id, {cos} AS cc,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos} DESC, c.centroid_id ASC) AS rn
+  FROM embeddings e CROSS JOIN {final} c
+)
+SELECT vec_id, centroid_id, round(cc, 6) AS centroid_cos FROM scored WHERE rn = 1
+""".strip()
+
+
 def _oracle_ivf_search() -> str:
     qcos = _sql_cos_lit("ce", QVEC, QNORM)
     ccos = _sql_cos_cols("e.embedding", "c.ce")
@@ -1788,6 +1870,7 @@ FROM s
         "neardup_cosine": _oracle_neardup(),
         "neardup_lsh": _oracle_neardup_lsh(),
         "ivf_assign": _oracle_ivf_assign(),
+        "ivf_assign_kmeans": _oracle_ivf_assign_kmeans(),
         "ivf_search": _oracle_ivf_search(),
         "ivf_search_indexed": _oracle_ivf_search(),
         "point_lookup": (

@@ -875,8 +875,15 @@ def embedding_neardup_pairs(
         # broadcasts (a tiny scan otherwise leaves the whole verify on the
         # scan's input partitioning — measured 2.2x on the 10x harness);
         # (2) partitioning by id_a is reusable by the first attach join.
-        # The shuffle moves two longs per candidate — scale-trivial.
-        cand = cand.repartition(F.col("id_a"))
+        # The shuffle moves two longs per candidate — scale-trivial.  The
+        # partition count MUST be explicit: with bare repartition(col), AQE
+        # sees only the tiny shuffle bytes (ids), coalesces back to one
+        # partition, and serializes the per-row cosine work its size
+        # heuristic can't see (measured 2.3x on the 10x harness).
+        n_part = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        cand = cand.repartition(n_part, F.col("id_a"))
         joined = cand.join(
             base.select(*a_cols), "id_a"
         ).join(base.select(*b_cols), "id_b")

@@ -783,3 +783,41 @@ def test_one_sided_probing_measured_recall(spark):
     assert got <= truth, f"false positives: {sorted(got - truth)[:5]}"
     recall = len(got & truth) / len(truth)
     assert recall >= 0.95, f"recall {recall:.3f} below documented bound 0.95"
+
+
+def test_lloyd_kmeans_deterministic_and_adaptive(spark):
+    """lloyd_kmeans_centroids: same input -> identical centers (no RNG);
+    centers move toward cluster means (data-adaptive, unlike
+    seed_centroids); every centroid id from the seed set survives
+    (empty clusters keep their previous center)."""
+    from minivectordb_spark.operators.ann import (
+        lloyd_kmeans_centroids,
+        seed_centroids,
+    )
+
+    # two well-separated blobs in R^4; seeds (ids 0,1) land one per blob
+    rows = [
+        (0, [1.0, 0.0, 0.1, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.1]),
+        (2, [0.9, 0.1, 0.1, 0.0]),
+        (3, [1.1, 0.1, 0.1, 0.0]),
+        (4, [0.1, 0.9, 0.0, 0.1]),
+        (5, [-0.1, 1.1, 0.1, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    a = lloyd_kmeans_centroids(df, 2, iters=2).collect()
+    b = lloyd_kmeans_centroids(df, 2, iters=2).collect()
+    got_a = {r["centroid_id"]: r["centroid_emb"] for r in a}
+    got_b = {r["centroid_id"]: r["centroid_emb"] for r in b}
+    assert got_a == got_b  # bit-identical across runs
+    assert sorted(got_a) == [0, 1]  # all seed ids survive
+
+    seeds = {
+        r["centroid_id"]: r["centroid_emb"]
+        for r in seed_centroids(df, 2).collect()
+    }
+    # fitted centers differ from the raw seeds and equal the blob means
+    assert got_a[0] != seeds[0]
+    assert got_a[0] == pytest.approx([1.0, 0.2 / 3, 0.1, 0.0], abs=1e-6)
+    assert got_a[1] == pytest.approx([0.0, 1.0, 0.1 / 3, 0.1], abs=1e-6)

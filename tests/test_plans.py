@@ -19,7 +19,9 @@ def sf(sf_dir):
 
 
 def _q(name, spark, sf):
-    return entry.queries()[name](spark, sf)
+    # registry + demoted: a plan assertion survives a query's demotion
+    qs = {**entry.demoted_queries(), **entry.queries()}
+    return qs[name](spark, sf)
 
 
 def test_knn_is_take_ordered_no_shuffle(spark, sf):

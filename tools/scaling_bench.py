@@ -135,7 +135,9 @@ def scaled_section(spark, sf_dir: str, factor: int = 10, runs: int = 2) -> dict:
     """
     import __spark_entry__ as entry
 
-    qs = entry.queries()
+    # demoted queries stay measurable: the scaled subset may reference a
+    # query whose registry slot was later swapped (e.g. ivf_assign)
+    qs = {**entry.demoted_queries(), **entry.queries()}
     counters = getattr(entry, "scaling_counters", lambda: {})()
     out_dir = tempfile.mkdtemp(prefix="spark_scaled_")
     try:
