@@ -12,9 +12,17 @@ a race gets ``ConcurrentWriteError``, never a silently dropped commit.
 
 Layout on disk::
 
-    <root>/data/bucket=<K>/gen=<G>/*.parquet   immutable data generations
-    <root>/_manifest/v<N>.json                 {"buckets": {K: {gen, rows}}}
+    <root>/data/bucket=<K>/gen=<G>-<token>/    immutable data generations
+    <root>/_manifest/v<N>.json                 {"buckets": {K: {gen, rows, dir}}}
     <root>/_manifest/_latest                   current version number
+
+Generation dir names carry a per-attempt random token and the manifest
+records the EXACT dir (the Delta/Iceberg unique-file-name discipline):
+a mutation that loses the manifest CAS leaves an orphan dir that can
+NEVER collide with any later attempt's target, so a retrying loser
+always makes progress (a deterministic ``gen=N`` name livelocked — the
+loser's own orphan made every retry fail with ALREADY_EXISTS).
+``vacuum`` reclaims unreferenced dirs.
 
 A row lives in bucket ``pmod(xxhash64(cast(id as string)), n_buckets)``.
 A mutation batch maps its ids to buckets (computed through the SAME Spark
@@ -45,6 +53,13 @@ from pyspark.sql.types import StructType
 
 _MANIFEST_DIR = "_manifest"
 _LATEST = "_latest"
+
+
+def _bucket_dirname(meta: dict) -> str:
+    """Data dir of a bucket's live generation.  New manifests record the
+    exact tokenized dir; pre-token manifests (create's gen 0, older
+    tables) fall back to the deterministic name."""
+    return meta.get("dir") or f"gen={meta['gen']}"
 
 
 def _bucket_expr(id_col: str, n_buckets: int):
@@ -136,8 +151,10 @@ class DurableVectorTable:
     # ---------------- read side ----------------
 
     def _bucket_path(self, k: int) -> str:
-        gen = self.manifest["buckets"][str(k)]["gen"]
-        return os.path.join(self.path, "data", f"bucket={k}", f"gen={gen}")
+        return os.path.join(
+            self.path, "data", f"bucket={k}",
+            _bucket_dirname(self.manifest["buckets"][str(k)]),
+        )
 
     def to_df(self) -> DataFrame:
         """The table as one DataFrame: the union of every bucket's live
@@ -192,25 +209,20 @@ class DurableVectorTable:
         return next_version
 
     def _rewrite_bucket(self, k: int, new_df: DataFrame, n_rows: int, buckets: dict):
-        from pyspark.errors import AnalysisException
-
+        # per-attempt unique dir (recorded in the manifest): two mutations
+        # racing from the same snapshot write DISJOINT dirs and contend
+        # only on the manifest CAS — and a loser's orphan dir can never
+        # collide with a retry's target (the deterministic gen=N naming
+        # livelocked: the loser's own leftover made every retry fail)
         gen = buckets[str(k)]["gen"] + 1
-        dst = os.path.join(self.path, "data", f"bucket={k}", f"gen={gen}")
+        dirname = f"gen={gen}-{uuid.uuid4().hex[:8]}"
         if n_rows > 0:
-            try:
-                new_df.write.parquet(dst)
-            except AnalysisException as e:
-                # a concurrent mutation from the same snapshot already
-                # wrote this bucket's next generation — surface it as the
-                # concurrency conflict it is, not a path error
-                if "ALREADY_EXISTS" in str(e):
-                    raise ConcurrentWriteError(
-                        f"bucket {k} generation {gen} at {self.path} was "
-                        "already written by a concurrent mutation; reload "
-                        "the table and retry"
-                    ) from None
-                raise
-        buckets[str(k)] = {"gen": gen, "rows": n_rows}
+            new_df.write.parquet(
+                os.path.join(self.path, "data", f"bucket={k}", dirname)
+            )
+            buckets[str(k)] = {"gen": gen, "rows": n_rows, "dir": dirname}
+        else:
+            buckets[str(k)] = {"gen": gen, "rows": 0, "dir": None}
 
     def delete_embeddings_batch(self, unique_ids: Sequence) -> "DurableVectorTable":
         """Durable batch delete: rewrites only the buckets holding the ids
@@ -358,7 +370,7 @@ class DurableVectorTable:
             with open(os.path.join(mdir, f"v{v}.json")) as f:
                 m = json.load(f)
             for k, b in m["buckets"].items():
-                live.add(os.path.join("data", f"bucket={k}", f"gen={b['gen']}"))
+                live.add(os.path.join("data", f"bucket={k}", _bucket_dirname(b)))
         removed = []
         data_dir = os.path.join(self.path, "data")
         for bucket_dir in os.listdir(data_dir) if os.path.isdir(data_dir) else []:

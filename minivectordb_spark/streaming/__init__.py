@@ -3,6 +3,7 @@ from minivectordb_spark.streaming.events import (
     session_rollup,
     stream_durable_ingest,
     stream_events,
+    stream_neardup_ingest,
     stream_vector_ingest,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "session_rollup",
     "stream_durable_ingest",
     "stream_events",
+    "stream_neardup_ingest",
     "stream_vector_ingest",
 ]

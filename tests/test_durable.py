@@ -292,3 +292,64 @@ def test_create_over_existing_table_rejected(spark, base_df, tmp_path):
     DurableVectorTable.create(base_df, root, id_col="id", n_buckets=4)
     with pytest.raises(ConcurrentWriteError):
         DurableVectorTable.create(base_df, root, id_col="id", n_buckets=4)
+
+
+def test_multi_writer_stress_one_winner_per_version(spark, base_df, tmp_path):
+    """N concurrent mutators on one table (VERDICT r4 stretch 8): every
+    version number is won by EXACTLY ONE writer (O_EXCL CAS), every losing
+    attempt surfaces ConcurrentWriteError and succeeds on retry from a
+    fresh snapshot, and no commit is lost — the final table holds every
+    writer's rows and the version count equals the number of successful
+    commits."""
+    import threading
+
+    from minivectordb_spark.durable import ConcurrentWriteError
+
+    root = str(tmp_path / "cow")
+    DurableVectorTable.create(base_df, root, id_col="id", n_buckets=8)
+
+    n_writers, n_commits = 4, 3
+    retries = []
+    errors = []
+
+    def writer(w: int) -> None:
+        try:
+            for c in range(n_commits):
+                rows = [
+                    (f"w{w}c{c}r{r}", [float(w), float(c)], f"t{w}")
+                    for r in range(2)
+                ]
+                batch = spark.createDataFrame(
+                    rows, "id string, embedding array<double>, tag string"
+                )
+                while True:
+                    t = DurableVectorTable.load(spark, root)
+                    try:
+                        t.store_embeddings_batch(batch)
+                        break
+                    except ConcurrentWriteError:
+                        retries.append((w, c))  # lost the CAS -> reload, retry
+        except Exception as e:  # pragma: no cover - surfaced via main thread
+            errors.append((w, repr(e)))
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(n_writers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors
+
+    final = DurableVectorTable.load(spark, root)
+    # exactly one winner per version: create=v0 + one per successful commit
+    assert final.manifest["version"] == n_writers * n_commits
+    ids = {r["id"] for r in final.to_df().collect()}
+    for w in range(n_writers):
+        for c in range(n_commits):
+            for r in range(2):
+                assert f"w{w}c{c}r{r}" in ids  # no lost commits
+    assert len(ids) == 40 + n_writers * n_commits * 2
+    # the contested schedule actually exercised the CAS (some retries) —
+    # with 4 writers racing 3 commits each this is deterministic in
+    # practice; if the scheduler serialized them perfectly the assertion
+    # below would be vacuous, so record it rather than require it
+    print(f"CAS retries observed: {len(retries)}")

@@ -403,3 +403,70 @@ def test_streaming_running_counts(spark, tmp_path):
     q.awaitTermination(120)
     totals = sorted(r["total"] for r in spark.sql("select * from rc_test").collect())
     assert totals[-1] == 3  # final running total sees all three rows
+
+
+def test_stream_neardup_ingest_batch_equivalence(spark, tmp_path):
+    """Batch == stream equivalence for near-dup-gated ingest (VERDICT r4
+    stretch 7): replaying a clique-duplicated corpus in id order through
+    stream_neardup_ingest retains exactly the ids the batch pipeline's
+    min-id-survivor resolution keeps, and the table lands partitioned by
+    lsh_bucket (the partition-pruned probe layout)."""
+    import os
+
+    from minivectordb_spark.embedder import embed_column
+    from minivectordb_spark.operators.ann import default_projection_planes
+    from minivectordb_spark.operators.dedup import (
+        dedup_survivors,
+        embedding_neardup_pairs,
+    )
+    from minivectordb_spark.streaming import stream_neardup_ingest
+
+    # hash64 embeds equal text to the identical vector -> exact cliques:
+    # {1,4,7} "alpha", {2,5} "beta"; 3 and 6 unique
+    batches = [
+        [(1, "alpha alpha alpha"), (2, "beta beta")],
+        [(3, "gamma gamma gamma gamma"), (4, "alpha alpha alpha")],
+        [(5, "beta beta"), (6, "delta"), (7, "alpha alpha alpha")],
+    ]
+    src = str(tmp_path / "nin")
+    table_path = str(tmp_path / "nout")
+    ck = str(tmp_path / "nck")
+    threshold = 0.95
+
+    for rows in batches:  # one stream restart per micro-batch: order pinned
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = stream_neardup_ingest(
+            stream, table_path, ck, threshold=threshold
+        ).start()
+        q.awaitTermination(120)
+
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(table_path).select("doc_id").collect()
+    )
+
+    # batch reference: same planes, same threshold, min-id survivors
+    all_rows = [r for b in batches for r in b]
+    full = embed_column(
+        spark.createDataFrame(all_rows, ["doc_id", "text"]), "text"
+    )
+    planes = default_projection_planes(64, n_planes=6)
+    pairs = embedding_neardup_pairs(
+        full, emb_col="embedding", id_col="doc_id",
+        planes=planes, threshold=threshold,
+    )
+    expected = sorted(
+        r["doc_id"]
+        for r in dedup_survivors(full, pairs, id_col="doc_id").select("doc_id").collect()
+    )
+    assert got == expected == [1, 2, 3, 6]
+
+    # scale contract: the table is laid out for partition-pruned probes
+    assert any(
+        d.startswith("lsh_bucket=") for d in os.listdir(table_path)
+    ), os.listdir(table_path)
