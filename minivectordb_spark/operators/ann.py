@@ -100,9 +100,9 @@ def lloyd_kmeans_centroids(
     from minivectordb_spark.scoring import norm_expr
 
     spark = df.sparkSession
-    first = df.select(F.size(F.col(emb_col)).alias("d")).first()
-    dim = int(first["d"]) if first else 0
     cents = _collect_centroids(seed_centroids(df, n, id_col, emb_col))
+    # dim from the seeds already on the driver — no separate peek job
+    dim = len(cents[0][1]) if cents else 0
     staged = materialize(
         df.select(id_col, emb_col), norm_expr(F.col(emb_col)), "__n", [id_col, emb_col]
     )
