@@ -906,3 +906,43 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select(*out_cols, "cosine")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al.,
+    arXiv:2303.09540): coarse-cluster the corpus with a fitted centroid
+    set, resolve cosine near-duplicates WITHIN each cluster, keep the
+    min-id survivor of every duplicate group plus all unpaired rows.
+
+    Composition of three existing scale paths — ``ann.ivf_assign`` (map-
+    only argmax assignment over inlined centroids), ``embedding_neardup_
+    pairs(block_col="centroid_id")`` (the equi-keyed blocking case, here
+    with FITTED cluster cardinality that grows with the corpus — exactly
+    the condition under which block_col blocking is scale-safe), and
+    ``dedup_survivors`` (connected components, min-id representative).
+    Pairs straddling two clusters are NOT compared — SemDeDup's
+    documented approximation: near-duplicates co-locate under the same
+    coarse quantizer with high probability, and cross-cluster recall is
+    what ``embedding_neardup_pairs``' LSH multiprobe path trades back in
+    when blocking-free dedup is wanted.
+    """
+    from minivectordb_spark.operators.ann import ivf_assign
+
+    assigned = ivf_assign(df, centroids, id_col=id_col, emb_col=emb_col).select(
+        id_col, "centroid_id"
+    )
+    blocked = df.select(id_col, emb_col).join(assigned, id_col)
+    pairs = embedding_neardup_pairs(
+        blocked,
+        emb_col=emb_col,
+        id_col=id_col,
+        block_col="centroid_id",
+        threshold=threshold,
+    )
+    return dedup_survivors(df, pairs, id_col=id_col)

@@ -821,3 +821,44 @@ def test_lloyd_kmeans_deterministic_and_adaptive(spark):
     assert got_a[0] != seeds[0]
     assert got_a[0] == pytest.approx([1.0, 0.2 / 3, 0.1, 0.0], abs=1e-6)
     assert got_a[1] == pytest.approx([0.0, 1.0, 0.1 / 3, 0.1], abs=1e-6)
+
+
+def test_semantic_dedup_within_cluster_only(spark):
+    """semantic_dedup drops the non-min member of a same-cluster near-dup
+    group and keeps everything else; a near-dup pair SPLIT across two
+    clusters is not compared — SemDeDup's documented approximation."""
+    from minivectordb_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # centroid A seed
+        (1, [0.0, 1.0, 0.0, 0.0]),   # centroid B seed
+        (2, [1.0, 0.001, 0.0, 0.0]), # ~dup of 0, lands in A -> dropped
+        (3, [0.0, 1.0, 0.001, 0.0]), # ~dup of 1, lands in B -> dropped
+        (4, [0.0, 0.0, 1.0, 0.0]),   # unique, no near-dup anywhere
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        ["centroid_id", "centroid_emb"],
+    )
+    kept = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(df, cents, threshold=0.99).collect()
+    )
+    assert kept == [0, 1, 4]
+
+    # straddling pair: 5 and 6 are near-identical but argmax-assign to
+    # DIFFERENT clusters (tiny opposite leans) -> both survive (blocking
+    # approximation, not a bug)
+    rows2 = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (5, [0.70712, 0.70709, 0.0, 0.0]),  # leans to A
+        (6, [0.70709, 0.70712, 0.0, 0.0]),  # leans to B
+    ]
+    df2 = spark.createDataFrame(rows2, ["vec_id", "embedding"])
+    kept2 = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(df2, cents, threshold=0.99).collect()
+    )
+    assert kept2 == [0, 1, 5, 6]

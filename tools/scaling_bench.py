@@ -58,6 +58,7 @@ SCALED_QUERIES = [
     "dedup_resolve",
     "neardup_cosine",
     "hybrid_rrf_batch",
+    "semantic_dedup",
 ]
 
 
