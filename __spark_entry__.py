@@ -64,6 +64,9 @@ NEARDUP_COS = 0.35
 N_CENTROIDS = 10
 NPROBE = 3
 KMEANS_ITERS = 2  # fixed Lloyd's iteration count (oracle unrolls the same)
+SEMANTIC_DEDUP_COS = 0.4  # tighter than NEARDUP_COS: a semantic-duplicate
+# decision, and the loose 0.35 pair graph chains across whole clusters at
+# sf0.1 (measured: 2.6x the CC wall for no additional oracle signal)
 SIMHASH_MAX_HAMMING = 3  # exact recall for < n_bands=4 (pigeonhole)
 NEARDUP_PLANES = default_projection_planes(DIM)  # 4 planes, seed 7
 # caller-pinned planes for q_neardup_cosine: 64 buckets, literal-inlined in
@@ -674,7 +677,9 @@ def q_semantic_dedup(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     cents = lloyd_kmeans_centroids(e, N_CENTROIDS, iters=KMEANS_ITERS)
-    return semantic_dedup(e, cents, threshold=NEARDUP_COS).select("vec_id", "label")
+    return semantic_dedup(e, cents, threshold=SEMANTIC_DEDUP_COS).select(
+        "vec_id", "label"
+    )
 
 
 def q_ivf_assign_kmeans(spark, sf_dir):
@@ -1065,10 +1070,39 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
             "output_rows": int(q_dedup_groups(spark, sf_dir).count()),
         }
 
+    def c_semantic_dedup(spark: SparkSession, sf_dir: str) -> dict:
+        from minivectordb_spark.operators.ann import (
+            ivf_assign,
+            lloyd_kmeans_centroids,
+        )
+        from minivectordb_spark.operators.dedup import embedding_neardup_pairs
+
+        e = _t(spark, sf_dir, "embeddings")
+        cents = lloyd_kmeans_centroids(e, N_CENTROIDS, iters=KMEANS_ITERS)
+        assigned = ivf_assign(e, cents).select("vec_id", "centroid_id")
+        occ = (
+            assigned.groupBy("centroid_id").count()
+            .agg(F.avg("count").alias("avg"), F.max("count").alias("mx"))
+            .first()
+        )
+        blocked = e.select("vec_id", "embedding").join(assigned, "vec_id")
+        pairs = embedding_neardup_pairs(
+            blocked, block_col="centroid_id", threshold=SEMANTIC_DEDUP_COS
+        )
+        return {
+            "n_rows": int(e.count()),
+            "n_clusters": N_CENTROIDS,
+            "avg_cluster_size": round(float(occ["avg"]), 1),
+            "max_cluster_size": int(occ["mx"]),
+            "dup_pairs": int(pairs.count()),
+            "survivors": int(q_semantic_dedup(spark, sf_dir).count()),
+        }
+
     return {
         "neardup_lsh": c_neardup_lsh,
         "neardup_cosine": c_neardup_cosine,
         "dedup_groups": c_dedup_groups,
+        "semantic_dedup": c_semantic_dedup,
     }
 
 
@@ -1644,7 +1678,7 @@ pairs AS (
        ON sa.centroid_id = sb.centroid_id AND sa.vec_id < sb.vec_id
   JOIN embeddings ea ON ea.vec_id = sa.vec_id
   JOIN embeddings eb ON eb.vec_id = sb.vec_id
-  WHERE round({pcos}, 6) >= {NEARDUP_COS}
+  WHERE round({pcos}, 6) >= {SEMANTIC_DEDUP_COS}
 ),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs

@@ -582,6 +582,10 @@ def connected_components(
                 edges_hot.join(F.broadcast(hot_labels), "dst")
             )
         nbr_min = looked_up.groupBy("src").agg(F.min("__c").alias("__nbr_c"))
+        # the change flag rides the checkpointed frame, so convergence is a
+        # cheap scan over already-materialized rows instead of a second
+        # full join of new labels against old (one join job per round
+        # saved — iterative cost is dominated by per-round job count)
         new_labels = (
             labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
             .select(
@@ -589,19 +593,38 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce(F.col("__nbr_c"), F.col("component"))
                 ).alias("component"),
+                (
+                    F.coalesce(F.col("__nbr_c"), F.col("component"))
+                    < F.col("component")
+                ).alias("__changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__changed")).limit(1).count()
+        labels = new_labels.select("id", "component")
         if changed == 0:
             break
+        # pointer jumping (path compression): component <- component's
+        # component.  Neighbor-min alone needs O(diameter) rounds — a
+        # loose-threshold pair graph forms long similarity CHAINS (seen:
+        # >15-hop chains inside semantic_dedup's clusters at sf0.1, which
+        # blew max_iter); composing labels halves remaining path lengths,
+        # so rounds drop to O(log diameter).  Runs only on non-converged
+        # rounds: near-clique duplicate groups (the common case) converge
+        # in round 1 and never pay the extra join.  The invariant "label
+        # is an id inside my component, >= the component min" is
+        # preserved, so the fixpoint check above stays authoritative.
+        l2 = labels.select(
+            F.col("id").alias("__cid"), F.col("component").alias("__cc")
+        )
+        labels = (
+            labels.join(l2, labels["component"] == l2["__cid"], "left")
+            .select(
+                "id",
+                F.coalesce(F.col("__cc"), F.col("component")).alias("component"),
+            )
+            .localCheckpoint()
+        )
     else:
         # exhausting max_iter with labels still moving means the result is
         # NOT the true components (a >max_iter-diameter chain) — returning

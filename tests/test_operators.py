@@ -862,3 +862,19 @@ def test_semantic_dedup_within_cluster_only(spark):
         for r in semantic_dedup(df2, cents, threshold=0.99).collect()
     )
     assert kept2 == [0, 1, 5, 6]
+
+
+def test_connected_components_long_chain(spark):
+    """A 200-hop chain (the loose-threshold similarity-chain shape that
+    defeats plain O(diameter) min-label propagation at max_iter=15) must
+    converge via pointer jumping in O(log diameter) rounds and collapse
+    to the chain head."""
+    from minivectordb_spark.operators.dedup import connected_components
+
+    n = 200
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert len(got) == n
+    assert set(got.values()) == {0}
