@@ -667,6 +667,17 @@ def q_ivf_assign(spark, sf_dir):
     return ivf_assign(e, seed_centroids(e, N_CENTROIDS))
 
 
+def q_repeated_passages(spark, sf_dir):
+    """Repeated-passage detection (operators/dedup.repeated_passages):
+    exact-substring dedup approximated as hashed token windows -> one
+    hash-keyed groupBy; windows appearing in >= 2 distinct docs.  Graded
+    at window=3 (= the shingle k the SQL oracle already replicates
+    bit-for-bit)."""
+    from minivectordb_spark.operators.dedup import repeated_passages
+
+    return repeated_passages(_t(spark, sf_dir, "documents"), min_docs=2)
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup (operators/dedup.semantic_dedup):
     Lloyd's-fitted coarse clusters -> within-cluster cosine near-dup
@@ -1002,7 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_fractions": q_mix_fractions,
         "vocabulary": q_vocabulary,
         "bm25_search": q_bm25_search,
-        "hybrid_rrf": q_hybrid_rrf,
+        "repeated_passages": q_repeated_passages,
         "hybrid_rrf_batch": q_hybrid_rrf_batch,
         "dedup_groups": q_dedup_groups,
         "dedup_resolve": q_dedup_resolve,
@@ -1121,6 +1132,9 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - events_stats: avg/stddev aggregates per event_type — the plain-agg
       shape is graded three ways already (events_agg, tpch_q1,
       text_stats); swapped out for pack_sequences (r4)
+    - hybrid_rrf: single-query RRF fusion — exactly hybrid_rrf_batch
+      with a one-element query set (same legs, same fuse); swapped for
+      repeated_passages (r5)
     - simhash: map-only 32-bit fingerprints; the identical fingerprint
       expression runs inside the still-green simhash_pairs plan (and the
       64-bit variant inside simhash_pairs64); swapped for semantic_dedup
@@ -1142,6 +1156,7 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stats": q_events_stats,
         "ivf_assign": q_ivf_assign,
         "simhash": q_simhash,
+        "hybrid_rrf": q_hybrid_rrf,
     }
 
 
@@ -1469,6 +1484,17 @@ SELECT * FROM documents
 WHERE (lang = 'de' AND {gate(1.0)})
    OR (lang = 'en' AND {gate(0.25)})
    OR (lang NOT IN ('de', 'en') AND {gate(0.10)})
+""".strip()
+
+
+def _oracle_repeated_passages() -> str:
+    """repeated_passages twin over the SAME shingle-hash machinery the
+    MinHash oracles replicate bit-for-bit (window = SHINGLE_K)."""
+    return f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+sh AS (SELECT doc_id, unnest({_SQL_SHINGLE_HASHES}) AS gram_hash FROM t)
+SELECT gram_hash, count(*)::BIGINT AS n_docs, min(doc_id) AS first_doc
+FROM sh GROUP BY gram_hash HAVING count(*) >= 2
 """.strip()
 
 
@@ -1928,6 +1954,7 @@ SELECT vec_id, scale,
         "corpus_pipeline": _oracle_corpus_pipeline(),
         "bm25_search": _oracle_bm25(),
         "hybrid_rrf": _oracle_hybrid_rrf(),
+        "repeated_passages": _oracle_repeated_passages(),
         "hybrid_rrf_batch": _oracle_hybrid_rrf_batch(),
         "vocabulary": f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),

@@ -969,3 +969,39 @@ def semantic_dedup(
         threshold=threshold,
     )
     return dedup_survivors(df, pairs, id_col=id_col)
+
+
+def repeated_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = DEFAULT_SHINGLE,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Repeated-passage detection — the Spark-shaped approximation of
+    exact-substring dedup (Lee et al., arXiv:2107.06499, "Deduplicating
+    Training Data Makes Language Models Better"): hash every token window
+    of length ``window`` (the shingle machinery — per-doc distinct), then
+    one explode + one hash-keyed groupBy reports the windows appearing in
+    >= ``min_docs`` DISTINCT documents, with the min doc id as the
+    canonical holder.  This is the candidate passage table a scrub pass
+    joins against — passage-level dedup for the boilerplate/citation/
+    license-block case where document-level near-dup is too coarse.
+
+    Plan: map-only window hashing (tokens staged once per row, shingles
+    once — see ``_shingle_frame``), rows fan out by windows-per-doc only,
+    then ONE shuffle on the 4-byte hash with map-side partial aggregation.
+    count(*) counts distinct docs for free because each doc's window set
+    is already distinct.  At 100 TB the same plan runs with window ~50
+    plus a stride; the shuffle key stays the hash, and AQE's skew join is
+    irrelevant (pure aggregation, no join)."""
+    sh = _shingle_frame(df, text_col, id_col, window)
+    exploded = sh.select(F.col(id_col), F.explode("sh").alias("gram_hash"))
+    return (
+        exploded.groupBy("gram_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(F.col(id_col)).alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

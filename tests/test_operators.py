@@ -878,3 +878,19 @@ def test_connected_components_long_chain(spark):
     got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
     assert len(got) == n
     assert set(got.values()) == {0}
+
+
+def test_repeated_passages(docs):
+    """Identical docs 0/1 repeat all 7 of their 3-token windows; near-dup
+    doc 2 shares 6 of them (n_docs=3); unique docs contribute nothing.
+    first_doc is the min holder."""
+    from minivectordb_spark.operators.dedup import repeated_passages
+
+    out = {
+        r["gram_hash"]: (r["n_docs"], r["first_doc"])
+        for r in repeated_passages(docs).collect()
+    }
+    assert len(out) == 7  # the shared fox-sentence windows, nothing else
+    counts = sorted(n for n, _ in out.values())
+    assert counts == [2, 3, 3, 3, 3, 3, 3]  # last window differs dog/cat
+    assert all(first == 0 for _, first in out.values())
