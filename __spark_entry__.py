@@ -1081,6 +1081,18 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
             "output_rows": int(q_dedup_groups(spark, sf_dir).count()),
         }
 
+    def c_lsh_jaccard(spark: SparkSession, sf_dir: str) -> dict:
+        # banding candidates vs verified output: the wall follows the
+        # candidate set (bucket collisions) and the verified pairs grow
+        # quadratically inside replicated cliques by harness design
+        from minivectordb_spark.operators.dedup import lsh_candidate_pairs
+
+        docs = _t(spark, sf_dir, "documents")
+        return {
+            "candidate_pairs": int(lsh_candidate_pairs(docs).count()),
+            "output_pairs": int(q_lsh_jaccard_pairs(spark, sf_dir).count()),
+        }
+
     def c_semantic_dedup(spark: SparkSession, sf_dir: str) -> dict:
         from minivectordb_spark.operators.ann import (
             ivf_assign,
@@ -1113,6 +1125,7 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
         "neardup_lsh": c_neardup_lsh,
         "neardup_cosine": c_neardup_cosine,
         "dedup_groups": c_dedup_groups,
+        "lsh_jaccard_pairs": c_lsh_jaccard,
         "semantic_dedup": c_semantic_dedup,
     }
 
