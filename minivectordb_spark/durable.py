@@ -351,13 +351,23 @@ class DurableVectorTable:
         _publish(self.path, new_manifest)
         return DurableVectorTable(self.spark, self.path, new_manifest)
 
-    def vacuum(self, keep_versions: int = 1) -> list[str]:
+    def vacuum(
+        self, keep_versions: int = 1, grace_seconds: float = 600.0
+    ) -> list[str]:
         """Delete generation dirs referenced by NO manifest among the
         newest ``keep_versions`` manifests, then drop the older manifest
         files — bounds disk growth after many mutations.  Time travel only
         reaches versions that survive the vacuum (same contract as Delta's
-        VACUUM).  Returns the removed generation paths."""
+        VACUUM).  Returns the removed generation paths.
+
+        ``grace_seconds``: dirs modified more recently than this are kept
+        even when unreferenced — an IN-FLIGHT mutation writes its
+        tokenized generation dirs BEFORE the manifest CAS publishes, so
+        without the grace window a concurrent vacuum would delete data a
+        writer is about to commit (Delta's retention-period rule; pass 0
+        only when no writer can be live)."""
         import shutil
+        import time as _time
 
         mdir = os.path.join(self.path, _MANIFEST_DIR)
         versions = sorted(
@@ -372,13 +382,21 @@ class DurableVectorTable:
             for k, b in m["buckets"].items():
                 live.add(os.path.join("data", f"bucket={k}", _bucket_dirname(b)))
         removed = []
+        now = _time.time()
         data_dir = os.path.join(self.path, "data")
         for bucket_dir in os.listdir(data_dir) if os.path.isdir(data_dir) else []:
             for gen_dir in os.listdir(os.path.join(data_dir, bucket_dir)):
                 rel = os.path.join("data", bucket_dir, gen_dir)
-                if rel not in live:
-                    shutil.rmtree(os.path.join(self.path, rel), ignore_errors=True)
-                    removed.append(rel)
+                if rel in live:
+                    continue
+                full = os.path.join(self.path, rel)
+                try:
+                    if now - os.path.getmtime(full) < grace_seconds:
+                        continue  # possibly an in-flight writer's dir
+                except OSError:
+                    continue
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(rel)
         for v in versions:
             if v not in keep:
                 os.remove(os.path.join(mdir, f"v{v}.json"))

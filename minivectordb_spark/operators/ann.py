@@ -184,6 +184,68 @@ def ivf_assign(
     )
 
 
+def ivf_assign_join(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """``ivf_assign`` for LARGE centroid sets: broadcast crossJoin +
+    per-vector max-struct aggregation instead of inlined literals.
+
+    The literal-inlining path is the fastest plan but caps out around a
+    few thousand centroids (expression-tree size grows as K x dim; the
+    driver must also collect and re-serialize every center into every
+    task).  Past that — IVF at ~sqrt(N) centroids over billions of rows —
+    the centroid table is still broadcast-sized (1M x 64 floats ~ 256 MB
+    upper bound; sample or shard beyond), and the scalable shape is
+    broadcast-join the centroids, compute the cosine per (row, centroid),
+    and take the per-row argmax as a max of (cos, -centroid_id) structs
+    under a groupBy on the row id — partial aggregation reduces each
+    partition to one candidate per row before any exchange, so the
+    shuffle carries one row per vector, never K.
+
+    Same (id, centroid_id, centroid_cos) contract and the same min-id
+    tiebreak as ``ivf_assign`` (equivalence unit-tested); swap freely as
+    K grows."""
+    from minivectordb_spark.operators.util import materialize
+    from minivectordb_spark.scoring import norm_expr
+
+    staged = materialize(df, norm_expr(F.col(emb_col)), "__n", [id_col, emb_col])
+    c = materialize(
+        centroids.select("centroid_id", "centroid_emb"),
+        norm_expr(F.col("centroid_emb")),
+        "__cn",
+        ["centroid_id", "centroid_emb"],
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(emb_col).cast("array<double>"),
+            F.col("centroid_emb").cast("array<double>"),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("__n") * F.col("__cn"))
+    scored = staged.join(F.broadcast(c)).select(
+        F.col(id_col),
+        F.struct(
+            cos.alias("cos"),
+            (-F.col("centroid_id")).cast("long").alias("neg_id"),
+        ).alias("__s"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.max("__s").alias("__best"))
+        .select(
+            F.col(id_col),
+            (-F.col("__best.neg_id")).alias("centroid_id"),
+            F.round(F.col("__best.cos"), 6).alias("centroid_cos"),
+        )
+    )
+
+
 def ivf_search(
     df: DataFrame,
     centroids: DataFrame,

@@ -209,7 +209,10 @@ def test_compact_and_vacuum(spark, base_df, tmp_path):
         bp = t2._bucket_path(k)
         assert sum(1 for f in os.listdir(bp) if f.endswith(".parquet")) == 1
 
-    removed = t2.vacuum(keep_versions=1)
+    # all dirs are seconds old: the default grace window must keep every
+    # unreferenced dir (it cannot tell them from an in-flight writer's)
+    assert t2.vacuum(keep_versions=1) == []
+    removed = t2.vacuum(keep_versions=1, grace_seconds=0)  # no live writers
     assert removed  # superseded generations dropped
     # latest still reads fine; old versions are gone
     assert {r["id"] for r in DurableVectorTable.load(spark, root).to_df().collect()} == before

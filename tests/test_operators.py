@@ -894,3 +894,31 @@ def test_repeated_passages(docs):
     counts = sorted(n for n, _ in out.values())
     assert counts == [2, 3, 3, 3, 3, 3, 3]  # last window differs dog/cat
     assert all(first == 0 for _, first in out.values())
+
+
+def test_ivf_assign_join_equivalence(spark, emb_df):
+    """Broadcast-join assignment (large-K path) must produce exactly the
+    inlined-literal assignment: same nearest centroid, same rounded
+    cosine, same min-id tiebreak."""
+    from minivectordb_spark.operators.ann import (
+        ivf_assign,
+        ivf_assign_join,
+        seed_centroids,
+    )
+
+    cents = seed_centroids(emb_df, 5)
+    lit = {
+        r["vec_id"]: (r["centroid_id"], r["centroid_cos"])
+        for r in ivf_assign(emb_df, cents).collect()
+    }
+    jn = {
+        r["vec_id"]: (r["centroid_id"], r["centroid_cos"])
+        for r in ivf_assign_join(emb_df, cents).collect()
+    }
+    assert lit == jn
+    # the join path shuffles one row per vector (partial agg), never K
+    plan = (
+        ivf_assign_join(emb_df, cents)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
