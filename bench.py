@@ -99,6 +99,21 @@ def main():
     except Exception as e:
         print(f"bench ivf split error: {e}", file=sys.stderr)
 
+    # crash insurance: emit the main-loop line BEFORE the (long) scaled
+    # section — the driver keeps the tail of stdout, so if the scaled run
+    # is cut off by a timeout the per-query numbers still land; when the
+    # bench completes, the final combined line below supersedes this one
+    early = {
+        "metric": "total_wall_sec_all_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "runs_per_query": RUNS,
+        "per_query_stat": "min",
+        "sf": float(sf),
+    }
+    print(json.dumps(early, separators=(",", ":")), flush=True)
+
     # measured-scaling section (factor-x replicated inputs through the same
     # query builders) — the mechanical regression check for plan shapes
     # whose cost must stay ~linear; disable with SPARK_GRAFT_SCALED=0
