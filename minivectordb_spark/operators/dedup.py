@@ -1005,3 +1005,51 @@ def repeated_passages(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = DEFAULT_SHINGLE,
+    min_overlap: int = 1,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination — flag training documents whose token
+    n-grams overlap a held-out evaluation set (the published method used
+    for GPT-3 / PaLM / Llama training sets: n-gram collision against the
+    benchmark, then drop or scrub the colliding documents).  Returns
+    ``(id_col, n_overlap)`` for every corpus document sharing at least
+    ``min_overlap`` DISTINCT ``window``-token grams with any benchmark
+    document; the caller left-anti-joins this against the corpus to drop
+    them (or routes them to a passage-scrub pass).
+
+    Plan: both sides reuse the shingle machinery (tokens staged once,
+    per-doc-distinct gram hashes).  The benchmark side reduces to a
+    DISTINCT gram-hash set; with ``broadcast_benchmark`` (default) that
+    set broadcasts — eval suites are a few MB of n-grams even for large
+    benchmark batteries — so the corpus-side probe is map-only, and the
+    ONLY shuffle is the final per-doc count.  At 100 TB: same plan; if
+    the benchmark set ever outgrows the broadcast threshold, pass
+    ``broadcast_benchmark=False`` for a plain hash-partitioned semi-join
+    on the 4-byte gram hash (two shuffles, still never all-pairs).
+
+    Reference analogue: none — the reference searches one DB; this is the
+    training-pipeline extension surface (BASELINE.json north star)."""
+    corp_sh = _shingle_frame(corpus, text_col, id_col, window)
+    bench_grams = (
+        _shingle_frame(benchmark, text_col, id_col, window)
+        .select(F.explode("sh").alias("gram_hash"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    hits = corp_sh.select(F.col(id_col), F.explode("sh").alias("gram_hash")).join(
+        bench_grams, "gram_hash"
+    )
+    return (
+        hits.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )

@@ -216,3 +216,56 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         fingerprint(F.col(text_col)).alias("fp"),
         F.md5(F.col(text_col)).alias("content_md5"),
     )
+
+
+def lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Unigram-LM document scoring — the perplexity-style quality filter of
+    CCNet (Wenzek et al., arXiv:1911.00359; their 5-gram KenLM, here the
+    unigram LM fit on the corpus itself, which needs no external model):
+    score each doc by the mean token log-probability under corpus-wide token
+    frequencies.  Outlier-low ``avg_logp`` = rare-token soup (boilerplate,
+    code dumps, mojibake); outlier-high = degenerate repetition — training
+    pipelines keep the middle band.  Returns ``(id_col, n_tokens,
+    avg_logp)``; empty documents carry no tokens and drop out (their score
+    is undefined).
+
+    Numerics: per-token ``logp = round(ln(c / T), 6)`` is frozen to
+    DECIMAL(18,6) BEFORE the per-doc sum, so the aggregate is exact and
+    order-independent — the engine-parity trick tpch_q1 uses — and the
+    float round happens once per VOCAB ENTRY, not once per occurrence.
+
+    Plan: one explode + token-keyed groupBy builds the vocab (the same
+    combiner-reduced shuffle as ``prep.vocabulary``); the corpus total is
+    a 1-row agg cross-joined in (broadcast, free); the per-doc pass then
+    probes the vocab and partial-aggregates on the id.  With
+    ``broadcast_vocab`` (default) the probe join is map-only — a natural-
+    language vocab is millions of entries at any corpus size (Heaps' law),
+    far under broadcast limits; set False for a shuffle join if scoring
+    adversarial token soups.  Total: two shuffles (vocab build, per-doc
+    agg), both with map-side partial aggregation."""
+    ex = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+    vocab = ex.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("T"))
+    lp = vocab.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.round(F.log(F.col("c").cast("double") / F.col("T").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("logp"),
+    )
+    if broadcast_vocab:
+        lp = F.broadcast(lp)
+    return (
+        ex.join(lp, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum("logp").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("avg_logp"),
+        )
+    )

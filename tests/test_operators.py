@@ -922,3 +922,93 @@ def test_ivf_assign_join_equivalence(spark, emb_df):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_flags_overlapping_docs(spark):
+    """Corpus doc sharing any 3-gram with the benchmark is flagged with
+    the DISTINCT overlapping-gram count; disjoint docs are not."""
+    from minivectordb_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares 3 distinct 3-grams with bench
+            (0, "the quick brown fox jumps high"),
+            # shares exactly one ("quick brown fox")
+            (1, "a quick brown fox sleeps"),
+            # token overlap but no 3-token window in common
+            (2, "fox and quick and brown"),
+            (3, "completely unrelated text here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["n_overlap"]
+        for r in decontaminate(corpus, bench).collect()
+    }
+    assert out == {0: 3, 1: 1}
+    # min_overlap raises the bar
+    strict = decontaminate(corpus, bench, min_overlap=2).collect()
+    assert [r["doc_id"] for r in strict] == [0]
+
+
+def test_decontaminate_plan_broadcast_probe(spark):
+    """The benchmark gram set must broadcast (map-only corpus probe): the
+    corpus side sees exactly one hash shuffle (the final per-doc count).
+    The second Exchange in the plan is the BENCHMARK side's distinct —
+    it moves eval-set grams only, never corpus data."""
+    from minivectordb_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame([(9, "a b c d")], ["doc_id", "text"])
+    corpus = spark.createDataFrame([(0, "a b c d e")], ["doc_id", "text"])
+    df = decontaminate(corpus, bench)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    # the corpus-side shuffle keys on the doc id (per-doc count); the
+    # gram-keyed shuffle must sit under the BroadcastExchange (benchmark)
+    bcast_part = plan.split("BroadcastExchange", 1)[1]
+    assert "Exchange hashpartitioning(gram_hash" in bcast_part
+    before_bcast = plan.split("BroadcastExchange", 1)[0]
+    assert "Exchange hashpartitioning(gram_hash" not in before_bcast
+
+
+def test_lm_score_hand_computed(spark):
+    """Unigram logp from corpus frequencies: hand-check a 2-doc corpus."""
+    import math
+
+    from minivectordb_spark.operators.text import lm_score
+
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "a c")], ["doc_id", "text"]
+    )
+    # counts: a=3, b=1, c=1, T=5
+    lp = {t: round(math.log(c / 5), 6) for t, c in {"a": 3, "b": 1, "c": 1}.items()}
+    out = {r["doc_id"]: r for r in lm_score(df).collect()}
+    assert out[0]["n_tokens"] == 3
+    assert out[0]["avg_logp"] == pytest.approx(
+        round((2 * lp["a"] + lp["b"]) / 3, 6), abs=1e-9
+    )
+    assert out[1]["n_tokens"] == 2
+    assert out[1]["avg_logp"] == pytest.approx(
+        round((lp["a"] + lp["c"]) / 2, 6), abs=1e-9
+    )
+
+
+def test_lm_score_empty_doc_drops(spark):
+    from minivectordb_spark.operators.text import lm_score
+
+    df = spark.createDataFrame([(0, "x y"), (1, "")], ["doc_id", "text"])
+    assert [r["doc_id"] for r in lm_score(df).collect()] == [0]
+
+
+def test_lm_score_plan_broadcast_vocab(spark):
+    """The vocab probe join must be broadcast (no shuffle of the exploded
+    corpus for the join itself)."""
+    from minivectordb_spark.operators.text import lm_score
+
+    df = spark.createDataFrame([(0, "a b"), (1, "b c")], ["doc_id", "text"])
+    plan = lm_score(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
