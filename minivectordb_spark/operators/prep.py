@@ -244,3 +244,102 @@ def pack_sequences(
         (F.col("__start") % F.lit(budget)).alias("seq_off"),
         F.col("__tok").alias("n_tokens"),
     )
+
+
+DSIR_BUCKETS = 4096
+
+
+def _dsir_feature_buckets(toks: Column, n_buckets: int) -> Column:
+    """Hashed unigram+bigram feature MULTISET (bag, not set — DSIR weights
+    count feature occurrences) bucketed to ``n_buckets`` via the portable
+    md5 hash.  ``toks`` must be a materialized token array (see
+    ``operators/util.materialize``)."""
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(toks, bigrams)
+    return F.transform(feats, lambda s: md5i32(s) % F.lit(n_buckets))
+
+
+def dsir_logweights(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    arXiv:2302.03169): score every raw-corpus document by how target-like
+    its hashed-n-gram distribution is.  Fits two add-one-smoothed
+    bag-of-buckets models (unigrams + bigrams hashed into ``n_buckets``):
+    p_target over ``target`` and q_raw over ``df``; a document's
+    ``log_weight`` is the sum over its feature OCCURRENCES of
+    ``ln p_target(b) - ln q_raw(b)`` — the importance log-ratio the
+    resampling step (e.g. ``stratified_sample`` keyed on a weight band, or
+    Gumbel top-k) consumes.  Returns ``(id_col, n_feats, log_weight)``;
+    empty documents carry no features and drop out.
+
+    Numerics: the per-bucket log-ratio is frozen to DECIMAL(18,6) (one
+    float round per BUCKET, ≤ ``n_buckets`` of them) before the per-doc
+    sum — exact, order-independent, engine-portable (the tpch_q1 trick).
+
+    Plan: one explode per side feeds two bucket-keyed groupBys (combiner-
+    reduced; ≤ ``n_buckets`` groups, so the shuffle is bounded by the
+    BUCKET count, not the corpus); the two totals are 1-row aggs
+    cross-joined in; the ≤``n_buckets``-row log-ratio table broadcasts, so
+    the per-doc scoring pass is map-only + ONE id-keyed count shuffle.  At
+    100 TB: identical plan — the ratio table is fixed-size by construction
+    (that is the point of feature hashing), and every corpus-sized stage
+    is map-only or partial-aggregated."""
+    staged = materialize(df, tokens(F.col(text_col)), "__toks", [id_col])
+    feats = staged.select(
+        F.col(id_col),
+        F.explode(_dsir_feature_buckets(F.col("__toks"), n_buckets)).alias("b"),
+    )
+    tgt_staged = materialize(target, tokens(F.col(text_col)), "__toks", [id_col])
+    tgt_feats = tgt_staged.select(
+        F.explode(_dsir_feature_buckets(F.col("__toks"), n_buckets)).alias("b")
+    )
+
+    raw_counts = feats.groupBy("b").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt_counts = tgt_feats.groupBy("b").agg(F.count(F.lit(1)).alias("c_tgt"))
+    t_raw = raw_counts.agg(F.sum("c_raw").alias("t_raw"))
+    t_tgt = tgt_counts.agg(F.sum("c_tgt").alias("t_tgt"))
+
+    B = F.lit(n_buckets).cast("double")
+    ratios = (
+        raw_counts.join(tgt_counts, "b", "left")
+        .crossJoin(F.broadcast(t_raw))
+        .crossJoin(F.broadcast(t_tgt))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c_tgt"), F.lit(0)) + F.lit(1)).cast("double")
+                    / (F.col("t_tgt").cast("double") + B)
+                )
+                - F.log(
+                    (F.col("c_raw") + F.lit(1)).cast("double")
+                    / (F.col("t_raw").cast("double") + B)
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lr"),
+        )
+    )
+    return (
+        feats.join(F.broadcast(ratios), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.sum("lr").cast("double"), 6).alias("log_weight"),
+        )
+    )

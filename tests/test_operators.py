@@ -1012,3 +1012,69 @@ def test_lm_score_plan_broadcast_vocab(spark):
     df = spark.createDataFrame([(0, "a b"), (1, "b c")], ["doc_id", "text"])
     plan = lm_score(df)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_dsir_logweights_hand_computed(spark):
+    """2-doc corpus, target = doc 0: verify the add-one-smoothed
+    importance log-ratio sum against a pure-python replay."""
+    import hashlib
+    import math
+
+    from minivectordb_spark.operators.prep import dsir_logweights
+
+    rows = [(0, "a b a"), (1, "c d")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    target = df.filter(F.col("doc_id") == 0)
+    B = 64
+
+    def bucket(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % B
+
+    def feats(text):
+        tk = text.split(" ")
+        return [bucket(t) for t in tk] + [
+            bucket(f"{tk[i]} {tk[i+1]}") for i in range(len(tk) - 1)
+        ]
+
+    raw, tgt = {}, {}
+    for i, text in rows:
+        for b in feats(text):
+            raw[b] = raw.get(b, 0) + 1
+            if i == 0:
+                tgt[b] = tgt.get(b, 0) + 1
+    t_raw, t_tgt = sum(raw.values()), sum(tgt.values())
+    lr = {
+        b: round(
+            math.log((tgt.get(b, 0) + 1) / (t_tgt + B))
+            - math.log((c + 1) / (t_raw + B)),
+            6,
+        )
+        for b, c in raw.items()
+    }
+    expected = {
+        i: (len(feats(text)), round(sum(lr[b] for b in feats(text)), 6))
+        for i, text in rows
+    }
+    out = {
+        r["doc_id"]: (r["n_feats"], r["log_weight"])
+        for r in dsir_logweights(df, target, n_buckets=B).collect()
+    }
+    assert out.keys() == expected.keys()
+    for k in expected:
+        assert out[k][0] == expected[k][0]
+        assert out[k][1] == pytest.approx(expected[k][1], abs=1e-9)
+    # target-like doc scores strictly higher than the off-target doc
+    assert out[0][1] > out[1][1]
+
+
+def test_dsir_plan_broadcast_ratio_table(spark):
+    """The bucket log-ratio table must broadcast: the corpus-sized probe
+    stage is map-only, and no shuffle keys on the corpus row count."""
+    from minivectordb_spark.operators.prep import dsir_logweights
+
+    df = spark.createDataFrame([(0, "a b"), (1, "c a")], ["doc_id", "text"])
+    plan = (
+        dsir_logweights(df, df.limit(1))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan

@@ -59,6 +59,9 @@ SCALED_QUERIES = [
     "neardup_cosine",
     "hybrid_rrf_batch",
     "semantic_dedup",
+    # r5 additions: the two new corpus-wide text passes
+    "decontaminate",
+    "lm_score",
 ]
 
 
