@@ -106,28 +106,66 @@ def lloyd_kmeans_centroids(
     staged = materialize(
         df.select(id_col, emb_col), norm_expr(F.col(emb_col)), "__n", [id_col, emb_col]
     )
+    # Per-iteration shape is CONSTANT: assignment is the broadcast-join
+    # argmax (the ivf_assign_join plan — only the tiny centroid DF's DATA
+    # changes between iterations, never the expression tree, so codegen
+    # compiles once and every later iteration is a cache hit; the
+    # literal-inlined _assignment_struct would re-codegen a K x dim
+    # expression per iteration) and the mean update is posexplode +
+    # groupBy(centroid, pos) — a two-column combiner-reduced aggregate
+    # whose shuffle carries K x dim partial cells per partition, replacing
+    # a dim-wide generated aggregate.  Same math, same rounding, identical
+    # fitted centers (the oracle's unrolled CTEs replay them unchanged).
     for _ in range(iters):
-        best = _assignment_struct(F.col(emb_col), cents, norm_col=F.col("__n"))
-        assigned = materialize(staged, best, "__best", [emb_col]).select(
-            (-F.col("__best.neg_id")).alias("centroid_id"),
-            F.col(emb_col).alias("__e"),
+        c = materialize(
+            spark.createDataFrame(
+                [(int(cid), [float(x) for x in vec]) for cid, vec in cents],
+                ["centroid_id", "centroid_emb"],
+            ),
+            norm_expr(F.col("centroid_emb")),
+            "__cn",
+            ["centroid_id", "centroid_emb"],
+        )
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(emb_col).cast("array<double>"),
+                F.col("centroid_emb").cast("array<double>"),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cos = dot / (F.col("__n") * F.col("__cn"))
+        scored = staged.join(F.broadcast(c)).select(
+            F.col(id_col),
+            F.struct(
+                cos.alias("cos"),
+                (-F.col("centroid_id")).cast("long").alias("neg_id"),
+            ).alias("__s"),
+            F.col(emb_col),
+        )
+        assigned = (
+            scored.groupBy(id_col)
+            .agg(F.max("__s").alias("__best"), F.first(emb_col).alias("__e"))
+            .select((-F.col("__best.neg_id")).alias("centroid_id"), "__e")
         )
         agg = (
-            assigned.groupBy("centroid_id")
-            .agg(
-                F.count(F.lit(1)).alias("__c"),
-                *[
-                    F.sum(F.element_at(F.col("__e"), i + 1)).alias(f"__s{i}")
-                    for i in range(dim)
-                ],
+            assigned.select(
+                "centroid_id", F.posexplode("__e").alias("pos", "v")
             )
+            .groupBy("centroid_id", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
             .collect()
         )
+        sums: dict[int, list[float]] = {}
+        counts: dict[int, int] = {}
+        for r in agg:
+            cid = int(r["centroid_id"])
+            sums.setdefault(cid, [0.0] * dim)[int(r["pos"])] = float(r["s"])
+            counts[cid] = int(r["c"])
         means = {
-            int(r["centroid_id"]): [
-                round(float(r[f"__s{i}"]) / int(r["__c"]), 6) for i in range(dim)
-            ]
-            for r in agg
+            cid: [round(s / counts[cid], 6) for s in vec]
+            for cid, vec in sums.items()
         }
         cents = [(cid, means.get(cid, vec)) for cid, vec in cents]
     rows = [(int(cid), [float(x) for x in vec]) for cid, vec in cents]

@@ -513,6 +513,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 15,
     hot_degree: int = 100_000,
+    collect_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Resolve duplicate-pair edges into groups: (id, component) where
     ``component`` is the minimum id reachable from ``id`` — the step that
@@ -550,6 +551,43 @@ def connected_components(
         .distinct()
         .cache()
     )
+    # Size gate: the PAIR set after any of the bucketed pair operators is
+    # orders of magnitude smaller than the corpus (it lists near-dups, not
+    # rows), and below ``collect_threshold`` edges (default 1M directed
+    # edges ~ 32 MB of longs) a driver-side union-find with path
+    # compression beats 3-8 distributed rounds of join+groupBy+checkpoint
+    # job overhead outright.  Same constant-bounded-collect class as the
+    # BM25 stats rows or the K-centroid collect: the threshold bounds the
+    # driver transfer regardless of corpus size.  Above the gate —
+    # billions of near-dup edges at 100 TB — the distributed min-label
+    # loop below runs unchanged (the unit suite pins it via
+    # collect_threshold=0).  Both paths produce component = min reachable
+    # id, verified equal in tests.
+    n_edges = edges.count()  # also materializes the cache for hot_dst
+    if n_edges <= collect_threshold:
+        rows = edges.collect()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            a, b = find(r["src"]), find(r["dst"])
+            if a != b:
+                # union by min so every root IS its component's min id
+                lo, hi = (a, b) if a < b else (b, a)
+                parent[hi] = lo
+        out = [(x, find(x)) for x in {v for r in rows for v in (r["src"], r["dst"])}]
+        edges.unpersist()
+        id_type = pairs.schema[id_a].dataType.simpleString()
+        return pairs.sparkSession.createDataFrame(
+            out, f"id {id_type}, component {id_type}"
+        )
     hot_dst = (
         edges.groupBy("dst")
         .agg(F.count(F.lit(1)).alias("__deg"))
@@ -955,9 +993,13 @@ def semantic_dedup(
     what ``embedding_neardup_pairs``' LSH multiprobe path trades back in
     when blocking-free dedup is wanted.
     """
-    from minivectordb_spark.operators.ann import ivf_assign
+    from minivectordb_spark.operators.ann import ivf_assign_join
 
-    assigned = ivf_assign(df, centroids, id_col=id_col, emb_col=emb_col).select(
+    # broadcast-join assignment (not the literal-inlined ivf_assign): its
+    # expression shape matches the Lloyd-fit iterations that normally
+    # precede this call, so codegen is a cache hit instead of a fresh
+    # K x dim compile — equivalence with ivf_assign is unit-tested
+    assigned = ivf_assign_join(df, centroids, id_col=id_col, emb_col=emb_col).select(
         id_col, "centroid_id"
     )
     blocked = df.select(id_col, emb_col).join(assigned, id_col)

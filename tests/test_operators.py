@@ -176,16 +176,24 @@ def test_neardup_lsh_blocking_vs_bruteforce(spark):
         assert brute[p] == c
 
 
-def test_connected_components_chain_and_clique(spark):
+@pytest.mark.parametrize("collect_threshold", [0, 1_000_000])
+def test_connected_components_chain_and_clique(spark, collect_threshold):
     """A 5-node chain (worst-case diameter) and a separate triangle must
-    both collapse to their min id; disconnected nodes absent from pairs."""
+    both collapse to their min id; disconnected nodes absent from pairs.
+    Parametrized over BOTH paths: the distributed min-label loop
+    (collect_threshold=0) and the size-gated driver union-find."""
     from minivectordb_spark.operators.dedup import connected_components
 
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12)],
         ["id_a", "id_b"],
     )
-    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            pairs, collect_threshold=collect_threshold
+        ).collect()
+    }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10}
 
 
@@ -194,6 +202,7 @@ def test_connected_components_empty(spark):
 
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(pairs).count() == 0
+    assert connected_components(pairs, collect_threshold=0).count() == 0
 
 
 def test_connected_components_star_hot_path(spark):
@@ -207,7 +216,7 @@ def test_connected_components_star_hot_path(spark):
     pairs = spark.range(1, n).select(
         F.lit(0).alias("id_a"), F.col("id").alias("id_b")
     )
-    out = connected_components(pairs, hot_degree=100)
+    out = connected_components(pairs, hot_degree=100, collect_threshold=0)
     assert out.count() == n
     assert out.agg(F.max("component"), F.min("component")).collect()[0] == (0, 0)
     # plus a mixed graph: one hot star + one cold triangle in the same call
@@ -219,7 +228,9 @@ def test_connected_components_star_hot_path(spark):
     )
     got = {
         r["id"]: r["component"]
-        for r in connected_components(mixed, hot_degree=100).collect()
+        for r in connected_components(
+            mixed, hot_degree=100, collect_threshold=0
+        ).collect()
         if r["id"] >= 20_000
     }
     assert got == {20_000: 20_000, 20_001: 20_000, 20_002: 20_000}
@@ -237,8 +248,8 @@ def test_connected_components_hot_split_plan(spark):
     # behavioral proxy for "no hot partition": with hot_degree above the
     # hub degree the guard is off; below it the guard is on — both must
     # agree exactly, proving the split changes the plan, not the answer
-    on = connected_components(pairs, hot_degree=100).collect()
-    off = connected_components(pairs, hot_degree=10**9).collect()
+    on = connected_components(pairs, hot_degree=100, collect_threshold=0).collect()
+    off = connected_components(pairs, hot_degree=10**9, collect_threshold=0).collect()
     assert sorted(map(tuple, on)) == sorted(map(tuple, off))
 
 
@@ -515,7 +526,7 @@ def test_connected_components_nonconvergence_raises(spark):
         [(i, i + 1) for i in range(8)], ["id_a", "id_b"]
     )
     with pytest.raises(RuntimeError, match="converge"):
-        connected_components(chain, max_iter=1)
+        connected_components(chain, max_iter=1, collect_threshold=0)
     # with enough rounds the same chain resolves fine
     got = {r["id"]: r["component"] for r in connected_components(chain, max_iter=10).collect()}
     assert set(got.values()) == {0}
@@ -875,7 +886,10 @@ def test_connected_components_long_chain(spark):
     pairs = spark.range(n - 1).select(
         F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
     )
-    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, collect_threshold=0).collect()
+    }
     assert len(got) == n
     assert set(got.values()) == {0}
 
@@ -1078,3 +1092,22 @@ def test_dsir_plan_broadcast_ratio_table(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_connected_components_driver_matches_distributed(spark):
+    """Randomized equivalence: the size-gated driver union-find and the
+    distributed min-label loop must return identical (id, component)
+    sets on an arbitrary multigraph with chains, cliques and isolates."""
+    import random
+
+    from minivectordb_spark.operators.dedup import connected_components
+
+    rng = random.Random(11)
+    edges = [
+        (rng.randrange(60), rng.randrange(60)) for _ in range(120)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    drv = sorted(map(tuple, connected_components(pairs).collect()))
+    dist = sorted(map(tuple, connected_components(pairs, collect_threshold=0).collect()))
+    assert drv == dist
