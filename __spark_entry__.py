@@ -723,6 +723,19 @@ def q_dsir_logweights(spark, sf_dir):
     )
 
 
+def q_dsir_sample(spark, sf_dir):
+    """DSIR end-to-end: dsir_logweights -> gumbel_topk (deterministic
+    Gumbel-top-k weighted sampling w/o replacement).  Demoted-set entry:
+    oracle-verified at sf0.001 every round; the graded dsir_logweights
+    row covers the weight computation, this pins the selection half."""
+    from minivectordb_spark.operators.prep import dsir_logweights, gumbel_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    w = dsir_logweights(docs, target)
+    return gumbel_topk(w, k=50).select("doc_id", "log_weight", "gumbel_key")
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup (operators/dedup.semantic_dedup):
     Lloyd's-fitted coarse clusters -> within-cluster cosine near-dup
@@ -1212,6 +1225,10 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       tpch_q1, events_rollup, events_percentiles and text_stats, and the
       demoted set already holds its events_stats / events_hourly /
       events_distinct_users siblings; swapped for dsir_logweights (r5)
+    - dsir_sample: never graded (new in r5, registry full) — the DSIR
+      composition capstone (dsir_logweights -> gumbel_topk selection);
+      the weight half is graded, the Gumbel-top-k half is TakeOrdered
+      like the graded vocabulary/sample_stratified shapes
 
     Still oracle-verified every round by tests/test_demoted_queries.py,
     which runs the same compare as the driver gate at sf0.001.
@@ -1229,6 +1246,7 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "scrub_text": q_scrub_text,
         "events_agg": q_events_agg,
+        "dsir_sample": q_dsir_sample,
     }
 
 
@@ -1621,6 +1639,21 @@ SELECT feats.doc_id, count(*)::BIGINT AS n_feats,
        round(sum(lr.lr)::DOUBLE, 6) AS log_weight
 FROM feats JOIN lr USING (b)
 GROUP BY feats.doc_id
+""".strip()
+
+
+def _oracle_dsir_sample() -> str:
+    """dsir_sample twin: the dsir_logweights CTE feeding the deterministic
+    Gumbel key (same md5 draw, same rounding), top-50."""
+    w = _oracle_dsir_logweights()
+    u = f"({_sql_hash(chr(39) + '17|' + chr(39) + ' || doc_id::VARCHAR')} + 1) / 4294967297.0"
+    return f"""
+WITH w AS ({w})
+SELECT doc_id, log_weight,
+       round(log_weight + -ln(-ln({u})), 6) AS gumbel_key
+FROM w
+ORDER BY gumbel_key DESC, doc_id ASC
+LIMIT 50
 """.strip()
 
 
@@ -2095,6 +2128,7 @@ SELECT vec_id, scale,
         "decontaminate": _oracle_decontaminate(),
         "lm_score": _oracle_lm_score(),
         "dsir_logweights": _oracle_dsir_logweights(),
+        "dsir_sample": _oracle_dsir_sample(),
         "hybrid_rrf_batch": _oracle_hybrid_rrf_batch(),
         "vocabulary": f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),

@@ -343,3 +343,37 @@ def dsir_logweights(
             F.round(F.sum("lr").cast("double"), 6).alias("log_weight"),
         )
     )
+
+
+def gumbel_topk(
+    df: DataFrame,
+    weight_col: str = "log_weight",
+    id_col: str = "doc_id",
+    k: int = 1000,
+    seed: int = 17,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Gumbel-top-k trick
+    (Vieira 2014; Kool et al., ICML'19): draw g_i ~ Gumbel(0,1), keep the
+    k largest ``log_weight + g_i`` — exactly a sample w/o replacement with
+    selection probability proportional to exp(log_weight).  This is the
+    resampling half of DSIR (``dsir_logweights`` produces the weights).
+
+    The Gumbel noise is DETERMINISTIC per row: u = (md5i32(seed||id)+1) /
+    (2^32+1) in (0, 1], g = -ln(-ln u) — no RNG state, bit-reproducible in
+    any engine from the row's own bytes (the ``stratified_sample``
+    contract), so train-set selections survive reruns and repartitioning,
+    and the DuckDB oracle replays the identical draw.
+
+    Plan: map-only key computation + TakeOrderedAndProject — no global
+    sort, no shuffle of the corpus; at 100 TB this is one scan plus a
+    k-row heap per partition.  Keys are rounded to 6 dp before ordering
+    (engine-parity for ties); id ascending breaks residual ties."""
+    u = (md5i32(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))) + 1) / F.lit(
+        float((1 << 32) + 1)
+    )
+    key = F.round(F.col(weight_col) + -F.log(-F.log(u)), 6).alias("gumbel_key")
+    return (
+        df.select(F.col(id_col), F.col(weight_col), key)
+        .orderBy(F.col("gumbel_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

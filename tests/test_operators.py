@@ -1111,3 +1111,44 @@ def test_connected_components_driver_matches_distributed(spark):
     drv = sorted(map(tuple, connected_components(pairs).collect()))
     dist = sorted(map(tuple, connected_components(pairs, collect_threshold=0).collect()))
     assert drv == dist
+
+
+def test_gumbel_topk_deterministic_and_weighted(spark):
+    """Same seed -> identical selection across calls; keys replay the
+    documented hash draw; heavy weights dominate the selection."""
+    import hashlib
+    import math
+
+    from minivectordb_spark.operators.prep import gumbel_topk
+
+    rows = [(i, 5.0 if i < 10 else -5.0) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "log_weight"])
+
+    def expected_key(i, lw, seed=17):
+        u = (int(hashlib.md5(f"{seed}|{i}".encode()).hexdigest()[:8], 16) + 1) / (
+            (1 << 32) + 1
+        )
+        return round(lw + -math.log(-math.log(u)), 6)
+
+    out = gumbel_topk(df, k=10).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r["gumbel_key"] == pytest.approx(
+            expected_key(r["doc_id"], r["log_weight"]), abs=1e-9
+        )
+    # exp(5) vs exp(-5): the ten heavy rows win essentially surely
+    assert all(r["doc_id"] < 10 for r in out)
+    again = gumbel_topk(df, k=10).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # a different seed reshuffles within the heavy band
+    other = gumbel_topk(df, k=10, seed=18).collect()
+    assert {r["doc_id"] for r in other} == set(range(10))
+
+
+def test_gumbel_topk_plan_no_global_sort(spark):
+    """TakeOrderedAndProject, not a global Sort+Exchange."""
+    from minivectordb_spark.operators.prep import gumbel_topk
+
+    df = spark.createDataFrame([(i, 0.0) for i in range(50)], ["doc_id", "log_weight"])
+    plan = gumbel_topk(df, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
