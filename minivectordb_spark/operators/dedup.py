@@ -100,13 +100,19 @@ def _shingle_frame(
 ) -> DataFrame:
     """(id, sh) with the shingle-hash array materialized: tokens are staged
     through one barrier (so the split happens once per row), shingle
-    hashing through a second."""
-    toks_df = _barrier(df, tokens(F.col(text_col)), "__toks", [id_col])
+    hashing through a second.  The input passes the parallelism gate
+    first: shingle hashing is an interpreted per-token fold, and a
+    single-row-group source would otherwise run it on one core (see
+    operators/util.ensure_parallelism — identity at real split counts)."""
+    toks_df = _barrier(
+        _parallel(df), tokens(F.col(text_col)), "__toks", [id_col]
+    )
     return _barrier(
         toks_df, shingle_hashes_from_tokens(F.col("__toks"), k), "sh", [id_col]
     )
 
 
+from minivectordb_spark.operators.util import ensure_parallelism as _parallel
 from minivectordb_spark.operators.util import materialize as _barrier
 
 
@@ -347,8 +353,10 @@ def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
 
 def simhash_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Token hashes staged behind a barrier so the hashing pass runs once;
-    the SWAR vote aggregate then reads a materialized array column."""
-    toks_df = _barrier(df, tokens(F.col(text_col)), "__toks", [id_col])
+    the SWAR vote aggregate then reads a materialized array column.
+    Parallelism-gated: the SWAR fold is the costliest interpreted pass in
+    the module."""
+    toks_df = _barrier(_parallel(df), tokens(F.col(text_col)), "__toks", [id_col])
     hs_df = _barrier(
         toks_df,
         F.transform(F.col("__toks"), lambda t: md5i32(t)),
@@ -376,7 +384,7 @@ def simhash_fingerprints64(
     collisions — the quadratic term that melts 32-bit/8-bit banding past
     ~10k docs — stay rare to ~100x larger corpora.
     """
-    toks_df = _barrier(df, tokens(F.col(text_col)), "__toks", [id_col])
+    toks_df = _barrier(_parallel(df), tokens(F.col(text_col)), "__toks", [id_col])
     hs_df = _barrier(
         toks_df,
         F.transform(F.col("__toks"), lambda t: md5i32(t)),
