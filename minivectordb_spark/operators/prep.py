@@ -298,15 +298,26 @@ def dsir_logweights(
     100 TB: identical plan — the ratio table is fixed-size by construction
     (that is the point of feature hashing), and every corpus-sized stage
     is map-only or partial-aggregated."""
-    staged = materialize(df, tokens(F.col(text_col)), "__toks", [id_col])
-    feats = staged.select(
-        F.col(id_col),
-        F.explode(_dsir_feature_buckets(F.col("__toks"), n_buckets)).alias("b"),
+    from minivectordb_spark.operators.util import ensure_parallelism
+
+    # The per-token md5 bucket hash is an interpreted fold: parallelism-
+    # gate it against narrow (single-row-group) inputs and stage the
+    # bucket ARRAY behind a Generate barrier so the fold runs once per
+    # row per pass.  The corpus side is read twice (bucket counts, then
+    # the scoring probe); measured, recomputing the staged fold is
+    # cheaper than checkpointing the 2-passes-worth of exploded arrays.
+    def _bucket_frame(side: DataFrame) -> DataFrame:
+        staged = materialize(
+            ensure_parallelism(side), tokens(F.col(text_col)), "__toks", [id_col]
+        )
+        return materialize(
+            staged, _dsir_feature_buckets(F.col("__toks"), n_buckets), "__b", [id_col]
+        )
+
+    feats = _bucket_frame(df).select(
+        F.col(id_col), F.explode("__b").alias("b")
     )
-    tgt_staged = materialize(target, tokens(F.col(text_col)), "__toks", [id_col])
-    tgt_feats = tgt_staged.select(
-        F.explode(_dsir_feature_buckets(F.col("__toks"), n_buckets)).alias("b")
-    )
+    tgt_feats = _bucket_frame(target).select(F.explode("__b").alias("b"))
 
     raw_counts = feats.groupBy("b").agg(F.count(F.lit(1)).alias("c_raw"))
     tgt_counts = tgt_feats.groupBy("b").agg(F.count(F.lit(1)).alias("c_tgt"))

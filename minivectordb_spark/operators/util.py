@@ -37,6 +37,10 @@ def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
     scale, where split count >> core count — it is the identity and adds
     NO shuffle.  Mirrors the planner's own AQE philosophy: decide from the
     observed stats, not the logical plan."""
+    if df.isStreaming:
+        # micro-batch partitioning is the stream source's concern; .rdd is
+        # illegal on an unbound frame anyway
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * factor
     if df.rdd.getNumPartitions() < target:
