@@ -736,16 +736,31 @@ def q_dsir_sample(spark, sf_dir):
     return gumbel_topk(w, k=50).select("doc_id", "log_weight", "gumbel_key")
 
 
+SEMANTIC_TARGET_CLUSTER = 50  # SemDeDup scales cluster COUNT with the corpus
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup (operators/dedup.semantic_dedup):
     Lloyd's-fitted coarse clusters -> within-cluster cosine near-dup
     pairs -> connected-components min-id survivors.  The oracle replays
-    fit, assignment, pairing, and closure relationally."""
+    fit, assignment, pairing, and closure relationally.
+
+    Cluster count is ADAPTIVE: K = max(N_CENTROIDS, ceil(N / 50)) — the
+    published SemDeDup configuration grows clusters with the corpus
+    (50k clusters for LAION) precisely so within-cluster pairing, the
+    only quadratic term, stays bounded at ~constant cluster size.  At the
+    oracle's sf0.01 (N=500) this resolves to exactly N_CENTROIDS, so the
+    SQL twin's LIMIT {N_CENTROIDS} seed set replays the identical fit;
+    at 10x replication K rises to 100 and the measured scaling follows
+    cluster size, not corpus size."""
+    import math
+
     from minivectordb_spark.operators.ann import lloyd_kmeans_centroids
     from minivectordb_spark.operators.dedup import semantic_dedup
 
     e = _t(spark, sf_dir, "embeddings")
-    cents = lloyd_kmeans_centroids(e, N_CENTROIDS, iters=KMEANS_ITERS)
+    k = max(N_CENTROIDS, math.ceil(e.count() / SEMANTIC_TARGET_CLUSTER))
+    cents = lloyd_kmeans_centroids(e, k, iters=KMEANS_ITERS)
     return semantic_dedup(e, cents, threshold=SEMANTIC_DEDUP_COS).select(
         "vec_id", "label"
     )
@@ -1152,15 +1167,28 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
         }
 
     def c_semantic_dedup(spark: SparkSession, sf_dir: str) -> dict:
+        import math
+
         from minivectordb_spark.operators.ann import (
-            ivf_assign,
+            MATMUL_MIN_K,
+            _collect_centroids,
+            ivf_assign_join,
+            ivf_assign_matmul,
             lloyd_kmeans_centroids,
         )
         from minivectordb_spark.operators.dedup import embedding_neardup_pairs
 
         e = _t(spark, sf_dir, "embeddings")
-        cents = lloyd_kmeans_centroids(e, N_CENTROIDS, iters=KMEANS_ITERS)
-        assigned = ivf_assign(e, cents).select("vec_id", "centroid_id")
+        n = e.count()
+        k = max(N_CENTROIDS, math.ceil(n / SEMANTIC_TARGET_CLUSTER))
+        cents = lloyd_kmeans_centroids(e, k, iters=KMEANS_ITERS)
+        cent_rows = _collect_centroids(cents)
+        if len(cent_rows) >= MATMUL_MIN_K:
+            assigned = ivf_assign_matmul(e, cent_rows).select(
+                "vec_id", "centroid_id"
+            )
+        else:
+            assigned = ivf_assign_join(e, cents).select("vec_id", "centroid_id")
         occ = (
             assigned.groupBy("centroid_id").count()
             .agg(F.avg("count").alias("avg"), F.max("count").alias("mx"))
@@ -1171,8 +1199,8 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
             blocked, block_col="centroid_id", threshold=SEMANTIC_DEDUP_COS
         )
         return {
-            "n_rows": int(e.count()),
-            "n_clusters": N_CENTROIDS,
+            "n_rows": int(n),
+            "n_clusters": int(k),
             "avg_cluster_size": round(float(occ["avg"]), 1),
             "max_cluster_size": int(occ["mx"]),
             "dup_pairs": int(pairs.count()),

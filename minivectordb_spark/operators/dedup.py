@@ -1001,15 +1001,29 @@ def semantic_dedup(
     what ``embedding_neardup_pairs``' LSH multiprobe path trades back in
     when blocking-free dedup is wanted.
     """
-    from minivectordb_spark.operators.ann import ivf_assign_join
+    from minivectordb_spark.operators.ann import (
+        MATMUL_MIN_K,
+        _collect_centroids,
+        ivf_assign_join,
+        ivf_assign_matmul,
+    )
 
     # broadcast-join assignment (not the literal-inlined ivf_assign): its
     # expression shape matches the Lloyd-fit iterations that normally
     # precede this call, so codegen is a cache hit instead of a fresh
-    # K x dim compile — equivalence with ivf_assign is unit-tested
-    assigned = ivf_assign_join(df, centroids, id_col=id_col, emb_col=emb_col).select(
-        id_col, "centroid_id"
-    )
+    # K x dim compile — equivalence with ivf_assign is unit-tested.  At
+    # SemDeDup-scale cluster counts (K grows with the corpus) the
+    # interpreted fold gives way to the BLAS matmul path, same dispatch
+    # as the fit itself.
+    cent_rows = _collect_centroids(centroids)
+    if len(cent_rows) >= MATMUL_MIN_K:
+        assigned = ivf_assign_matmul(
+            df, cent_rows, id_col=id_col, emb_col=emb_col
+        ).select(id_col, "centroid_id")
+    else:
+        assigned = ivf_assign_join(
+            df, centroids, id_col=id_col, emb_col=emb_col
+        ).select(id_col, "centroid_id")
     blocked = df.select(id_col, emb_col).join(assigned, id_col)
     pairs = embedding_neardup_pairs(
         blocked,

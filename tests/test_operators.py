@@ -1152,3 +1152,52 @@ def test_gumbel_topk_plan_no_global_sort(spark):
     df = spark.createDataFrame([(i, 0.0) for i in range(50)], ["doc_id", "log_weight"])
     plan = gumbel_topk(df, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_assign_matmul_equivalence(spark, emb_df):
+    """BLAS matmul assignment must agree with the join path: same nearest
+    centroid everywhere, cosines equal to 1e-9 (the documented ulp-level
+    BLAS-vs-fold difference, rounded at 6 dp)."""
+    from minivectordb_spark.operators.ann import (
+        _collect_centroids,
+        ivf_assign_join,
+        ivf_assign_matmul,
+        seed_centroids,
+    )
+
+    cents = seed_centroids(emb_df, 5)
+    rows = _collect_centroids(cents)
+    jn = {
+        r["vec_id"]: (r["centroid_id"], r["centroid_cos"])
+        for r in ivf_assign_join(emb_df, cents).collect()
+    }
+    mm = {
+        r["vec_id"]: (r["centroid_id"], r["centroid_cos"])
+        for r in ivf_assign_matmul(emb_df, rows).collect()
+    }
+    assert jn.keys() == mm.keys()
+    for vid in jn:
+        assert jn[vid][0] == mm[vid][0]
+        assert mm[vid][1] == pytest.approx(jn[vid][1], abs=1e-9)
+
+
+def test_lloyd_kmeans_matmul_path_matches_join_path(spark, emb_df):
+    """Force the matmul dispatch (MATMUL_MIN_K=0 monkeypatch is not
+    needed: fit with K >= MATMUL_MIN_K via a wide seed set is impractical
+    on the tiny fixture, so instead pin that BOTH assignment paths yield
+    the same fit when K is small by comparing against the recorded
+    join-path centers)."""
+    import minivectordb_spark.operators.ann as ann
+
+    cents_join = ann.lloyd_kmeans_centroids(emb_df, 4, iters=2).collect()
+    orig = ann.MATMUL_MIN_K
+    ann.MATMUL_MIN_K = 1  # force the BLAS path for the same tiny K
+    try:
+        cents_mm = ann.lloyd_kmeans_centroids(emb_df, 4, iters=2).collect()
+    finally:
+        ann.MATMUL_MIN_K = orig
+    a = {r["centroid_id"]: r["centroid_emb"] for r in cents_join}
+    b = {r["centroid_id"]: r["centroid_emb"] for r in cents_mm}
+    assert a.keys() == b.keys()
+    for cid in a:
+        assert a[cid] == pytest.approx(b[cid], abs=1e-6)
