@@ -723,6 +723,31 @@ def q_dsir_logweights(spark, sf_dir):
     )
 
 
+DEDUP_AGAINST_MOD = 10  # every 10th doc plays the existing reference corpus
+
+
+def q_dedup_against(spark, sf_dir):
+    """Cross-corpus dedup (operators/dedup.dedup_against): docs with
+    doc_id % DEDUP_AGAINST_MOD == 0 play the existing training set; the
+    rest are the incoming crawl, returned minus near-duplicates of the
+    reference (banded cross-join + exact Jaccard, threshold JACCARD_MIN).
+    Demoted-set entry: oracle-verified at sf0.001 every round."""
+    from minivectordb_spark.operators.dedup import dedup_against
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % DEDUP_AGAINST_MOD == 0)
+    new = docs.filter(F.col("doc_id") % DEDUP_AGAINST_MOD != 0)
+    return dedup_against(
+        new,
+        ref,
+        n_hashes=N_HASHES,
+        band_size=BAND_SIZE,
+        k=SHINGLE_K,
+        threshold=JACCARD_MIN,
+        seed=42,
+    ).select("doc_id", "lang")
+
+
 def q_dsir_sample(spark, sf_dir):
     """DSIR end-to-end: dsir_logweights -> gumbel_topk (deterministic
     Gumbel-top-k weighted sampling w/o replacement).  Demoted-set entry:
@@ -1257,6 +1282,10 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       composition capstone (dsir_logweights -> gumbel_topk selection);
       the weight half is graded, the Gumbel-top-k half is TakeOrdered
       like the graded vocabulary/sample_stratified shapes
+    - dedup_against: never graded (new in r5, registry full) — the
+      cross-corpus variant of the graded lsh_jaccard_pairs machinery
+      (same banding single-source, cross-frame join instead of
+      self-join)
 
     Still oracle-verified every round by tests/test_demoted_queries.py,
     which runs the same compare as the driver gate at sf0.001.
@@ -1275,6 +1304,7 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_text": q_scrub_text,
         "events_agg": q_events_agg,
         "dsir_sample": q_dsir_sample,
+        "dedup_against": q_dedup_against,
     }
 
 
@@ -1682,6 +1712,42 @@ SELECT doc_id, log_weight,
 FROM w
 ORDER BY gumbel_key DESC, doc_id ASC
 LIMIT 50
+""".strip()
+
+
+def _oracle_dedup_against() -> str:
+    """dedup_against twin: the lsh banding CTEs computed over ALL docs,
+    candidates restricted to new-side x reference-side bucket matches,
+    exact Jaccard verify, survivors = new side minus hits."""
+    elems = ", ".join(_sql_minhash_elem(a, b) for a, b in COEFFS)
+    band_expr = (
+        "md5(concat_ws('_', b::VARCHAR, s[2*b + 1]::VARCHAR, s[2*b + 2]::VARCHAR))"
+    )
+    m = DEDUP_AGAINST_MOD
+    return f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+sh AS (SELECT doc_id, {_SQL_SHINGLE_HASHES} AS hs FROM t),
+sig AS (SELECT doc_id, [{elems}] AS s FROM sh),
+buckets AS (
+  SELECT sig.doc_id, u.b, {band_expr} AS bh
+  FROM sig, unnest(range(0, {N_BANDS})) AS u(b)
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS id_new, r.doc_id AS id_ref
+  FROM buckets n JOIN buckets r ON n.b = r.b AND n.bh = r.bh
+  WHERE n.doc_id % {m} != 0 AND r.doc_id % {m} = 0
+),
+hits AS (
+  SELECT DISTINCT c.id_new
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_new
+  JOIN sh sb ON sb.doc_id = c.id_ref
+  WHERE round(len(list_intersect(sa.hs, sb.hs))::DOUBLE
+        / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)))::DOUBLE, 6)
+        >= {JACCARD_MIN}
+)
+SELECT doc_id, lang FROM documents
+WHERE doc_id % {m} != 0 AND doc_id NOT IN (SELECT id_new FROM hits)
 """.strip()
 
 
@@ -2157,6 +2223,7 @@ SELECT vec_id, scale,
         "lm_score": _oracle_lm_score(),
         "dsir_logweights": _oracle_dsir_logweights(),
         "dsir_sample": _oracle_dsir_sample(),
+        "dedup_against": _oracle_dedup_against(),
         "hybrid_rrf_batch": _oracle_hybrid_rrf_batch(),
         "vocabulary": f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),

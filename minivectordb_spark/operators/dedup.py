@@ -173,21 +173,14 @@ def minhash_signatures(
     )
 
 
-def _lsh_pairs_from_shingles(
-    sh: DataFrame,
-    id_col: str,
-    n_hashes: int,
-    band_size: int,
-    seed: int,
+def _band_buckets(
+    sh: DataFrame, id_col: str, n_hashes: int, band_size: int, seed: int
 ) -> DataFrame:
-    """THE banding implementation (single source of truth): MinHash the
-    shingle frame, split signatures into bands, self-join the band buckets.
-
-    Plan: map-only signature -> posexplode of n_bands band hashes (rows grow
-    by n_bands only) -> self-join on the bucket key -> distinct (a < b)
-    pairs.  The join shuffles on (band_idx, band_hash): uniform unless the
-    corpus is degenerate, and AQE's skew-join handles hot buckets.
-    """
+    """(id, band_idx, band_hash) — MinHash the shingle frame and split the
+    signature into band-bucket keys.  Shared by the self-join banding
+    (``_lsh_pairs_from_shingles``) and the cross-corpus join
+    (``dedup_against``); identical literals on both, so buckets computed
+    from two different frames are join-compatible."""
     n_bands = n_hashes // band_size
     sig_df = _barrier(
         sh, minhash_from_hashes(F.col("sh"), n_hashes, seed), "__sig", [id_col]
@@ -207,11 +200,29 @@ def _lsh_pairs_from_shingles(
             for b in range(n_bands)
         ]
     )
+    return sig_df.select(
+        F.col(id_col), F.posexplode(bands).alias("band_idx", "band_hash")
+    )
+
+
+def _lsh_pairs_from_shingles(
+    sh: DataFrame,
+    id_col: str,
+    n_hashes: int,
+    band_size: int,
+    seed: int,
+) -> DataFrame:
+    """THE banding implementation (single source of truth): MinHash the
+    shingle frame, split signatures into bands, self-join the band buckets.
+
+    Plan: map-only signature -> posexplode of n_bands band hashes (rows grow
+    by n_bands only) -> self-join on the bucket key -> distinct (a < b)
+    pairs.  The join shuffles on (band_idx, band_hash): uniform unless the
+    corpus is degenerate, and AQE's skew-join handles hot buckets.
+    """
     # the bucket frame is tiny (n_docs * n_bands short rows) and is read
     # twice by the self-join; _reused spills-not-OOMs and is auto-freed
-    buckets = _reused(sig_df.select(
-        F.col(id_col), F.posexplode(bands).alias("band_idx", "band_hash")
-    ))
+    buckets = _reused(_band_buckets(sh, id_col, n_hashes, band_size, seed))
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (
@@ -1117,3 +1128,63 @@ def decontaminate(
         .agg(F.count(F.lit(1)).alias("n_overlap"))
         .filter(F.col("n_overlap") >= min_overlap)
     )
+
+
+def dedup_against(
+    df: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = DEFAULT_N_HASHES,
+    band_size: int = 2,
+    k: int = DEFAULT_SHINGLE,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Cross-corpus dedup — drop incoming documents that near-duplicate an
+    EXISTING reference corpus (the "dedup the new crawl against the
+    training set" pass every pipeline refresh runs; same MinHash-LSH
+    recipe as in-corpus dedup, per Lee et al. / RefinedWeb practice).
+    Returns the surviving rows of ``df``.
+
+    Plan: both sides compute identical band buckets (``_band_buckets`` —
+    same MinHash literals, so keys are join-compatible across frames);
+    the candidate join is new-side buckets x reference-side buckets on
+    (band_idx, band_hash) — never a self-join of the union, so reference-
+    internal duplicates are never paired and reference-side work is one
+    banding pass.  Candidates verify with the exact n-gram Jaccard, and
+    hits left-anti against ``df``.  Shuffles: one per side for banding
+    keys, one for the verify join — all on hash keys, AQE handles hot
+    buckets.  At 100 TB the reference side's buckets are a static table
+    you'd persist once (same contract as ``save_ivf_index``) and the
+    incremental cost is the NEW side only."""
+    sh_new = _reused(_shingle_frame(df, text_col, id_col, k))
+    sh_ref = _shingle_frame(reference, text_col, id_col, k)
+    nb = _band_buckets(sh_new, id_col, n_hashes, band_size, seed)
+    rb = _band_buckets(sh_ref, id_col, n_hashes, band_size, seed)
+    cand = (
+        nb.alias("n")
+        .join(
+            rb.alias("r"),
+            (F.col("n.band_idx") == F.col("r.band_idx"))
+            & (F.col("n.band_hash") == F.col("r.band_hash")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("id_new"),
+            F.col(f"r.{id_col}").alias("id_ref"),
+        )
+        .distinct()
+    )
+    a = sh_new.select(F.col(id_col).alias("id_new"), F.col("sh").alias("sh_a"))
+    b = sh_ref.select(F.col(id_col).alias("id_ref"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    jac = inter.cast("double") / union.cast("double")
+    hits = (
+        cand.join(a, "id_new")
+        .join(b, "id_ref")
+        .filter(F.round(jac, 6) >= threshold)
+        .select(F.col("id_new").alias(id_col))
+        .distinct()
+    )
+    return df.join(hits, id_col, "left_anti")

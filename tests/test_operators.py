@@ -1201,3 +1201,42 @@ def test_lloyd_kmeans_matmul_path_matches_join_path(spark, emb_df):
     assert a.keys() == b.keys()
     for cid in a:
         assert a[cid] == pytest.approx(b[cid], abs=1e-6)
+
+
+def test_dedup_against_drops_reference_neardups(spark):
+    """New docs near-duplicating the reference are dropped; novel docs and
+    reference-internal duplicates survive (reference is never self-paired)."""
+    from minivectordb_spark.operators.dedup import dedup_against
+
+    ref = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),
+            (101, "the quick brown fox jumps over the lazy dog"),  # ref-internal dup
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),  # exact dup of ref
+            (1, "the quick brown fox jumps over the lazy cat"),  # near dup of ref
+            (2, "completely different content about spark engines"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = sorted(
+        r["doc_id"] for r in dedup_against(new, ref, threshold=0.5).collect()
+    )
+    assert out == [2]
+    # high threshold keeps the near-dup, still drops the exact dup
+    strict = sorted(
+        r["doc_id"] for r in dedup_against(new, ref, threshold=0.99).collect()
+    )
+    assert strict == [1, 2]
+
+
+def test_dedup_against_empty_reference_keeps_all(spark):
+    from minivectordb_spark.operators.dedup import dedup_against
+
+    ref = spark.createDataFrame([], "doc_id long, text string")
+    new = spark.createDataFrame([(0, "a b c d")], ["doc_id", "text"])
+    assert dedup_against(new, ref).count() == 1
