@@ -40,3 +40,21 @@ def assert_plan_contains(df: DataFrame, *fragments: str) -> None:
 def assert_no_shuffle(df: DataFrame) -> None:
     n = exchange_count(df)
     assert n == 0, f"expected a map-only plan, found {n} shuffle Exchange(s):\n{physical_plan(df)}"
+
+
+def assert_no_keyed_shuffle(df: DataFrame) -> None:
+    """Map-only MODULO the parallelism gate: no key-based data movement
+    (hash/range partitioning), but the gate's round-robin redistribution
+    (operators/util.ensure_parallelism — fires only when the source has
+    fewer splits than cores, identity at real split counts) is permitted.
+    Row placement stays data-independent, which is the property the
+    map-only contract protects."""
+    plan = physical_plan(df)
+    keyed = [
+        line
+        for line in plan.splitlines()
+        if "Exchange" in line
+        and "BroadcastExchange" not in line
+        and "RoundRobinPartitioning" not in line
+    ]
+    assert not keyed, f"expected no keyed shuffle, found:\n" + "\n".join(keyed)

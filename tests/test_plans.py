@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 import __spark_entry__ as entry
 from minivectordb_spark.plans import (
+    assert_no_keyed_shuffle,
     assert_no_shuffle,
     assert_plan_contains,
     exchange_count,
@@ -56,8 +57,13 @@ def test_ivf_search_no_join(spark, sf):
 
 
 def test_map_only_operators(spark, sf):
-    for name in ("text_stats", "lang_id", "fingerprints", "minhash_signatures", "simhash", "point_lookup"):
+    for name in ("text_stats", "lang_id", "fingerprints", "point_lookup"):
         assert_no_shuffle(_q(name, spark, sf))
+    # the hashing-fold operators pass the parallelism gate (a round-robin
+    # redistribution on narrow inputs, identity at real split counts);
+    # they must still be free of KEYED shuffles
+    for name in ("minhash_signatures", "simhash"):
+        assert_no_keyed_shuffle(_q(name, spark, sf))
 
 
 def test_tpch_q1_partial_agg_and_pushdown(spark, sf):
