@@ -1,6 +1,7 @@
 from minivectordb_spark.streaming.events import (
     hourly_event_counts,
     session_rollup,
+    stream_decontaminated_ingest,
     stream_durable_ingest,
     stream_events,
     stream_neardup_ingest,
@@ -10,6 +11,7 @@ from minivectordb_spark.streaming.events import (
 __all__ = [
     "hourly_event_counts",
     "session_rollup",
+    "stream_decontaminated_ingest",
     "stream_durable_ingest",
     "stream_events",
     "stream_neardup_ingest",

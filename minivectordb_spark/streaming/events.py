@@ -210,6 +210,62 @@ def stream_durable_ingest(
     )
 
 
+def stream_decontaminated_ingest(
+    stream_df: DataFrame,
+    benchmark_df: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 3,
+    min_overlap: int = 1,
+):
+    """Streaming corpus ingest with a benchmark-decontamination gate: each
+    micro-batch drops documents sharing >= ``min_overlap`` distinct
+    ``window``-token grams with the held-out evaluation set
+    (``operators/dedup.decontaminate``) before appending, with the same
+    per-batch uniqueness anti-join as ``stream_vector_ingest``.  This is
+    the continuous-crawl shape of the batch ``decontaminate`` query — eval
+    sets are fixed per training run, so the gate is a STATIC broadcast
+    probe inside every batch.
+
+    The benchmark frame is eagerly localCheckpoint-ed once at wiring time:
+    every micro-batch re-reads the materialized blocks instead of
+    re-shingling the eval set.  Batch==stream equivalence is pinned by
+    tests/test_streaming_multimodal.py."""
+    from pyspark.errors import AnalysisException
+
+    from minivectordb_spark.operators.dedup import decontaminate
+
+    bench = benchmark_df.select(id_col, text_col).localCheckpoint(eager=True)
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = batch_df.dropDuplicates([id_col])
+        flagged = decontaminate(
+            fresh,
+            bench,
+            text_col=text_col,
+            id_col=id_col,
+            window=window,
+            min_overlap=min_overlap,
+        ).select(id_col)
+        clean = fresh.join(flagged, id_col, "left_anti")
+        try:
+            existing_ids = spark.read.parquet(table_path).select(id_col)
+        except AnalysisException:
+            existing_ids = None
+        if existing_ids is not None:
+            clean = clean.join(existing_ids, id_col, "left_anti")
+        clean.write.mode("append").parquet(table_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
 def stream_neardup_ingest(
     stream_df: DataFrame,
     table_path: str,

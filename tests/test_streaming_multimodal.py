@@ -470,3 +470,50 @@ def test_stream_neardup_ingest_batch_equivalence(spark, tmp_path):
     assert any(
         d.startswith("lsh_bucket=") for d in os.listdir(table_path)
     ), os.listdir(table_path)
+
+
+def test_stream_decontaminated_ingest_matches_batch(spark, tmp_path):
+    """Batch==stream equivalence for the decontamination gate: replaying
+    the corpus through the streaming ingest must keep exactly the docs
+    the batch decontaminate pass keeps, and a replayed duplicate id
+    stays unique."""
+    from minivectordb_spark.operators.dedup import decontaminate
+    from minivectordb_spark.streaming import stream_decontaminated_ingest
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], ["doc_id", "text"]
+    )
+    rows = [
+        (0, "the quick brown fox jumps high"),   # contaminated
+        (1, "a quick brown fox sleeps"),          # contaminated (1 gram)
+        (2, "completely unrelated text here"),    # clean
+        (3, "spark engines hum along nicely"),    # clean
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    flagged = {r["doc_id"] for r in decontaminate(docs, bench).collect()}
+    batch_kept = sorted(i for i, _ in rows if i not in flagged)
+
+    src = str(tmp_path / "docs_in")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    table_path = str(tmp_path / "clean_out")
+    ck = str(tmp_path / "ck_decontam")
+    q = stream_decontaminated_ingest(stream, bench, table_path, ck).start()
+    q.awaitTermination(120)
+
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(table_path).collect()
+    )
+    assert got == batch_kept == [2, 3]
+
+    # replay a clean duplicate plus a new clean doc in a second batch
+    more = spark.createDataFrame(
+        [(2, "completely unrelated text here"), (4, "novel clean content words")],
+        ["doc_id", "text"],
+    )
+    more.write.mode("append").parquet(src)
+    q = stream_decontaminated_ingest(stream, bench, table_path, ck).start()
+    q.awaitTermination(120)
+    got2 = sorted(r["doc_id"] for r in spark.read.parquet(table_path).collect())
+    assert got2 == [2, 3, 4]
