@@ -1076,9 +1076,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver verifies only the first 50 entries, so
-    # never-yet-verified queries lead (r5: decontaminate, lm_score), and
-    # redundant twins are demoted to demoted_queries() (still
-    # oracle-checked locally by tests/test_demoted_queries.py).
+    # never-yet-verified queries lead (r5: decontaminate, lm_score,
+    # dsir_logweights), and redundant twins are demoted to
+    # demoted_queries() (still oracle-checked locally by
+    # tests/test_demoted_queries.py).
     return {
         "decontaminate": q_decontaminate,
         "lm_score": q_lm_score,
