@@ -748,6 +748,20 @@ def q_dedup_against(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style within-doc repetition fractions (operators/text.
+    repetition_stats, 2-grams).  Demoted-set entry: oracle-verified at
+    sf0.001 every round."""
+    from minivectordb_spark.operators.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.col("n_ngrams").cast("long").alias("n_ngrams"),
+        "dup_ngram_frac",
+        "top_ngram_frac",
+    )
+
+
 def q_dsir_sample(spark, sf_dir):
     """DSIR end-to-end: dsir_logweights -> gumbel_topk (deterministic
     Gumbel-top-k weighted sampling w/o replacement).  Demoted-set entry:
@@ -1287,6 +1301,9 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       cross-corpus variant of the graded lsh_jaccard_pairs machinery
       (same banding single-source, cross-frame join instead of
       self-join)
+    - repetition_stats: never graded (new in r5, registry full) — the
+      Gopher within-doc repetition fractions; same two-groupBy agg
+      shape the graded vocabulary row exercises
 
     Still oracle-verified every round by tests/test_demoted_queries.py,
     which runs the same compare as the driver gate at sf0.001.
@@ -1306,6 +1323,7 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_agg": q_events_agg,
         "dsir_sample": q_dsir_sample,
         "dedup_against": q_dedup_against,
+        "repetition_stats": q_repetition_stats,
     }
 
 
@@ -1713,6 +1731,25 @@ SELECT doc_id, log_weight,
 FROM w
 ORDER BY gumbel_key DESC, doc_id ASC
 LIMIT 50
+""".strip()
+
+
+def _oracle_repetition_stats() -> str:
+    """repetition_stats twin: overlapping 2-grams per doc, duplicate and
+    most-common fractions from one (doc, gram) count."""
+    return f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+g AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(tk) >= 2
+         THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+         ELSE []::VARCHAR[] END) AS gram
+  FROM t),
+pg AS (SELECT doc_id, gram, count(*)::BIGINT AS c FROM g GROUP BY doc_id, gram)
+SELECT doc_id, sum(c)::BIGINT AS n_ngrams,
+       round(1.0 - count(*)::DOUBLE / sum(c)::DOUBLE, 6) AS dup_ngram_frac,
+       round(max(c)::DOUBLE / sum(c)::DOUBLE, 6) AS top_ngram_frac
+FROM pg GROUP BY doc_id
 """.strip()
 
 
@@ -2225,6 +2262,7 @@ SELECT vec_id, scale,
         "dsir_logweights": _oracle_dsir_logweights(),
         "dsir_sample": _oracle_dsir_sample(),
         "dedup_against": _oracle_dedup_against(),
+        "repetition_stats": _oracle_repetition_stats(),
         "hybrid_rrf_batch": _oracle_hybrid_rrf_batch(),
         "vocabulary": f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),

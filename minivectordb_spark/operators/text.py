@@ -269,3 +269,56 @@ def lm_score(
             ).alias("avg_logp"),
         )
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Within-document repetition stats — the Gopher repetition rules
+    (Rae et al., arXiv:2112.11446, Table A1): documents dominated by
+    duplicate n-grams are degenerate (keyword stuffing, boilerplate
+    loops, decoding failures) and are filtered by thresholds on exactly
+    these fractions.  Returns per doc:
+
+    - ``n_ngrams``: total (overlapping) n-gram occurrences
+    - ``dup_ngram_frac``: 1 - distinct/total — mass in repeated n-grams
+    - ``top_ngram_frac``: occurrences of the single most frequent n-gram
+      over total — the "most common n-gram" rule
+
+    Documents shorter than ``n`` tokens have no n-grams and drop out.
+
+    Plan: one explode of the staged n-gram array, one (doc, gram)
+    groupBy, one doc groupBy — both combiner-reduced; fractions computed
+    from the counts, no window.  Map-only otherwise; exact SQL twin."""
+    from minivectordb_spark.operators.util import ensure_parallelism, materialize
+
+    staged = materialize(
+        ensure_parallelism(df), tokens(F.col(text_col)), "__toks", [id_col]
+    )
+    toks = F.col("__toks")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = materialize(staged, grams, "__g", [id_col]).select(
+        F.col(id_col), F.explode("__g").alias("gram")
+    )
+    per_gram = ex.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    return per_gram.groupBy(id_col).agg(
+        F.sum("c").alias("n_ngrams"),
+        F.round(
+            F.lit(1.0) - F.count(F.lit(1)).cast("double") / F.sum("c").cast("double"),
+            6,
+        ).alias("dup_ngram_frac"),
+        F.round(F.max("c").cast("double") / F.sum("c").cast("double"), 6).alias(
+            "top_ngram_frac"
+        ),
+    )

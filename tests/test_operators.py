@@ -1240,3 +1240,28 @@ def test_dedup_against_empty_reference_keeps_all(spark):
     ref = spark.createDataFrame([], "doc_id long, text string")
     new = spark.createDataFrame([(0, "a b c d")], ["doc_id", "text"])
     assert dedup_against(new, ref).count() == 1
+
+
+def test_repetition_stats_hand_computed(spark):
+    """Gopher repetition fractions on constructed docs: a degenerate
+    repetition loop scores high, normal prose scores low, short docs drop."""
+    from minivectordb_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, "buy now buy now buy now buy now"),  # 7 bigrams, 2 distinct
+            (1, "the quick brown fox jumps over dogs"),  # all distinct
+            (2, "x"),  # shorter than n -> drops
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert set(out) == {0, 1}
+    r0 = out[0]
+    # "buy now" x4, "now buy" x3 -> total 7, distinct 2, top 4/7
+    assert r0["n_ngrams"] == 7
+    assert r0["dup_ngram_frac"] == pytest.approx(round(1 - 2 / 7, 6))
+    assert r0["top_ngram_frac"] == pytest.approx(round(4 / 7, 6))
+    r1 = out[1]
+    assert r1["dup_ngram_frac"] == 0.0
+    assert r1["top_ngram_frac"] == pytest.approx(round(1 / 6, 6))
