@@ -59,9 +59,10 @@ SCALED_QUERIES = [
     "neardup_cosine",
     "hybrid_rrf_batch",
     "semantic_dedup",
-    # r5 additions: the two new corpus-wide text passes
+    # r5 additions: the new corpus-wide text/selection passes
     "decontaminate",
     "lm_score",
+    "dsir_logweights",
 ]
 
 
