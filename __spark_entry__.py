@@ -1247,12 +1247,33 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
             "survivors": int(q_semantic_dedup(spark, sf_dir).count()),
         }
 
+    def c_decontaminate(spark: SparkSession, sf_dir: str) -> dict:
+        from minivectordb_spark.operators.dedup import _shingle_frame
+
+        docs = _t(spark, sf_dir, "documents")
+        bench_sh = _shingle_frame(
+            docs.filter(F.col("doc_id") % DECONTAM_MOD == 0), "text", "doc_id", 3
+        )
+        bench_grams = int(
+            bench_sh.select(F.explode("sh").alias("g")).distinct().count()
+        )
+        out = q_decontaminate(spark, sf_dir)
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("n_overlap").alias("s")
+        ).first()
+        return {
+            "benchmark_grams": bench_grams,
+            "flagged_docs": int(agg["n"]),
+            "total_overlaps": int(agg["s"] or 0),
+        }
+
     return {
         "neardup_lsh": c_neardup_lsh,
         "neardup_cosine": c_neardup_cosine,
         "dedup_groups": c_dedup_groups,
         "lsh_jaccard_pairs": c_lsh_jaccard,
         "semantic_dedup": c_semantic_dedup,
+        "decontaminate": c_decontaminate,
     }
 
 

@@ -1265,3 +1265,18 @@ def test_repetition_stats_hand_computed(spark):
     r1 = out[1]
     assert r1["dup_ngram_frac"] == 0.0
     assert r1["top_ngram_frac"] == pytest.approx(round(1 / 6, 6))
+
+
+def test_ensure_parallelism_identity_on_wide_input(spark):
+    """The gate must be IDENTITY (no repartition node) when the input
+    already has >= defaultParallelism partitions, and must widen a
+    narrow input to exactly defaultParallelism."""
+    from minivectordb_spark.operators.util import ensure_parallelism
+
+    wide = spark.range(0, 1000, 1, spark.sparkContext.defaultParallelism)
+    assert ensure_parallelism(wide) is wide
+    narrow = spark.range(0, 1000, 1, 1)
+    widened = ensure_parallelism(narrow)
+    assert (
+        widened.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    )
