@@ -618,16 +618,28 @@ def q_simhash_pairs64(spark, sf_dir):
 def q_neardup_cosine(spark, sf_dir):
     """Explicit-planes LSH near-dup (VERDICT r3 item 2): re-pointed from
     block_col="label" (fixed 10-value blocking — quadratic within-block at
-    100x) to caller-pinned sign-bit LSH planes (2^6 buckets, Hamming-1
-    multiprobe).  Literal planes make the plan exactly oracle-reproducible
-    at ANY sf; the adaptive sibling (neardup_lsh) instead derives plane
-    count from corpus size.  block_col blocking survives as an operator
-    option for genuinely growing-cardinality keys (unit-tested)."""
+    100x) to caller-pinned sign-bit LSH planes with Hamming-1 multiprobe.
+    Literal planes make the plan exactly oracle-reproducible; the plane
+    COUNT adapts to the corpus from the same seed-7 prefix-stable pool
+    (P = max(6, ceil(log2(N/32)))), so at the oracle's sf0.01 (N=500)
+    the literals are exactly NEARDUP_COS_PLANES — the SQL twin replays
+    the identical 6 planes — while at 100x the bucket count grows and
+    occupancy stays bounded (the second-decade run measured the fixed-6
+    variant at occupancy 312, candidates 22.5M; the adaptive count caps
+    both).  block_col blocking survives as an operator option for
+    genuinely growing-cardinality keys (unit-tested)."""
+    import math
+
+    from minivectordb_spark.operators.ann import default_projection_planes
+
+    e = _t(spark, sf_dir, "embeddings")
+    n = e.count()
+    p = max(6, math.ceil(math.log2(max(2.0, n / 32))))
     return embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"),
+        e,
         emb_col="embedding",
         id_col="vec_id",
-        planes=NEARDUP_COS_PLANES,
+        planes=default_projection_planes(DIM, n_planes=p),
         threshold=NEARDUP_COS,
     )
 
@@ -1171,16 +1183,22 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
         )
 
     def c_neardup_cosine(spark: SparkSession, sf_dir: str) -> dict:
+        import math
+
+        from minivectordb_spark.operators.ann import default_projection_planes
         from minivectordb_spark.operators.dedup import (
             embedding_neardup_diagnostics,
         )
 
+        e = _t(spark, sf_dir, "embeddings")
+        n = e.count()
+        p = max(6, math.ceil(math.log2(max(2.0, n / 32))))
         return embedding_neardup_diagnostics(
-            _t(spark, sf_dir, "embeddings"),
+            e,
             emb_col="embedding",
             id_col="vec_id",
             threshold=NEARDUP_COS,
-            planes=NEARDUP_COS_PLANES,
+            planes=default_projection_planes(DIM, n_planes=p),
         )
 
     def c_dedup_groups(spark: SparkSession, sf_dir: str) -> dict:
