@@ -1280,3 +1280,32 @@ def test_ensure_parallelism_identity_on_wide_input(spark):
     assert (
         widened.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
     )
+
+
+def test_decimal_frozen_scores_partitioning_invariant(spark):
+    """The engine-parity design claim for lm_score / dsir_logweights: the
+    per-entry DECIMAL(18,6) freeze makes per-doc aggregates EXACTLY
+    order-independent, so any repartitioning yields bit-identical
+    scores (floats would drift at the ulp level across sum orders)."""
+    import random
+
+    from minivectordb_spark.operators.prep import dsir_logweights
+    from minivectordb_spark.operators.text import lm_score
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(5, 60))))
+        for i in range(40)
+    ]
+    df1 = spark.createDataFrame(rows, ["doc_id", "text"])
+    df2 = df1.repartition(7, "doc_id")
+    df3 = df1.repartition(1)
+
+    base = sorted(map(tuple, lm_score(df1).collect()))
+    assert sorted(map(tuple, lm_score(df2).collect())) == base
+    assert sorted(map(tuple, lm_score(df3).collect())) == base
+
+    tgt = df1.filter(F.col("doc_id") % 3 == 0)
+    dbase = sorted(map(tuple, dsir_logweights(df1, tgt).collect()))
+    assert sorted(map(tuple, dsir_logweights(df2, tgt.repartition(3)).collect())) == dbase
