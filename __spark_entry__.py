@@ -774,6 +774,16 @@ def q_repetition_stats(spark, sf_dir):
     )
 
 
+def q_scrub_passages(spark, sf_dir):
+    """Exact-substring dedup SCRUB (operators/dedup.
+    scrub_repeated_passages): remove every token window flagged by
+    repeated_passages from all but its min-id holder.  Demoted-set
+    entry: oracle-verified at sf0.001 every round."""
+    from minivectordb_spark.operators.dedup import scrub_repeated_passages
+
+    return scrub_repeated_passages(_t(spark, sf_dir, "documents"), min_docs=2)
+
+
 def q_dsir_sample(spark, sf_dir):
     """DSIR end-to-end: dsir_logweights -> gumbel_topk (deterministic
     Gumbel-top-k weighted sampling w/o replacement).  Demoted-set entry:
@@ -1343,6 +1353,9 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - repetition_stats: never graded (new in r5, registry full) — the
       Gopher within-doc repetition fractions; same two-groupBy agg
       shape the graded vocabulary row exercises
+    - scrub_passages: never graded (new in r5, registry full) — the
+      scrub half of exact-substring dedup, consuming the graded
+      repeated_passages aggregate
 
     Still oracle-verified every round by tests/test_demoted_queries.py,
     which runs the same compare as the driver gate at sf0.001.
@@ -1363,6 +1376,7 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": q_dsir_sample,
         "dedup_against": q_dedup_against,
         "repetition_stats": q_repetition_stats,
+        "scrub_passages": q_scrub_passages,
     }
 
 
@@ -1789,6 +1803,38 @@ SELECT doc_id, sum(c)::BIGINT AS n_ngrams,
        round(1.0 - count(*)::DOUBLE / sum(c)::DOUBLE, 6) AS dup_ngram_frac,
        round(max(c)::DOUBLE / sum(c)::DOUBLE, 6) AS top_ngram_frac
 FROM pg GROUP BY doc_id
+""".strip()
+
+
+def _oracle_scrub_passages() -> str:
+    """scrub_repeated_passages twin: repeated windows (>=2 docs, min-id
+    holder), positional windows with spans, covered positions, index-
+    lambda reconstruction (DuckDB list lambdas are 1-based, matching the
+    Spark side's i+1)."""
+    k = SHINGLE_K
+    gram = " || ' ' || ".join(f"tk[i+{j}]" for j in range(k))
+    return f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+sh AS (SELECT doc_id, unnest({_SQL_SHINGLE_HASHES}) AS gram_hash FROM t),
+rp AS (SELECT gram_hash, min(doc_id) AS first_doc
+       FROM sh GROUP BY gram_hash HAVING count(*) >= 2),
+win AS (
+  SELECT t.doc_id, u.i AS wpos, {k} AS span, {_sql_hash(gram)} AS gram_hash
+  FROM t, unnest(range(1, len(tk) - {k - 2})) AS u(i) WHERE len(tk) >= {k}
+  UNION ALL
+  SELECT doc_id, 1, len(tk), {_sql_hash("array_to_string(tk, ' ')")}
+  FROM t WHERE len(tk) < {k}
+),
+cov AS (
+  SELECT DISTINCT w.doc_id, r.p AS tpos
+  FROM win w JOIN rp USING (gram_hash), unnest(range(w.wpos, w.wpos + w.span)) AS r(p)
+  WHERE rp.first_doc != w.doc_id
+),
+covl AS (SELECT doc_id, list(tpos) AS cv FROM cov GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(array_to_string(list_filter(t.tk,
+         (x, i) -> cv IS NULL OR NOT list_contains(cv, i)), ' '), '') AS scrubbed
+FROM t LEFT JOIN covl USING (doc_id)
 """.strip()
 
 
@@ -2302,6 +2348,7 @@ SELECT vec_id, scale,
         "dsir_sample": _oracle_dsir_sample(),
         "dedup_against": _oracle_dedup_against(),
         "repetition_stats": _oracle_repetition_stats(),
+        "scrub_passages": _oracle_scrub_passages(),
         "hybrid_rrf_batch": _oracle_hybrid_rrf_batch(),
         "vocabulary": f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),

@@ -1082,6 +1082,87 @@ def repeated_passages(
     )
 
 
+def scrub_repeated_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = DEFAULT_SHINGLE,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The SCRUB half of exact-substring dedup (Lee et al.,
+    arXiv:2107.06499): ``repeated_passages`` finds the token windows
+    appearing in >= ``min_docs`` documents; this pass REMOVES every token
+    covered by such a window from every document EXCEPT the window's
+    canonical (min-id) holder — one surviving occurrence per passage,
+    the rest of each document kept intact.  Returns
+    ``(id_col, scrubbed)``.
+
+    Plan: the flagged-window table comes from the repeated_passages
+    aggregate (one hash-keyed shuffle); positional window hashes fan out
+    by windows-per-doc, join the flagged table on the 4-byte hash, and
+    collapse to a per-doc covered-position set (one id-keyed shuffle);
+    reconstruction is a map-side index-lambda filter over the staged
+    token array.  No stage pairs documents with documents — cost scales
+    with flagged-window OCCURRENCES, never the doc-pair space.  Docs
+    shorter than ``window`` behave as one whole-doc window (the shingle
+    fallback), so a short doc duplicated across the corpus scrubs to
+    empty outside its first holder."""
+    flagged = repeated_passages(df, text_col, id_col, window, min_docs).select(
+        "gram_hash", "first_doc"
+    )
+    staged = _barrier(
+        _parallel(df), tokens(F.col(text_col)), "__toks", [id_col]
+    )
+    toks = F.col("__toks")
+    n = F.size(toks)
+    k = window
+    wins = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.struct(
+                i.alias("wpos"),
+                F.lit(k).cast("int").alias("span"),
+                md5i32(
+                    F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)])
+                ).alias("gram_hash"),
+            ),
+        ),
+    ).otherwise(
+        F.array(
+            F.struct(
+                F.lit(1).alias("wpos"),
+                n.cast("int").alias("span"),
+                md5i32(F.concat_ws(" ", toks)).alias("gram_hash"),
+            )
+        )
+    )
+    ex = _barrier(staged, wins, "__w", [id_col]).select(
+        F.col(id_col), F.explode("__w").alias("w")
+    ).select(id_col, "w.wpos", "w.span", "w.gram_hash")
+    covered = (
+        ex.join(flagged, "gram_hash")
+        .filter(F.col(id_col) != F.col("first_doc"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("wpos"), F.col("wpos") + F.col("span") - 1)
+            ).alias("tpos"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("tpos").alias("__cov"))
+    )
+    kept = F.filter(
+        toks, lambda t, i: ~F.coalesce(
+            F.array_contains(F.col("__cov"), i + 1), F.lit(False)
+        )
+    )
+    return (
+        staged.join(covered, id_col, "left")
+        .select(F.col(id_col), F.concat_ws(" ", kept).alias("scrubbed"))
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

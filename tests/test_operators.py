@@ -1309,3 +1309,27 @@ def test_decimal_frozen_scores_partitioning_invariant(spark):
     tgt = df1.filter(F.col("doc_id") % 3 == 0)
     dbase = sorted(map(tuple, dsir_logweights(df1, tgt).collect()))
     assert sorted(map(tuple, dsir_logweights(df2, tgt.repartition(3)).collect())) == dbase
+
+
+def test_scrub_repeated_passages_semantics(spark):
+    """Lee et al. scrub: repeated windows removed everywhere EXCEPT the
+    min-id holder; unique content untouched; short-doc duplicates scrub
+    to empty outside their first holder."""
+    from minivectordb_spark.operators.dedup import scrub_repeated_passages
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta unique zero"),
+            (1, "alpha beta gamma delta something else entirely"),
+            (2, "totally different words here now"),
+            (3, "x y"),
+            (4, "x y"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["scrubbed"] for r in scrub_repeated_passages(df).collect()}
+    assert out[0] == "alpha beta gamma delta unique zero"  # canonical holder
+    assert out[1] == "something else entirely"  # shared prefix removed
+    assert out[2] == "totally different words here now"  # untouched
+    assert out[3] == "x y" and out[4] == ""  # short-doc dup
+    assert set(out) == {0, 1, 2, 3, 4}  # every doc keeps its row
