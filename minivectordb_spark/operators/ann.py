@@ -103,9 +103,14 @@ def lloyd_kmeans_centroids(
     cents = _collect_centroids(seed_centroids(df, n, id_col, emb_col))
     # dim from the seeds already on the driver — no separate peek job
     dim = len(cents[0][1]) if cents else 0
+    # every iteration launches its own job over the staged frame; the lazy
+    # localCheckpoint materializes the scan + norm pass once and later
+    # iterations read the stored blocks (freed by the ContextCleaner when
+    # the fit returns) — at scale this is the difference between 1 and
+    # `iters` passes over the corpus
     staged = materialize(
         df.select(id_col, emb_col), norm_expr(F.col(emb_col)), "__n", [id_col, emb_col]
-    )
+    ).localCheckpoint(eager=False)
     # Per-iteration shape is CONSTANT: assignment is the broadcast-join
     # argmax (the ivf_assign_join plan — only the tiny centroid DF's DATA
     # changes between iterations, never the expression tree, so codegen
@@ -419,13 +424,52 @@ def _rank_probes(
     return [int(cid) for cid, _ in ranked[:nprobe]]
 
 
+def _ivf_source_fingerprint(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str,
+    emb_col: str,
+) -> str | None:
+    """Freshness fingerprint of an index's inputs: the source's file set
+    with per-file (size, mtime) plus the centroid values and column names.
+    ``None`` (= no freshness tracking, always rebuild) when the source is
+    not a locally-stat-able file scan — on a real deployment this slot is
+    the table-format snapshot id (Delta/Iceberg version), which identifies
+    the source state without touching the filesystem at all."""
+    import hashlib
+    import json
+    import os
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    ents = []
+    for f in sorted(files):
+        u = urlparse(f)
+        if u.scheme not in ("file", ""):
+            return None
+        p = unquote(u.path)
+        try:
+            st = os.stat(p)
+        except OSError:
+            return None
+        ents.append([p, st.st_size, st.st_mtime_ns])
+    payload = json.dumps([ents, cents, id_col, emb_col], sort_keys=True)
+    return hashlib.md5(payload.encode()).hexdigest()
+
+
 def save_ivf_index(
     df: DataFrame,
     centroids: DataFrame,
     path: str,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-) -> None:
+    skip_if_fresh: bool = False,
+) -> bool:
     """Persist an IVF index: row assignments written PARTITIONED BY
     centroid_id (each cluster is its own directory) plus the centroid
     table.  A search probing nprobe clusters then lists and reads ONLY
@@ -433,11 +477,30 @@ def save_ivf_index(
     100 TB a probe touches ~nprobe/K of the bytes at rest instead of
     filtering a full scan.  The assignment pass itself is the map-only
     ``ivf_assign`` expression (no join); one shuffle on centroid_id lays
-    the clusters out contiguously."""
+    the clusters out contiguously.
+
+    With ``skip_if_fresh`` the build is SKIPPED when an existing index at
+    ``path`` carries a manifest matching the current inputs (source files
+    by size+mtime, centroids, columns) — a persisted index is only worth
+    its write cost if repeat searches reuse it, and a stale index is worse
+    than no index, so freshness is checked, never assumed.  Returns True
+    when the index was (re)built, False when a fresh one was reused."""
+    import json
+    import os
+
     from minivectordb_spark.operators.util import materialize
     from minivectordb_spark.scoring import norm_expr
 
     cents = _collect_centroids(centroids)
+    fp = _ivf_source_fingerprint(df, cents, id_col, emb_col)
+    manifest = os.path.join(path, "_index_manifest.json")
+    if skip_if_fresh and fp is not None:
+        try:
+            with open(manifest) as fh:
+                if json.load(fh).get("fingerprint") == fp:
+                    return False
+        except (OSError, ValueError):
+            pass
     staged = materialize(df, norm_expr(F.col(emb_col)), "__n", [id_col, emb_col])
     best = _assignment_struct(F.col(emb_col), cents, norm_col=F.col("__n"))
     assigned = materialize(staged, best, "__best", [id_col, emb_col]).select(
@@ -452,6 +515,15 @@ def save_ivf_index(
         .parquet(f"{path}/assignments")
     )
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    try:  # manifest lives beside local indexes only; elsewhere the snapshot
+        if fp is not None:  # id of a table format plays this role
+            with open(manifest, "w") as fh:
+                json.dump({"fingerprint": fp}, fh)
+        elif os.path.exists(manifest):
+            os.remove(manifest)  # unknown freshness must not claim the old one
+    except OSError:
+        pass
+    return True
 
 
 def ivf_search_indexed(

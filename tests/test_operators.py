@@ -467,6 +467,67 @@ def test_ivf_indexed_matches_onthefly(spark, tmp_path):
     assert stored == live and len(stored) == 7
 
 
+def test_ivf_index_freshness_reuse(spark, tmp_path):
+    """skip_if_fresh reuses an index only while its manifest matches the
+    source files + centroids: unchanged source -> no rebuild (untouched
+    file mtimes); changed source -> rebuild, and searches see the new data.
+    In-memory sources have no fingerprint and always rebuild."""
+    import os
+    import random
+
+    from minivectordb_spark.operators.ann import (
+        ivf_search_indexed,
+        save_ivf_index,
+        seed_centroids,
+    )
+
+    rng = random.Random(11)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(100)],
+        ["vec_id", "embedding"],
+    ).write.parquet(src)
+    df = spark.read.parquet(src)
+    idx = str(tmp_path / "ivf")
+    query = [rng.uniform(-1, 1) for _ in range(8)]
+
+    assert save_ivf_index(df, seed_centroids(df, 5), idx, skip_if_fresh=True)
+    before = {
+        f: os.stat(os.path.join(idx, "assignments", f)).st_mtime_ns
+        for f in os.listdir(os.path.join(idx, "assignments"))
+        if not f.startswith("_")
+    }
+    # fresh: skipped, nothing rewritten
+    assert not save_ivf_index(df, seed_centroids(df, 5), idx, skip_if_fresh=True)
+    after = {
+        f: os.stat(os.path.join(idx, "assignments", f)).st_mtime_ns
+        for f in os.listdir(os.path.join(idx, "assignments"))
+        if not f.startswith("_")
+    }
+    assert after == before
+
+    # different centroids -> stale -> rebuilt
+    assert save_ivf_index(df, seed_centroids(df, 6), idx, skip_if_fresh=True)
+
+    # source data changes -> stale -> rebuilt, search reflects new rows
+    spark.createDataFrame(
+        [(i + 1000, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(100)],
+        ["vec_id", "embedding"],
+    ).write.mode("overwrite").parquet(src)
+    df2 = spark.read.parquet(src)
+    assert save_ivf_index(df2, seed_centroids(df2, 5), idx, skip_if_fresh=True)
+    got = {r["vec_id"] for r in ivf_search_indexed(spark, idx, query, k=5, nprobe=2).collect()}
+    assert got and all(v >= 1000 for v in got)
+
+    # in-memory frame: no fingerprint -> conservative rebuild every time
+    mem = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(50)],
+        ["vec_id", "embedding"],
+    )
+    assert save_ivf_index(mem, seed_centroids(mem, 4), idx, skip_if_fresh=True)
+    assert save_ivf_index(mem, seed_centroids(mem, 4), idx, skip_if_fresh=True)
+
+
 def test_temperature_fractions(spark):
     """tau<1 upweights rare strata; fractions sum to 1; tau=1 recovers
     plain proportions."""
