@@ -1938,10 +1938,11 @@ def _oracle_simhash_pairs64() -> str:
 
     return f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+dg AS (SELECT doc_id, list_transform(tk, x -> md5(x)) AS d FROM t),
 th AS (SELECT doc_id,
-        list_transform(tk, x -> {_sql_hash('x')}) AS hs,
-        list_transform(tk, x -> {_sql_hash("x || '#h'")}) AS hs2
-       FROM t),
+        list_transform(d, x -> ('0x' || substr(x, 1, 8))::BIGINT) AS hs,
+        list_transform(d, x -> ('0x' || substr(x, 9, 8))::BIGINT) AS hs2
+       FROM dg),
 v AS (SELECT doc_id,
     {votes('hs', 'a')},
     {votes('hs2', 'c')}

@@ -384,7 +384,10 @@ def simhash_fingerprints64(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """64-bit SimHash as TWO independent 32-bit halves: ``simhash_lo`` from
-    the base token hash, ``simhash_hi`` from a '#h'-salted hash.
+    hex chars 1-8 of each token's md5 digest, ``simhash_hi`` from chars
+    9-16 — ONE digest per token feeds both halves (md5's words are
+    independent), so the md5 pass costs exactly what the 32-bit variant
+    pays; only the cheap hex->int word extraction runs twice.
 
     Two halves instead of one packed int64: reuses the proven 32-bit SWAR
     vote unchanged, keeps every value in [0, 2^32) (no ANSI overflow, no
@@ -396,15 +399,27 @@ def simhash_fingerprints64(
     ~10k docs — stay rare to ~100x larger corpora.
     """
     toks_df = _barrier(_parallel(df), tokens(F.col(text_col)), "__toks", [id_col])
-    hs_df = _barrier(
+    dg_df = _barrier(
         toks_df,
-        F.transform(F.col("__toks"), lambda t: md5i32(t)),
+        F.transform(F.col("__toks"), lambda t: F.md5(t.cast("binary"))),
+        "__dg",
+        [id_col],
+    )
+    hs_df = _barrier(
+        dg_df,
+        F.transform(
+            F.col("__dg"),
+            lambda d: F.conv(F.substring(d, 1, 8), 16, 10).cast("long"),
+        ),
         "__hs",
-        [id_col, "__toks"],
+        [id_col, "__dg"],
     )
     hs2_df = _barrier(
         hs_df,
-        F.transform(F.col("__toks"), lambda t: md5i32(F.concat(t, F.lit("#h")))),
+        F.transform(
+            F.col("__dg"),
+            lambda d: F.conv(F.substring(d, 9, 8), 16, 10).cast("long"),
+        ),
         "__hs2",
         [id_col, "__hs"],
     )
