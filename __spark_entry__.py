@@ -797,6 +797,36 @@ def q_dsir_sample(spark, sf_dir):
     return gumbel_topk(w, k=50).select("doc_id", "log_weight", "gumbel_key")
 
 
+def q_bigram_lm(spark, sf_dir):
+    """Interpolated-bigram LM scoring (operators/text.bigram_lm_score):
+    the pruned-KenLM-shaped upgrade of lm_score — per position,
+    ln(0.75 * p_bi + 0.25 * p_uni) with the bigram table count-pruned to
+    a bounded top-N (unpruned here: the sf vocab is far under the cap);
+    per-position terms frozen to DECIMAL(18,6) before the per-doc mean."""
+    from minivectordb_spark.operators.text import bigram_lm_score
+
+    return bigram_lm_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("n_bigrams").cast("long").alias("n_bigrams"), "avg_logp"
+    )
+
+
+def q_quality_classifier(spark, sf_dir):
+    """fastText-style hashed linear quality classifier
+    (operators/text.hash_classifier_score): sigmoid of the mean
+    per-feature weight over the DSIR hash buckets, weights frozen to
+    integer micros so the fold is exact in both engines.  Literal
+    deterministic weights (the NEARDUP_PLANES pattern); the real
+    MLlib-fit path is fit_hash_classifier, unit-tested."""
+    from minivectordb_spark.operators.text import (
+        default_classifier_weights,
+        hash_classifier_score,
+    )
+
+    return hash_classifier_score(
+        _t(spark, sf_dir, "documents"), default_classifier_weights()
+    ).select("doc_id", "n_feats", "score")
+
+
 SEMANTIC_TARGET_CLUSTER = 50  # SemDeDup scales cluster COUNT with the corpus
 
 
@@ -1362,6 +1392,12 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - scrub_passages: never graded (new in r5, registry full) — the
       scrub half of exact-substring dedup, consuming the graded
       repeated_passages aggregate
+    - bigram_lm: never graded (new in r5, registry full) — the
+      interpolated pruned-bigram upgrade of the graded lm_score (same
+      broadcast-model probe shape, one Markov order deeper)
+    - quality_classifier: never graded (new in r5, registry full) —
+      fastText-shaped hashed linear scorer over the graded
+      dsir_logweights feature definition; map-only, no joins at all
 
     Still oracle-verified every round by tests/test_demoted_queries.py,
     which runs the same compare as the driver gate at sf0.001.
@@ -1383,6 +1419,8 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against": q_dedup_against,
         "repetition_stats": q_repetition_stats,
         "scrub_passages": q_scrub_passages,
+        "bigram_lm": q_bigram_lm,
+        "quality_classifier": q_quality_classifier,
     }
 
 
@@ -1775,6 +1813,69 @@ SELECT feats.doc_id, count(*)::BIGINT AS n_feats,
        round(sum(lr.lr)::DOUBLE, 6) AS log_weight
 FROM feats JOIN lr USING (b)
 GROUP BY feats.doc_id
+""".strip()
+
+
+def _oracle_bigram_lm() -> str:
+    """bigram_lm twin: same bigram/context/unigram counts, same top-N
+    prune order, per-position DECIMAL(18,6) frozen log term.  The
+    interpolation constants are repr()'d so both engines parse the
+    identical IEEE doubles."""
+    from minivectordb_spark.operators.text import BIGRAM_LM_LAMBDA, BIGRAM_LM_TOP
+
+    lam, om = repr(BIGRAM_LM_LAMBDA), repr(1.0 - BIGRAM_LM_LAMBDA)
+    return f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+bi AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bg, tk[i+1] AS w2
+       FROM t, unnest(range(1, len(tk))) AS u(i) WHERE len(tk) >= 2),
+bic AS (SELECT bg, count(*)::BIGINT AS c_bi FROM bi GROUP BY bg),
+pruned AS (SELECT bg, c_bi FROM bic ORDER BY c_bi DESC, bg ASC LIMIT {BIGRAM_LM_TOP}),
+ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c_bi)::BIGINT AS c_ctx
+        FROM bic GROUP BY 1),
+ptab AS (SELECT p.bg, p.c_bi, c.c_ctx
+         FROM pruned p JOIN ctx c ON split_part(p.bg, ' ', 1) = c.w1),
+uni AS (SELECT token, count(*)::BIGINT AS c_uni
+        FROM (SELECT unnest(tk) AS token FROM t) GROUP BY token),
+tot AS (SELECT sum(c_uni)::BIGINT AS T FROM uni),
+terms AS (
+  SELECT bi.doc_id,
+         round(ln({lam} * (CASE WHEN ptab.c_bi IS NOT NULL
+                                THEN ptab.c_bi::DOUBLE / ptab.c_ctx::DOUBLE
+                                ELSE 0.0 END)
+                + {om} * (uni.c_uni::DOUBLE / (SELECT T FROM tot)::DOUBLE)),
+               6)::DECIMAL(18,6) AS tm
+  FROM bi LEFT JOIN ptab USING (bg) JOIN uni ON uni.token = bi.w2)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       round(sum(tm)::DOUBLE / count(*)::DOUBLE, 6) AS avg_logp
+FROM terms GROUP BY doc_id
+""".strip()
+
+
+def _oracle_quality_classifier() -> str:
+    """quality_classifier twin: identical hashed feature bag (the DSIR
+    fragment), identical integer-micro weight literals, exact integer
+    fold, one rounded sigmoid per doc."""
+    from minivectordb_spark.operators.text import (
+        CLASSIFIER_BUCKETS as B,
+        default_classifier_weights,
+    )
+
+    wi = [int(round(w * 1_000_000)) for w in default_classifier_weights()]
+    w_list = "[" + ", ".join(str(x) for x in wi) + "]"
+    feat_list = f"""list_concat(
+      list_transform(tk, s -> {_sql_hash('s')} % {B}),
+      CASE WHEN len(tk) >= 2
+           THEN list_transform(range(1, len(tk)), i -> {_sql_hash("tk[i] || ' ' || tk[i+1]")} % {B})
+           ELSE []::BIGINT[] END)"""
+    return f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+b AS (SELECT doc_id, {feat_list} AS bk FROM t),
+s AS (SELECT doc_id, len(bk)::BIGINT AS n_feats,
+             list_sum(list_transform(bk, x -> ({w_list}::BIGINT[])[x + 1]))::BIGINT AS sw
+      FROM b WHERE len(bk) > 0)
+SELECT doc_id, n_feats,
+       round(1.0 / (1.0 + exp(-(0.0 + (sw::DOUBLE / 1000000.0) / n_feats::DOUBLE))), 6) AS score
+FROM s
 """.strip()
 
 
@@ -2356,6 +2457,8 @@ SELECT vec_id, scale,
         "dedup_against": _oracle_dedup_against(),
         "repetition_stats": _oracle_repetition_stats(),
         "scrub_passages": _oracle_scrub_passages(),
+        "bigram_lm": _oracle_bigram_lm(),
+        "quality_classifier": _oracle_quality_classifier(),
         "hybrid_rrf_batch": _oracle_hybrid_rrf_batch(),
         "vocabulary": f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),

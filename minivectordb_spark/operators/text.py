@@ -322,3 +322,232 @@ def repetition_stats(
             "top_ngram_frac"
         ),
     )
+
+
+# ---------------- interpolated bigram LM (pruned) ----------------
+
+BIGRAM_LM_LAMBDA = 0.75  # exact in binary, so 1-lambda is too (engine parity)
+BIGRAM_LM_TOP = 50_000
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = BIGRAM_LM_LAMBDA,
+    top_bigrams: int = BIGRAM_LM_TOP,
+) -> DataFrame:
+    """Interpolated-bigram LM document scoring — one Markov order closer to
+    CCNet's 5-gram KenLM (Wenzek et al., arXiv:1911.00359) than the
+    unigram ``lm_score``: each position i >= 2 scores
+    ``ln(lam * p_bi(w_i | w_{i-1}) + (1-lam) * p_uni(w_i))`` under
+    corpus-fit counts, averaged per doc.  Returns ``(id_col, n_bigrams,
+    avg_logp)``; docs with < 2 tokens have no bigram positions and drop
+    out.  Like a count-pruned KenLM, the bigram table keeps only the
+    ``top_bigrams`` most frequent entries (deterministic count-desc,
+    key-asc order); a pruned-away bigram backs off to the unigram term
+    alone — so the broadcast model is BOUNDED BY CONSTRUCTION at any
+    corpus size, the same reason production KenLMs ship pruned.
+
+    Numerics: each position's log term is rounded to 6dp and frozen to
+    DECIMAL(18,6) before the per-doc sum (exact, order-independent); the
+    probabilities themselves stay exact IEEE divisions (never frozen to
+    fixed decimals — linear probs underflow fixed scales at corpus sizes
+    where logs do not).
+
+    Plan: the staged token pass fans out once per side; three bounded
+    aggregates (bigram counts -> top-N prune, context counts derived from
+    the BIGRAM TABLE not the corpus, unigram vocab) build broadcast
+    tables; the scoring pass is then two map-side broadcast joins plus
+    ONE id-keyed partial aggregate — corpus-sized stages are map-only
+    throughout, like ``lm_score``."""
+    from minivectordb_spark.operators.util import ensure_parallelism, materialize
+
+    staged = materialize(
+        ensure_parallelism(df), tokens(F.col(text_col)), "__toks", [id_col]
+    )
+    tk = F.col("__toks")
+    n = F.size(tk)
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(tk, 1, n - 1),
+            F.slice(tk, 2, n - 1),
+            lambda a, b: F.struct(
+                F.concat(a, F.lit(" "), b).alias("bg"), b.alias("w2")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<bg:string,w2:string>>"))
+    pst = materialize(staged, pairs, "__bi", [id_col])
+    ex2 = pst.select(F.col(id_col), F.explode("__bi").alias("p")).select(
+        F.col(id_col), F.col("p.bg").alias("bg"), F.col("p.w2").alias("w2")
+    )
+
+    bic = ex2.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bi"))
+    pruned = bic.orderBy(F.col("c_bi").desc(), F.col("bg").asc()).limit(top_bigrams)
+    ctx = (
+        bic.select(F.split(F.col("bg"), " ").getItem(0).alias("w1"), "c_bi")
+        .groupBy("w1")
+        .agg(F.sum("c_bi").alias("c_ctx"))
+    )
+    ptab = (
+        pruned.withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+        .join(ctx, "w1")
+        .select("bg", "c_bi", "c_ctx")
+    )
+
+    ex1 = staged.select(F.explode(tk).alias("token"))
+    uni = ex1.groupBy("token").agg(F.count(F.lit(1)).alias("c_uni"))
+    tot = uni.agg(F.sum("c_uni").alias("T"))
+    unit = uni.crossJoin(F.broadcast(tot))
+
+    probe = ex2.join(F.broadcast(ptab), "bg", "left").join(
+        F.broadcast(unit.select(F.col("token").alias("w2"), "c_uni", "T")), "w2"
+    )
+    p_bi = F.when(
+        F.col("c_bi").isNotNull(),
+        F.col("c_bi").cast("double") / F.col("c_ctx").cast("double"),
+    ).otherwise(F.lit(0.0))
+    p_uni = F.col("c_uni").cast("double") / F.col("T").cast("double")
+    term = (
+        F.round(F.log(F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni), 6)
+        .cast("decimal(18,6)")
+    )
+    return (
+        probe.select(F.col(id_col), term.alias("__t"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("__t").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("avg_logp"),
+        )
+    )
+
+
+# ---------------- hashed linear quality classifier ----------------
+
+CLASSIFIER_BUCKETS = 256
+
+
+def default_classifier_weights(
+    n_buckets: int = CLASSIFIER_BUCKETS, seed: int = 7
+) -> list[float]:
+    """Deterministic literal weight vector (the NEARDUP_PLANES pattern):
+    a seeded draw both engines inline identically.  Production weights
+    come from ``fit_hash_classifier``; the oracle-graded query needs
+    literals an external engine can replay."""
+    import random
+
+    rng = random.Random(seed)
+    return [round(rng.uniform(-1.0, 1.0), 6) for _ in range(n_buckets)]
+
+
+def hash_classifier_score(
+    df: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """fastText-style linear quality classifier over hashed n-gram
+    features — the model-based filter shape of DCLM / FineWeb-Edu
+    pipelines (Li et al., arXiv:2406.11794), with the embedding table
+    collapsed to one weight per hash bucket: score = sigmoid(bias +
+    mean over feature occurrences of w[bucket]).  Features are the DSIR
+    unigram+bigram hash buckets, so classifier and importance-weight
+    paths share one feature definition.  Returns ``(id_col, n_feats,
+    score)``; docs with no features drop out.
+
+    Numerics: weights are frozen to integer MICROS (w * 1e6 as BIGINT
+    literals), so the per-doc feature sum is exact integer arithmetic in
+    both engines (the hash-cosine trick); the single sigmoid at the end
+    is one rounded float op per DOC.
+
+    Plan: staged token + bucket arrays, then the weight fold runs inside
+    the same map-only pass — NO join and NO shuffle at all (the weight
+    vector is an expression literal, bounded by construction).  At
+    100 TB this is a pure scan: the cheapest possible model-based
+    filter."""
+    from minivectordb_spark.operators.prep import _dsir_feature_buckets
+    from minivectordb_spark.operators.util import ensure_parallelism, materialize
+
+    n_buckets = len(weights)
+    wi = [int(round(float(w) * 1_000_000)) for w in weights]
+    W = F.array(*[F.lit(x).cast("long") for x in wi])
+
+    staged = materialize(
+        ensure_parallelism(df), tokens(F.col(text_col)), "__toks", [id_col]
+    )
+    bst = materialize(
+        staged, _dsir_feature_buckets(F.col("__toks"), n_buckets), "__b", [id_col]
+    )
+    s = F.aggregate(
+        F.col("__b"),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.element_at(W, (b + 1).cast("int")),
+    )
+    nf = F.size(F.col("__b"))
+    z = F.lit(float(bias)) + (s.cast("double") / F.lit(1000000.0)) / nf.cast(
+        "double"
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return bst.filter(nf > 0).select(
+        F.col(id_col), nf.cast("long").alias("n_feats"), score.alias("score")
+    )
+
+
+def fit_hash_classifier(
+    pos: DataFrame,
+    neg: DataFrame,
+    n_buckets: int = CLASSIFIER_BUCKETS,
+    text_col: str = "text",
+    max_iter: int = 50,
+    reg_param: float = 0.01,
+) -> tuple[list[float], float]:
+    """Fit the ``hash_classifier_score`` weights with MLlib logistic
+    regression on labeled frames (pos = keep, neg = drop) — the real
+    training path behind the literal-weight scoring expression.  The
+    feature vector is the SAME normalized bag-of-buckets the scorer
+    folds over (mean one-hot of `_dsir_feature_buckets`), so fitted
+    coefficients drop straight into ``hash_classifier_score``.  Returns
+    ``(weights, bias)``.
+
+    The per-doc dense count vector is built by an O(n_feats * n_buckets)
+    interpreted fold — fine for fit corpora (labeled sets are small by
+    nature); the SCORING path never materializes vectors at all."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    from minivectordb_spark.operators.prep import _dsir_feature_buckets
+    from minivectordb_spark.operators.util import materialize
+
+    def featurize(side: DataFrame, label: int) -> DataFrame:
+        staged = materialize(side, tokens(F.col(text_col)), "__toks", [])
+        bst = materialize(
+            staged, _dsir_feature_buckets(F.col("__toks"), n_buckets), "__b", []
+        )
+        counts = F.aggregate(
+            F.col("__b"),
+            F.array_repeat(F.lit(0.0), n_buckets),
+            lambda acc, x: F.transform(
+                acc,
+                lambda v, i: F.when(i == x.cast("int"), v + F.lit(1.0)).otherwise(v),
+            ),
+        )
+        nf = F.size(F.col("__b"))
+        mean_counts = F.transform(counts, lambda v: v / nf.cast("double"))
+        return (
+            bst.filter(nf > 0)
+            .select(mean_counts.alias("__m"))
+            .select(
+                array_to_vector(F.col("__m")).alias("features"),
+                F.lit(label).alias("label"),
+            )
+        )
+
+    data = featurize(pos, 1).unionAll(featurize(neg, 0))
+    model = LogisticRegression(
+        maxIter=max_iter, regParam=reg_param, standardization=False
+    ).fit(data)
+    return [float(c) for c in model.coefficients], float(model.intercept)

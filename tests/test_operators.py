@@ -528,6 +528,90 @@ def test_ivf_index_freshness_reuse(spark, tmp_path):
     assert save_ivf_index(mem, seed_centroids(mem, 4), idx, skip_if_fresh=True)
 
 
+def test_bigram_lm_backoff_and_pruning(spark):
+    """Interpolated bigram LM: hand-computed score for a doc whose bigram
+    is in the table; with top_bigrams=1 only the most frequent bigram
+    survives pruning and every other position backs off to the unigram
+    term alone; <2-token docs drop out."""
+    import math
+
+    from minivectordb_spark.operators.text import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "a b"), (2, "z"), (3, "")], ["doc_id", "text"]
+    )
+    # corpus: bigrams {a b: 3, b a: 1, b c: 1}; ctx a->3, b->2; uni a3 b3 c1 z1 T=8
+    full = {r["doc_id"]: r for r in bigram_lm_score(docs, top_bigrams=100).collect()}
+    assert set(full) == {0, 1}  # <2-token docs drop
+    assert full[1]["n_bigrams"] == 1
+    assert full[1]["avg_logp"] == round(math.log(0.75 * 1.0 + 0.25 * 3 / 8), 6)
+
+    pruned = {
+        r["doc_id"]: r for r in bigram_lm_score(docs, top_bigrams=1).collect()
+    }
+    # only "a b" (count 3) survives the prune; doc 0's "b a"/"b c" positions
+    # back off to 0.25 * p_uni
+    t_ab = round(math.log(0.75 * 1.0 + 0.25 * 3 / 8), 6)
+    t_ba = round(math.log(0.25 * 3 / 8), 6)
+    t_bc = round(math.log(0.25 * 1 / 8), 6)
+    exp0 = round((2 * t_ab + t_ba + t_bc) / 4, 6)
+    assert pruned[0]["avg_logp"] == exp0
+    assert pruned[1]["avg_logp"] == t_ab
+
+
+def test_hash_classifier_fit_discriminates_and_scores_portably(spark):
+    """fit_hash_classifier learns weights that separate a lexically
+    distinct positive class, and hash_classifier_score's integer-micro
+    expression equals a numpy recomputation of the same model."""
+    import math
+    import random
+
+    from minivectordb_spark.operators.text import (
+        fit_hash_classifier,
+        hash_classifier_score,
+    )
+
+    rng = random.Random(13)
+    good_w = ["clean", "prose", "article", "essay", "report"]
+    bad_w = ["spam", "casino", "click", "winner", "free"]
+    pos = spark.createDataFrame(
+        [(i, " ".join(rng.choices(good_w, k=12))) for i in range(40)],
+        ["doc_id", "text"],
+    )
+    neg = spark.createDataFrame(
+        [(100 + i, " ".join(rng.choices(bad_w, k=12))) for i in range(40)],
+        ["doc_id", "text"],
+    )
+    weights, bias = fit_hash_classifier(pos, neg, n_buckets=64)
+    assert len(weights) == 64
+
+    scored = {
+        r["doc_id"]: r["score"]
+        for r in hash_classifier_score(
+            pos.unionAll(neg), weights, bias=bias
+        ).collect()
+    }
+    pos_scores = [scored[i] for i in range(40)]
+    neg_scores = [scored[100 + i] for i in range(40)]
+    assert min(pos_scores) > max(neg_scores)
+
+    # portability: integer-micro fold == float recomputation on frozen micros
+    from minivectordb_spark.operators.hashing import md5i32
+    import hashlib
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    wi = [int(round(w * 1_000_000)) for w in weights]
+    row = neg.collect()[0]
+    toks = row["text"].split(" ")
+    feats = [h32(t) % 64 for t in toks] + [
+        h32(f"{a} {b}") % 64 for a, b in zip(toks, toks[1:])
+    ]
+    z = bias + (sum(wi[b] for b in feats) / 1e6) / len(feats)
+    assert scored[row["doc_id"]] == round(1.0 / (1.0 + math.exp(-z)), 6)
+
+
 def test_temperature_fractions(spark):
     """tau<1 upweights rare strata; fractions sum to 1; tau=1 recovers
     plain proportions."""
