@@ -63,6 +63,8 @@ SCALED_QUERIES = [
     "decontaminate",
     "lm_score",
     "dsir_logweights",
+    "bigram_lm",
+    "quality_classifier",
 ]
 
 
