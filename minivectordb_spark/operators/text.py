@@ -383,7 +383,15 @@ def bigram_lm_score(
         F.col(id_col), F.col("p.bg").alias("bg"), F.col("p.w2").alias("w2")
     )
 
-    bic = ex2.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bi"))
+    # bic feeds BOTH the prune and the context rollup — without the lazy
+    # checkpoint each consumer would re-run the corpus bigram pass and its
+    # bg-keyed shuffle; the frame itself is vocab-bounded (distinct
+    # bigrams), cheap to hold, freed when the caller drops the plan
+    bic = (
+        ex2.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c_bi"))
+        .localCheckpoint(eager=False)
+    )
     pruned = bic.orderBy(F.col("c_bi").desc(), F.col("bg").asc()).limit(top_bigrams)
     ctx = (
         bic.select(F.split(F.col("bg"), " ").getItem(0).alias("w1"), "c_bi")
