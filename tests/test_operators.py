@@ -559,6 +559,73 @@ def test_bigram_lm_backoff_and_pruning(spark):
     assert pruned[1]["avg_logp"] == t_ab
 
 
+def test_bigram_lm_property_matches_python_model(spark):
+    """Hypothesis: on random small corpora, bigram_lm_score (with and
+    without pruning) equals an independent pure-Python interpolated-LM
+    with the same count-desc/key-asc prune order."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from minivectordb_spark.operators.text import bigram_lm_score
+
+    def jround(x: float) -> float:
+        # Spark's F.round = BigDecimal.valueOf(double).setScale(6, HALF_UP):
+        # half-up on the double's SHORTEST decimal rendering (repr), not
+        # Python's banker's rounding
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    words = st.sampled_from(["aa", "bb", "cc", "dd"])
+    doc = st.lists(words, min_size=0, max_size=8).map(" ".join)
+    corpus = st.lists(doc, min_size=1, max_size=8)
+
+    @given(corpus=corpus, top=st.sampled_from([1, 3, 10_000]))
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(corpus, top):
+        df = spark.createDataFrame(
+            list(enumerate(corpus)), ["doc_id", "text"]
+        )
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+            for r in bigram_lm_score(df, top_bigrams=top).collect()
+        }
+
+        toks = {i: (t.split(" ") if t else []) for i, t in enumerate(corpus)}
+        bic = Counter(
+            f"{a} {b}" for tk in toks.values() for a, b in zip(tk, tk[1:])
+        )
+        pruned = dict(
+            sorted(bic.items(), key=lambda kv: (-kv[1], kv[0]))[:top]
+        )
+        ctx = Counter()
+        for bg, c in bic.items():
+            ctx[bg.split(" ")[0]] += c
+        uni = Counter(t for tk in toks.values() for t in tk)
+        T = sum(uni.values())
+        exp = {}
+        for i, tk in toks.items():
+            terms = []
+            for a, b in zip(tk, tk[1:]):
+                bg = f"{a} {b}"
+                p_bi = pruned[bg] / ctx[a] if bg in pruned else 0.0
+                term = jround(math.log(0.75 * p_bi + 0.25 * uni[b] / T))
+                terms.append(term)
+            if terms:
+                # decimal(18,6) sum is exact; mimic with integer micros
+                s = sum(int(round(t * 1_000_000)) for t in terms)
+                exp[i] = (len(terms), jround(s / 1_000_000 / len(terms)))
+        assert got == exp
+
+    check()
+
+
 def test_hash_classifier_fit_discriminates_and_scores_portably(spark):
     """fit_hash_classifier learns weights that separate a lexically
     distinct positive class, and hash_classifier_score's integer-micro
