@@ -49,6 +49,19 @@ def main():
     timings: dict[str, float] = {}
     t_all = time.time()
     for name, fn in entry.queries().items():
+        # free the previous query's checkpoint blocks BEFORE timing this
+        # one: ContextCleaner discovers dead RDDs via JVM weak refs, so
+        # without a GC nudge blocks pile up across the 50-query loop and
+        # later queries get billed for the heap pressure (their standalone
+        # walls are lower than their in-loop walls).  Driver-side hygiene
+        # of the harness, not of any query's plan.
+        import gc
+
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
         best = None
         for _ in range(RUNS):
             t0 = time.time()
