@@ -303,18 +303,22 @@ def dsir_logweights(
     # The per-token md5 bucket hash is an interpreted fold: parallelism-
     # gate it against narrow (single-row-group) inputs and stage the
     # bucket ARRAY behind a Generate barrier so the fold runs once per
-    # row per pass.  The corpus side is read twice (bucket counts, then
-    # the scoring probe); measured, recomputing the staged fold is
-    # cheaper than checkpointing the 2-passes-worth of exploded arrays.
-    def _bucket_frame(side: DataFrame) -> DataFrame:
+    # row per pass.  The CORPUS side is read twice (bucket counts, then
+    # the scoring probe) — a lazy checkpoint of its compact (id, buckets)
+    # frame prices the md5 fold once and is measurably cheaper than
+    # recomputing it (re-measured r5; blocks freed by the ContextCleaner
+    # when the caller drops the plan).  The target side is read once and
+    # stays recompute-only.
+    def _bucket_frame(side: DataFrame, reused: bool = False) -> DataFrame:
         staged = materialize(
             ensure_parallelism(side), tokens(F.col(text_col)), "__toks", [id_col]
         )
-        return materialize(
+        out = materialize(
             staged, _dsir_feature_buckets(F.col("__toks"), n_buckets), "__b", [id_col]
         )
+        return out.localCheckpoint(eager=False) if reused else out
 
-    feats = _bucket_frame(df).select(
+    feats = _bucket_frame(df, reused=True).select(
         F.col(id_col), F.explode("__b").alias("b")
     )
     tgt_feats = _bucket_frame(target).select(F.explode("__b").alias("b"))
