@@ -125,6 +125,15 @@ def build_scaled_dir(spark, sf_dir: str, out_dir: str, factor: int = 10) -> None
 
 
 def _time_query(spark, fn, sf_dir: str, runs: int = 2) -> float:
+    # same hygiene as bench.py's main loop: free dead checkpoint blocks
+    # before timing so base and scaled runs see equal heap conditions
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
     best = None
     for _ in range(runs):
         t0 = time.time()
