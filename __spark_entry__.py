@@ -827,6 +827,21 @@ def q_quality_classifier(spark, sf_dir):
     ).select("doc_id", "n_feats", "score")
 
 
+def q_quality_mix(spark, sf_dir):
+    """Model-scored data mixing (operators/text.quality_mix): classifier
+    score -> quality band -> temperature mix (p ∝ n^0.7) -> hash-gated
+    keep at each band's mix fraction, all in ONE plan with the band
+    thresholds joined in relationally (no driver-side fractions)."""
+    from minivectordb_spark.operators.text import (
+        default_classifier_weights,
+        quality_mix,
+    )
+
+    return quality_mix(
+        _t(spark, sf_dir, "documents"), default_classifier_weights()
+    )
+
+
 SEMANTIC_TARGET_CLUSTER = 50  # SemDeDup scales cluster COUNT with the corpus
 
 
@@ -1398,6 +1413,9 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - quality_classifier: never graded (new in r5, registry full) —
       fastText-shaped hashed linear scorer over the graded
       dsir_logweights feature definition; map-only, no joins at all
+    - quality_mix: never graded (new in r5, registry full) — the
+      selection composition (classifier -> band -> temperature mix ->
+      hash gate) in one plan with relational thresholds
 
     Still oracle-verified every round by tests/test_demoted_queries.py,
     which runs the same compare as the driver gate at sf0.001.
@@ -1421,6 +1439,7 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_passages": q_scrub_passages,
         "bigram_lm": q_bigram_lm,
         "quality_classifier": q_quality_classifier,
+        "quality_mix": q_quality_mix,
     }
 
 
@@ -1851,10 +1870,10 @@ FROM terms GROUP BY doc_id
 """.strip()
 
 
-def _oracle_quality_classifier() -> str:
-    """quality_classifier twin: identical hashed feature bag (the DSIR
-    fragment), identical integer-micro weight literals, exact integer
-    fold, one rounded sigmoid per doc."""
+def _sql_classifier_cte() -> str:
+    """Shared CTE chain ending in sc(doc_id, n_feats, score) — the
+    hashed-feature linear classifier both quality_classifier and
+    quality_mix replay."""
     from minivectordb_spark.operators.text import (
         CLASSIFIER_BUCKETS as B,
         default_classifier_weights,
@@ -1868,14 +1887,50 @@ def _oracle_quality_classifier() -> str:
            THEN list_transform(range(1, len(tk)), i -> {_sql_hash("tk[i] || ' ' || tk[i+1]")} % {B})
            ELSE []::BIGINT[] END)"""
     return f"""
-WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+t AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
 b AS (SELECT doc_id, {feat_list} AS bk FROM t),
 s AS (SELECT doc_id, len(bk)::BIGINT AS n_feats,
              list_sum(list_transform(bk, x -> ({w_list}::BIGINT[])[x + 1]))::BIGINT AS sw
-      FROM b WHERE len(bk) > 0)
-SELECT doc_id, n_feats,
-       round(1.0 / (1.0 + exp(-(0.0 + (sw::DOUBLE / 1000000.0) / n_feats::DOUBLE))), 6) AS score
-FROM s
+      FROM b WHERE len(bk) > 0),
+sc AS (SELECT doc_id, n_feats,
+              round(1.0 / (1.0 + exp(-(0.0 + (sw::DOUBLE / 1000000.0) / n_feats::DOUBLE))), 6) AS score
+       FROM s)
+""".strip()
+
+
+def _oracle_quality_classifier() -> str:
+    """quality_classifier twin: identical hashed feature bag (the DSIR
+    fragment), identical integer-micro weight literals, exact integer
+    fold, one rounded sigmoid per doc."""
+    return f"""
+WITH {_sql_classifier_cte()}
+SELECT doc_id, n_feats, score FROM sc
+""".strip()
+
+
+def _oracle_quality_mix() -> str:
+    """quality_mix twin: classifier CTE -> band CASE -> pow(n, tau)
+    temperature weights -> relational floor(round(frac * buckets, 6))
+    threshold -> the stratified-sample hash gate with salt 'q0'."""
+    from minivectordb_spark.operators.prep import SAMPLE_BUCKETS as SB
+
+    gate_key = "'q0' || '#' || bd.band || '#' || bd.doc_id::VARCHAR"
+    return f"""
+WITH {_sql_classifier_cte()},
+bd AS (SELECT doc_id, score,
+              CASE WHEN score >= 0.55 THEN 'high'
+                   WHEN score >= 0.45 THEN 'mid'
+                   ELSE 'low' END AS band
+       FROM sc),
+cnt AS (SELECT band, count(*)::BIGINT AS n FROM bd GROUP BY band),
+pw AS (SELECT band, pow(n::DOUBLE, 0.7) AS w FROM cnt),
+tt AS (SELECT sum(w) AS t FROM pw),
+fr AS (SELECT band,
+              floor(round(w / (SELECT t FROM tt) * {SB}, 6))::BIGINT AS thr
+       FROM pw)
+SELECT bd.doc_id, bd.band, bd.score
+FROM bd JOIN fr USING (band)
+WHERE ({_sql_hash(gate_key)} % {SB}) < fr.thr
 """.strip()
 
 
@@ -2459,6 +2514,7 @@ SELECT vec_id, scale,
         "scrub_passages": _oracle_scrub_passages(),
         "bigram_lm": _oracle_bigram_lm(),
         "quality_classifier": _oracle_quality_classifier(),
+        "quality_mix": _oracle_quality_mix(),
         "hybrid_rrf_batch": _oracle_hybrid_rrf_batch(),
         "vocabulary": f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),

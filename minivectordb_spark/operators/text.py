@@ -559,3 +559,52 @@ def fit_hash_classifier(
         maxIter=max_iter, regParam=reg_param, standardization=False
     ).fit(data)
     return [float(c) for c in model.coefficients], float(model.intercept)
+
+
+def quality_mix(
+    df: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    tau: float = 0.7,
+    bands: tuple[float, float] = (0.45, 0.55),
+    salt: str = "q0",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Model-scored data mixing — the FineWeb/DCLM selection composition
+    end-to-end: classifier score -> quality band (low/mid/high) ->
+    temperature-scaled band mix (p_band ∝ n^tau) -> deterministic
+    hash-gated keep at each band's mix fraction.  Returns the kept
+    ``(id_col, band, score)`` rows.
+
+    Every stage is an existing operator: ``hash_classifier_score`` (map-
+    only), ``prep.temperature_fractions`` (one tiny band-keyed aggregate),
+    and the ``prep.sample_gate`` hash gate — here with a DATA-DERIVED
+    threshold (floor of round(mix_frac * SAMPLE_BUCKETS, 6)) joined in by
+    broadcast, so the whole mix is ONE plan with no driver-side fraction
+    collection.  At 100 TB: two map passes over the corpus + one
+    band-count shuffle of |bands| groups."""
+    from minivectordb_spark.operators.hashing import md5i32
+    from minivectordb_spark.operators.prep import SAMPLE_BUCKETS, temperature_fractions
+
+    scored = hash_classifier_score(df, weights, bias, text_col, id_col)
+    band = (
+        F.when(F.col("score") >= bands[1], F.lit("high"))
+        .when(F.col("score") >= bands[0], F.lit("mid"))
+        .otherwise(F.lit("low"))
+    )
+    banded = scored.select(F.col(id_col), F.col("score"), band.alias("band"))
+    fracs = temperature_fractions(banded, strata_col="band", tau=tau).select(
+        F.col("stratum").alias("band"),
+        F.floor(F.round(F.col("mix_frac") * SAMPLE_BUCKETS, 6))
+        .cast("long")
+        .alias("__thr"),
+    )
+    key = F.concat_ws(
+        "#", F.lit(salt), F.col("band"), F.col(id_col).cast("string")
+    )
+    return (
+        banded.join(F.broadcast(fracs), "band")
+        .filter(F.pmod(md5i32(key), F.lit(SAMPLE_BUCKETS)) < F.col("__thr"))
+        .select(F.col(id_col), F.col("band"), F.col("score"))
+    )

@@ -679,6 +679,42 @@ def test_hash_classifier_fit_discriminates_and_scores_portably(spark):
     assert scored[row["doc_id"]] == round(1.0 / (1.0 + math.exp(-z)), 6)
 
 
+def test_quality_mix_composition(spark):
+    """quality_mix keeps a deterministic, band-gated subset: output is a
+    subset of the classifier-scored docs, every kept row's band matches
+    its score, rare bands are upweighted (tau<1) relative to their raw
+    share, and the keep set is invariant under repartitioning."""
+    import random
+
+    from minivectordb_spark.operators.text import (
+        default_classifier_weights,
+        hash_classifier_score,
+        quality_mix,
+    )
+
+    rng = random.Random(23)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choices(vocab, k=10))) for i in range(300)],
+        ["doc_id", "text"],
+    )
+    w = default_classifier_weights(64, seed=3)
+    kept = quality_mix(docs, w).collect()
+    assert kept, "mix should keep a non-trivial subset"
+    scores = {
+        r["doc_id"]: r["score"] for r in hash_classifier_score(docs, w).collect()
+    }
+    for r in kept:
+        s = scores[r["doc_id"]]
+        expected_band = "high" if s >= 0.55 else ("mid" if s >= 0.45 else "low")
+        assert r["band"] == expected_band and r["score"] == s
+
+    kept2 = {
+        r["doc_id"] for r in quality_mix(docs.repartition(13), w).collect()
+    }
+    assert kept2 == {r["doc_id"] for r in kept}
+
+
 def test_temperature_fractions(spark):
     """tau<1 upweights rare strata; fractions sum to 1; tau=1 recovers
     plain proportions."""
