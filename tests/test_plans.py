@@ -141,3 +141,49 @@ def test_neardup_cosine_no_cartesian(spark, sf):
     plan = physical_plan(_q("neardup_cosine", spark, sf))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quality_classifier_map_only(spark, sf):
+    """The model-based filter's scale claim: ZERO keyed shuffles and zero
+    joins — weights are expression literals, cost == one scan (plus the
+    parallelism gate's round-robin)."""
+    df = _q("quality_classifier", spark, sf)
+    assert_no_keyed_shuffle(df)
+    plan = physical_plan(df)
+    assert "Join" not in plan, plan
+
+
+def test_bigram_lm_broadcast_probe_single_corpus_shuffle(spark, sf):
+    """bigram_lm's scale claims: the scoring probe joins are BROADCAST
+    (never SortMergeJoin — the model tables are bounded by construction),
+    and the only corpus-KEYED shuffle is the final per-doc aggregate;
+    every other keyed Exchange moves vocab-bounded count frames (bg / w1
+    / token keys)."""
+    df = _q("bigram_lm", spark, sf)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+    keyed = [
+        line
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    ]
+    doc_keyed = [l for l in keyed if "doc_id" in l]
+    assert len(doc_keyed) == 1, plan
+    for line in keyed:
+        assert any(k in line for k in ("doc_id", "bg", "w1", "token")), line
+
+
+def test_quality_mix_one_plan_no_sort_merge(spark, sf):
+    """quality_mix composes classifier + band mix + gate in one plan: the
+    band-threshold join is broadcast, no SortMergeJoin, and the only
+    keyed shuffle is the |bands|-group count aggregate."""
+    df = _q("quality_mix", spark, sf)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    keyed = [
+        line
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    ]
+    assert all("band" in l for l in keyed), plan
