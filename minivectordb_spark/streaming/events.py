@@ -402,3 +402,58 @@ def stream_neardup_ingest(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def stream_quality_ingest(
+    stream_df: DataFrame,
+    weights: list[float],
+    table_path: str,
+    checkpoint: str,
+    bias: float = 0.0,
+    min_score: float = 0.5,
+    max_score: float | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming corpus ingest with a model-based quality gate: each
+    micro-batch is scored by the hashed linear classifier
+    (``operators/text.hash_classifier_score`` — map-only, weights are
+    expression literals) and only documents with ``score >= min_score``
+    (and ``< max_score`` when given — CCNet-style band selection) are
+    appended, with the same per-batch uniqueness anti-join as the other
+    ingest gates.  The model is FROZEN at wiring time, exactly how a
+    production quality filter deploys a fitted classifier; because the
+    gate is a pure per-row expression, this is the cheapest of the
+    streaming gates — no state, no broadcast, no probe table.
+
+    Batch==stream equivalence is pinned by
+    tests/test_streaming_multimodal.py."""
+    from pyspark.errors import AnalysisException
+
+    from minivectordb_spark.operators.text import hash_classifier_score
+
+    frozen = [float(w) for w in weights]
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = batch_df.dropDuplicates([id_col])
+        scored = hash_classifier_score(
+            fresh, frozen, bias=bias, text_col=text_col, id_col=id_col
+        )
+        keep = scored.filter(F.col("score") >= min_score)
+        if max_score is not None:
+            keep = keep.filter(F.col("score") < max_score)
+        kept = fresh.join(keep.select(id_col), id_col)
+        try:
+            existing_ids = spark.read.parquet(table_path).select(id_col)
+        except AnalysisException:
+            existing_ids = None
+        if existing_ids is not None:
+            kept = kept.join(existing_ids, id_col, "left_anti")
+        kept.write.mode("append").parquet(table_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

@@ -517,3 +517,53 @@ def test_stream_decontaminated_ingest_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got2 = sorted(r["doc_id"] for r in spark.read.parquet(table_path).collect())
     assert got2 == [2, 3, 4]
+
+
+def test_stream_quality_ingest_matches_batch(spark, tmp_path):
+    """Batch==stream equivalence for the model-based quality gate:
+    replaying the corpus through the streaming ingest keeps exactly the
+    docs the batch classifier pass keeps at the same threshold, and a
+    replayed duplicate id stays unique."""
+    import random
+
+    from minivectordb_spark.operators.text import (
+        default_classifier_weights,
+        hash_classifier_score,
+    )
+    from minivectordb_spark.streaming import stream_quality_ingest
+
+    rng = random.Random(31)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    rows = [(i, " ".join(rng.choices(vocab, k=8))) for i in range(12)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    w = default_classifier_weights(64, seed=5)
+
+    scored = {
+        r["doc_id"]: r["score"] for r in hash_classifier_score(docs, w).collect()
+    }
+    thr = sorted(scored.values())[len(scored) // 2]  # keep ~half
+    batch_kept = sorted(i for i, s in scored.items() if s >= thr)
+    assert 0 < len(batch_kept) < len(rows)
+
+    src = str(tmp_path / "docs_in")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    table_path = str(tmp_path / "quality_out")
+    ck = str(tmp_path / "ck_quality")
+    q = stream_quality_ingest(stream, w, table_path, ck, min_score=thr).start()
+    q.awaitTermination(120)
+
+    got = sorted(r["doc_id"] for r in spark.read.parquet(table_path).collect())
+    assert got == batch_kept
+
+    # second batch: replay one kept id (stays unique) + one new doc
+    keep_id = batch_kept[0]
+    more = spark.createDataFrame(
+        [(keep_id, dict(rows)[keep_id]), (100, dict(rows)[keep_id])],
+        ["doc_id", "text"],
+    )
+    more.write.mode("append").parquet(src)
+    q = stream_quality_ingest(stream, w, table_path, ck, min_score=thr).start()
+    q.awaitTermination(120)
+    got2 = sorted(r["doc_id"] for r in spark.read.parquet(table_path).collect())
+    assert got2 == batch_kept + [100]
