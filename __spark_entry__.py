@@ -876,13 +876,21 @@ def q_ivf_assign_kmeans(spark, sf_dir):
     """Data-adaptive IVF assignment (VERDICT r4 item 6): centroids FITTED
     by the deterministic Lloyd's k-means (ann.lloyd_kmeans_centroids —
     seeded init, KMEANS_ITERS fixed iterations, centers rounded 6dp each
-    step), then the same map-only argmax assignment as q_ivf_assign.  The
-    oracle replays the identical fit relationally (unrolled CTEs, zero
-    literals), so the green row covers fit AND assignment."""
-    from minivectordb_spark.operators.ann import lloyd_kmeans_centroids
+    step), then the broadcast-join argmax assignment (ivf_assign_join —
+    bit-identical to the literal-inlined ivf_assign, unit-pinned, but it
+    never re-analyzes a K x dim literal tree per call, which is the whole
+    per-query fixed cost at small K).  The oracle replays the identical
+    fit relationally (unrolled CTEs, zero literals), so the green row
+    covers fit AND assignment."""
+    from minivectordb_spark.operators.ann import (
+        ivf_assign_join,
+        lloyd_kmeans_centroids,
+    )
 
     e = _t(spark, sf_dir, "embeddings")
-    return ivf_assign(e, lloyd_kmeans_centroids(e, N_CENTROIDS, iters=KMEANS_ITERS))
+    return ivf_assign_join(
+        e, lloyd_kmeans_centroids(e, N_CENTROIDS, iters=KMEANS_ITERS)
+    )
 
 
 def q_ivf_search(spark, sf_dir):
