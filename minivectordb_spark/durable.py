@@ -323,6 +323,73 @@ class DurableVectorTable:
         return DurableVectorTable(self.spark, self.path, new_manifest)
 
 
+    def upsert_embeddings_batch(self, new_df: DataFrame) -> "DurableVectorTable":
+        """Durable MERGE (upsert): each incoming row REPLACES the stored
+        row with the same id or inserts as new — ONE published version,
+        rewriting only the buckets the batch hashes into (the Delta/Iceberg
+        MERGE shape on plain parquet: copy-on-write at bucket grain).
+        Batch ids must be unique within the batch and non-null; the batch
+        schema must match the table, as in ``store_embeddings_batch``.
+
+        Unlike delete+insert this is atomic: readers see either every
+        replacement or none (the manifest swap), and a CAS loser leaves
+        the table untouched."""
+        id_col = self.manifest["id_col"]
+        n_buckets = self.manifest["n_buckets"]
+        next_version = self._check_uncommitted()
+        expected = {f["name"] for f in json.loads(self.manifest["schema"])["fields"]}
+        got = set(new_df.columns)
+        if got != expected:
+            raise ValueError(
+                "upsert_embeddings_batch: batch schema must match the table "
+                f"(missing: {sorted(expected - got)}, unexpected: "
+                f"{sorted(got - expected)})"
+            )
+        stats = (
+            new_df.withColumn("__b", _bucket_expr(id_col, n_buckets))
+            .groupBy("__b")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(id_col).alias("nn"),
+                F.count_distinct(id_col).alias("d"),
+            )
+            .collect()
+        )
+        if any(r["nn"] != r["n"] for r in stats):
+            raise ValueError("upsert_embeddings_batch: NULL ids are not allowed")
+        if any(r["n"] != r["d"] for r in stats):
+            raise ValueError(
+                "upsert_embeddings_batch: duplicate ids within the batch"
+            )
+        rows_by_bucket = {int(r["__b"]): int(r["n"]) for r in stats}
+        new_manifest = json.loads(json.dumps(self.manifest))
+        buckets = new_manifest["buckets"]
+        with_b = new_df.withColumn("__b", _bucket_expr(id_col, n_buckets))
+        for k, n_new in rows_by_bucket.items():
+            incoming = with_b.filter(F.col("__b") == k).drop("__b")
+            if buckets[str(k)]["rows"] > 0:
+                cur = self.spark.read.parquet(self._bucket_path(k))
+                ids = incoming.select(
+                    F.col(id_col).cast("string").alias("__id")
+                )
+                n_matched = (
+                    cur.join(
+                        ids, F.col(id_col).cast("string") == F.col("__id"), "semi"
+                    ).count()
+                )
+                kept = cur.join(
+                    ids, F.col(id_col).cast("string") == F.col("__id"), "anti"
+                )
+                merged = kept.unionByName(incoming)
+                n = buckets[str(k)]["rows"] - n_matched + n_new
+            else:
+                merged = incoming
+                n = n_new
+            self._rewrite_bucket(k, merged, n, buckets)
+        new_manifest["version"] = next_version
+        _publish(self.path, new_manifest)
+        return DurableVectorTable(self.spark, self.path, new_manifest)
+
     # ---------------- maintenance ----------------
 
     def compact(self, target_files_per_bucket: int = 1) -> "DurableVectorTable":

@@ -356,3 +356,54 @@ def test_multi_writer_stress_one_winner_per_version(spark, base_df, tmp_path):
     # practice; if the scheduler serialized them perfectly the assertion
     # below would be vacuous, so record it rather than require it
     print(f"CAS retries observed: {len(retries)}")
+
+
+def test_upsert_replaces_and_inserts_in_one_version(spark, base_df, tmp_path):
+    """MERGE semantics: one published version replaces existing ids and
+    inserts new ones; only touched buckets gain a generation; the old
+    values stay time-travelable."""
+    root = str(tmp_path / "cow_up")
+    t = DurableVectorTable.create(base_df, root, id_col="id", n_buckets=8)
+    v0 = t.manifest["version"]
+    before = _file_set(root)
+
+    batch = spark.createDataFrame(
+        [("3", [99.0, 99.0], "replaced"), ("100", [7.0, 7.0], "new")],
+        "id string, embedding array<double>, tag string",
+    )
+    t2 = t.upsert_embeddings_batch(batch)
+    assert t2.manifest["version"] == v0 + 1
+    assert t2.count() == 41  # 40 - 1 replaced + 2 incoming
+
+    rows = {r["id"]: (r["embedding"], r["tag"]) for r in t2.to_df().collect()}
+    assert rows["3"] == ([99.0, 99.0], "replaced")
+    assert rows["100"] == ([7.0, 7.0], "new")
+    assert rows["4"][1] == "m4"  # untouched row intact
+
+    # copy-on-write: no pre-existing file rewritten, <=2 buckets touched
+    after = _file_set(root)
+    for p, mtime in before.items():
+        assert after[p] == mtime
+
+    # time travel still sees the pre-upsert value
+    old = DurableVectorTable.load(spark, root, version=v0)
+    old_rows = {r["id"]: r["tag"] for r in old.to_df().collect()}
+    assert old_rows["3"] == "m3" and "100" not in old_rows
+
+    # durability: cold reload sees the merge
+    re = DurableVectorTable.load(spark, root)
+    assert {r["id"] for r in re.to_df().collect()} >= {"3", "100"}
+
+
+def test_upsert_contracts(spark, base_df, tmp_path):
+    root = str(tmp_path / "cow_upc")
+    t = DurableVectorTable.create(base_df, root, id_col="id", n_buckets=8)
+    dup = spark.createDataFrame(
+        [("1", [0.0, 0.0], "a"), ("1", [1.0, 1.0], "b")],
+        "id string, embedding array<double>, tag string",
+    )
+    with pytest.raises(ValueError, match="duplicate ids"):
+        t.upsert_embeddings_batch(dup)
+    bad_schema = spark.createDataFrame([("1",)], "id string")
+    with pytest.raises(ValueError, match="schema must match"):
+        t.upsert_embeddings_batch(bad_schema)
