@@ -167,17 +167,28 @@ def stream_durable_ingest(
     id_col: str = "doc_id",
     model: str = "hash64",
     n_buckets: int = 16,
+    mode: str = "insert",
 ):
     """Streaming ingest into a ``DurableVectorTable``: each micro-batch is
-    embedded, deduped (in-batch and vs the table), and committed as ONE
-    copy-on-write version — the atomic manifest swap means a reader never
-    sees a torn batch, and a crashed batch replays idempotently (its ids
-    are anti-joined away on retry).  The first micro-batch creates the
-    table.  Only the id-hash buckets the batch touches are rewritten."""
+    embedded, deduped in-batch, and committed as ONE copy-on-write
+    version — the atomic manifest swap means a reader never sees a torn
+    batch, and a crashed batch replays idempotently.  The first
+    micro-batch creates the table.  Only the id-hash buckets the batch
+    touches are rewritten.
+
+    ``mode='insert'`` (default): already-present ids are anti-joined away
+    — an append-only corpus; replay idempotence comes from the anti-join.
+    ``mode='upsert'``: incoming rows REPLACE stored rows with the same id
+    (``upsert_embeddings_batch`` — the CDC shape: the stream carries
+    document revisions); replay idempotence comes from upserting the
+    identical rows again."""
     import os
 
     from minivectordb_spark.durable import DurableVectorTable
     from minivectordb_spark.embedder import embed_column
+
+    if mode not in ("insert", "upsert"):
+        raise ValueError(f"mode must be 'insert' or 'upsert', got {mode!r}")
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
         fresh = batch_df.dropDuplicates([id_col])
@@ -197,6 +208,10 @@ def stream_durable_ingest(
             )
             return
         t = DurableVectorTable.load(batch_df.sparkSession, table_path)
+        if mode == "upsert":
+            if embedded.limit(1).count():
+                t.upsert_embeddings_batch(embedded)
+            return
         new_rows = embedded.join(
             t.to_df().select(id_col), id_col, "left_anti"
         ).localCheckpoint()

@@ -128,9 +128,10 @@ def test_version_history_and_atomic_pointer(spark, base_df, tmp_path):
 
 
 def test_mutation_sequence_matches_model(spark, tmp_path):
-    """Seeded random interleaving of deletes and unique inserts applied to
-    both the CoW table and a plain dict model: contents must agree after
-    every mutation AND after a cold reload at the end."""
+    """Seeded random interleaving of deletes, unique inserts, and upserts
+    (mixing replaced and fresh ids) applied to both the CoW table and a
+    plain dict model: contents must agree after every mutation AND after
+    a cold reload at the end."""
     import random
 
     rng = random.Random(11)
@@ -141,12 +142,26 @@ def test_mutation_sequence_matches_model(spark, tmp_path):
     )
     t = DurableVectorTable.create(df, root, id_col="id", n_buckets=4)
     next_id = 100
-    for step in range(8):
-        if model and rng.random() < 0.5:
+    for step in range(10):
+        roll = rng.random()
+        if model and roll < 0.35:
             victims = rng.sample(sorted(model), k=min(3, len(model)))
             t = t.delete_embeddings_batch(victims)
             for v in victims:
                 del model[v]
+        elif model and roll < 0.65:
+            # upsert: one existing id replaced + one brand-new id
+            existing = rng.choice(sorted(model))
+            fresh = str(next_id)
+            next_id += 10
+            ups = {existing: model[existing] + 1000.0, fresh: float(fresh)}
+            t = t.upsert_embeddings_batch(
+                spark.createDataFrame(
+                    [(k, [v]) for k, v in ups.items()],
+                    "id string, embedding array<double>",
+                )
+            )
+            model.update(ups)
         else:
             newbies = {str(next_id + i): float(next_id + i) for i in range(2)}
             next_id += 10

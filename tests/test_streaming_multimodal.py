@@ -567,3 +567,45 @@ def test_stream_quality_ingest_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got2 = sorted(r["doc_id"] for r in spark.read.parquet(table_path).collect())
     assert got2 == batch_kept + [100]
+
+
+def test_stream_durable_ingest_upsert_mode(spark, tmp_path):
+    """mode='upsert' (CDC): a revised document replaces the stored row —
+    new text AND new embedding — while untouched ids keep their rows, and
+    each micro-batch is one atomic version."""
+    from minivectordb_spark.durable import DurableVectorTable
+    from minivectordb_spark.streaming import stream_durable_ingest
+
+    src = str(tmp_path / "uin")
+    table_path = str(tmp_path / "uout")
+    ck = str(tmp_path / "uck")
+
+    spark.createDataFrame(
+        [(1, "hello world"), (2, "hello spark")], ["doc_id", "text"]
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = stream_durable_ingest(
+        stream, table_path, ck, n_buckets=4, mode="upsert"
+    ).start()
+    q.awaitTermination(120)
+    t = DurableVectorTable.load(spark, table_path)
+    emb1_before = {
+        r["doc_id"]: r["embedding"] for r in t.to_df().collect()
+    }
+
+    spark.createDataFrame(
+        [(1, "revised document"), (3, "brand new")], ["doc_id", "text"]
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = stream_durable_ingest(
+        stream, table_path, ck, n_buckets=4, mode="upsert"
+    ).start()
+    q.awaitTermination(120)
+    t2 = DurableVectorTable.load(spark, table_path)
+    assert t2.manifest["version"] == 1
+    rows = {r["doc_id"]: r for r in t2.to_df().collect()}
+    assert sorted(rows) == [1, 2, 3]
+    assert rows[1]["text"] == "revised document"          # CDC overwrite
+    assert rows[1]["embedding"] != emb1_before[1]          # re-embedded
+    assert rows[2]["embedding"] == emb1_before[2]          # untouched
