@@ -526,6 +526,55 @@ def save_ivf_index(
     return True
 
 
+def update_ivf_index(
+    df_new: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> None:
+    """Incremental IVF maintenance: assign ONLY the new rows against the
+    index's EXISTING centroids and append them to their centroid
+    partition dirs — the lifecycle step between full rebuilds (FAISS
+    `add` on an already-trained IVF).  Cost scales with the batch, never
+    the indexed corpus; searches pick the appended files up through the
+    same partition pruning.  Centroids are not refit — after enough
+    drift a full ``save_ivf_index`` rebuild re-balances the clusters
+    (exactly how production IVF indexes are operated).
+
+    The freshness manifest is INVALIDATED: an incrementally-updated
+    index no longer corresponds to any single source snapshot, so
+    ``skip_if_fresh`` must not match it against the original source —
+    the next ``save_ivf_index(skip_if_fresh=True)`` call rebuilds.
+    Id uniqueness vs already-indexed rows is the caller's contract (the
+    durable table's ingest gates enforce it upstream)."""
+    import os
+
+    from minivectordb_spark.operators.util import materialize
+    from minivectordb_spark.scoring import norm_expr
+
+    spark = df_new.sparkSession
+    cents = _collect_centroids(spark.read.parquet(f"{path}/centroids"))
+    staged = materialize(df_new, norm_expr(F.col(emb_col)), "__n", [id_col, emb_col])
+    best = _assignment_struct(F.col(emb_col), cents, norm_col=F.col("__n"))
+    assigned = materialize(staged, best, "__best", [id_col, emb_col]).select(
+        F.col(id_col),
+        F.col(emb_col),
+        (-F.col("__best.neg_id")).alias("centroid_id"),
+    )
+    (
+        assigned.repartition("centroid_id")
+        .write.partitionBy("centroid_id")
+        .mode("append")
+        .parquet(f"{path}/assignments")
+    )
+    manifest = os.path.join(path, "_index_manifest.json")
+    try:
+        if os.path.exists(manifest):
+            os.remove(manifest)
+    except OSError:
+        pass
+
+
 def ivf_search_indexed(
     spark,
     path: str,

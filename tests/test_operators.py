@@ -528,6 +528,56 @@ def test_ivf_index_freshness_reuse(spark, tmp_path):
     assert save_ivf_index(mem, seed_centroids(mem, 4), idx, skip_if_fresh=True)
 
 
+def test_ivf_index_incremental_update(spark, tmp_path):
+    """update_ivf_index appends new rows to their centroid partitions:
+    searches over the updated index equal on-the-fly search over the
+    full corpus with the same centroids, and the freshness manifest is
+    invalidated so skip_if_fresh rebuilds next time."""
+    import os
+    import random
+
+    from minivectordb_spark.operators.ann import (
+        ivf_search,
+        ivf_search_indexed,
+        save_ivf_index,
+        seed_centroids,
+        update_ivf_index,
+    )
+
+    rng = random.Random(17)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows[:80], ["vec_id", "embedding"]).write.parquet(src)
+    base = spark.read.parquet(src)
+    cents = seed_centroids(base, 6)
+    idx = str(tmp_path / "ivf")
+    save_ivf_index(base, cents, idx, skip_if_fresh=True)
+    assert os.path.exists(os.path.join(idx, "_index_manifest.json"))
+
+    extra = spark.createDataFrame(rows[80:], ["vec_id", "embedding"])
+    update_ivf_index(extra, idx)
+    assert not os.path.exists(os.path.join(idx, "_index_manifest.json"))
+
+    full = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    query = [rng.uniform(-1, 1) for _ in range(8)]
+    live = [
+        (r["vec_id"], r["score"])
+        for r in ivf_search(full, cents, query, k=9, nprobe=3).collect()
+    ]
+    stored = [
+        (r["vec_id"], r["score"])
+        for r in ivf_search_indexed(spark, idx, query, k=9, nprobe=3).collect()
+    ]
+    assert stored == live and len(stored) == 9
+    # at least one appended row must be reachable through the index
+    assert any(vid >= 80 for vid, _ in stored) or ivf_search_indexed(
+        spark, idx, rows[100][1], k=1, nprobe=6
+    ).first()["vec_id"] == 100
+
+    # invalidated manifest -> skip_if_fresh rebuilds (returns True)
+    assert save_ivf_index(base, cents, idx, skip_if_fresh=True)
+
+
 def test_bigram_lm_backoff_and_pruning(spark):
     """Interpolated bigram LM: hand-computed score for a doc whose bigram
     is in the table; with top_bigrams=1 only the most frequent bigram
