@@ -2,6 +2,7 @@ from minivectordb_spark.streaming.events import (
     hourly_event_counts,
     session_rollup,
     stream_decontaminated_ingest,
+    stream_ivf_index_ingest,
     stream_quality_ingest,
     stream_durable_ingest,
     stream_events,
@@ -13,6 +14,7 @@ __all__ = [
     "hourly_event_counts",
     "session_rollup",
     "stream_decontaminated_ingest",
+    "stream_ivf_index_ingest",
     "stream_quality_ingest",
     "stream_durable_ingest",
     "stream_events",

@@ -472,3 +472,75 @@ def stream_quality_ingest(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def stream_ivf_index_ingest(
+    stream_df: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    n_centroids: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    model: str = "hash64",
+):
+    """Streaming IVF index maintenance: the first micro-batch embeds its
+    documents and BUILDS the index (seed centroids from the batch); every
+    later batch embeds and APPENDS through ``ann.update_ivf_index`` —
+    batch-cost assignment against the frozen centroids, no corpus-sized
+    work per trigger.  Searches (``ivf_search_indexed``) see appended
+    rows through the same partition pruning.  This is the online half of
+    the IVF lifecycle; periodic full ``save_ivf_index`` rebuilds re-fit
+    the centroids when drift accumulates (and restore the freshness
+    manifest the incremental path invalidates).
+
+    Replayed ids (crash before the checkpoint committed) are anti-joined
+    against the index's id column before appending, so a re-run batch is
+    a no-op — the column-pruned existence probe of the other ingest
+    gates; at real scale the id column rides a Delta/Iceberg table and
+    the probe is a MERGE."""
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    from minivectordb_spark.embedder import embed_column
+    from minivectordb_spark.operators.ann import (
+        save_ivf_index,
+        seed_centroids,
+        update_ivf_index,
+    )
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = batch_df.dropDuplicates([id_col])
+        embedded = (
+            embed_column(fresh, text_col, out_col="embedding", model=model)
+            .select(id_col, "embedding")
+            .localCheckpoint()
+        )
+        if not embedded.limit(1).count():
+            return
+        if not os.path.exists(os.path.join(index_path, "centroids")):
+            save_ivf_index(
+                embedded,
+                seed_centroids(embedded, n_centroids, id_col=id_col),
+                index_path,
+                id_col=id_col,
+            )
+            return
+        try:
+            indexed_ids = spark.read.parquet(
+                os.path.join(index_path, "assignments")
+            ).select(id_col)
+        except AnalysisException:
+            indexed_ids = None
+        novel = embedded
+        if indexed_ids is not None:
+            novel = embedded.join(indexed_ids, id_col, "left_anti")
+        if novel.limit(1).count():
+            update_ivf_index(novel, index_path, id_col=id_col)
+
+    return (
+        stream_df.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

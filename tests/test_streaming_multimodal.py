@@ -609,3 +609,51 @@ def test_stream_durable_ingest_upsert_mode(spark, tmp_path):
     assert rows[1]["text"] == "revised document"          # CDC overwrite
     assert rows[1]["embedding"] != emb1_before[1]          # re-embedded
     assert rows[2]["embedding"] == emb1_before[2]          # untouched
+
+
+def test_stream_ivf_index_ingest_builds_and_appends(spark, tmp_path):
+    """Streaming IVF maintenance: batch 1 builds the index, batch 2
+    (containing a replayed id) appends only the novel doc, and searches
+    reach appended rows through the index.  Stream micro-batches are
+    in-memory frames, so no freshness manifest exists at any point
+    (conservative: a later skip_if_fresh rebuild never wrongly matches)."""
+    import os
+
+    from minivectordb_spark.embedder import get_embedder
+    from minivectordb_spark.operators.ann import ivf_search_indexed
+    from minivectordb_spark.streaming import stream_ivf_index_ingest
+
+    src = str(tmp_path / "iin")
+    idx = str(tmp_path / "iidx")
+    ck = str(tmp_path / "ick")
+
+    spark.createDataFrame(
+        [(i, f"document number {i} about topic {i % 3}") for i in range(12)],
+        ["doc_id", "text"],
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = stream_ivf_index_ingest(stream, idx, ck, n_centroids=4).start()
+    q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(3, "replayed"), (50, "a brand new late document")],
+        ["doc_id", "text"],
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = stream_ivf_index_ingest(stream, idx, ck, n_centroids=4).start()
+    q.awaitTermination(120)
+    assert not os.path.exists(os.path.join(idx, "_index_manifest.json"))
+
+    ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(idx, "assignments")).collect()
+    }
+    assert ids == set(range(12)) | {50}  # replayed id 3 not duplicated
+
+    emb = get_embedder("hash64")
+    qv = [float(x) for x in emb.embed("a brand new late document")]
+    top = ivf_search_indexed(
+        spark, idx, qv, k=1, nprobe=4, id_col="doc_id"
+    ).first()
+    assert top["doc_id"] == 50  # appended row reachable through the index
