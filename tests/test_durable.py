@@ -422,3 +422,32 @@ def test_upsert_contracts(spark, base_df, tmp_path):
     bad_schema = spark.createDataFrame([("1",)], "id string")
     with pytest.raises(ValueError, match="schema must match"):
         t.upsert_embeddings_batch(bad_schema)
+
+
+def test_concurrent_upsert_cas(spark, base_df, tmp_path):
+    """Upsert inherits the CAS contract: two snapshots race an upsert,
+    exactly one commits, the loser errors cleanly and its replacement is
+    NOT applied; the loser retries on the fresh snapshot and wins v2."""
+    from minivectordb_spark.durable import ConcurrentWriteError
+
+    root = str(tmp_path / "cow_ucas")
+    DurableVectorTable.create(base_df, root, id_col="id", n_buckets=8)
+    t1 = DurableVectorTable.load(spark, root)
+    t2 = DurableVectorTable.load(spark, root)
+
+    def batch(tag):
+        return spark.createDataFrame(
+            [("5", [0.0, 0.0], tag)], "id string, embedding array<double>, tag string"
+        )
+
+    t1.upsert_embeddings_batch(batch("winner"))
+    with pytest.raises(ConcurrentWriteError, match="version 1"):
+        t2.upsert_embeddings_batch(batch("loser"))
+
+    latest = DurableVectorTable.load(spark, root)
+    rows = {r["id"]: r["tag"] for r in latest.to_df().collect()}
+    assert rows["5"] == "winner" and latest.manifest["version"] == 1
+    latest.upsert_embeddings_batch(batch("retry"))
+    final = DurableVectorTable.load(spark, root)
+    assert final.manifest["version"] == 2
+    assert {r["tag"] for r in final.to_df().collect() if r["id"] == "5"} == {"retry"}
