@@ -1176,6 +1176,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # demoted_queries() (still oracle-checked locally by
     # tests/test_demoted_queries.py).
     return {
+        "bigram_lm": q_bigram_lm,
+        "quality_classifier": q_quality_classifier,
+        "quality_mix": q_quality_mix,
         "decontaminate": q_decontaminate,
         "lm_score": q_lm_score,
         "dsir_logweights": q_dsir_logweights,
@@ -1199,12 +1202,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "lsh_jaccard_pairs": q_lsh_jaccard_pairs,
         "semantic_dedup": q_semantic_dedup,
-        "simhash_pairs": q_simhash_pairs,
         "simhash_pairs64": q_simhash_pairs64,
         "quantize_embeddings": q_quantize_embeddings,
         "doc_chunks": q_doc_chunks,
         "sample_stratified": q_sample_stratified,
-        "mix_fractions": q_mix_fractions,
         "vocabulary": q_vocabulary,
         "bm25_search": q_bm25_search,
         "repeated_passages": q_repeated_passages,
@@ -1214,7 +1215,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_cosine": q_neardup_cosine,
         "neardup_lsh": q_neardup_lsh,
         "ivf_assign_kmeans": q_ivf_assign_kmeans,
-        "ivf_search": q_ivf_search,
         "ivf_search_indexed": q_ivf_search_indexed,
         "point_lookup": q_point_lookup,
         "delete_batch": q_delete_batch,
@@ -1415,15 +1415,15 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - scrub_passages: never graded (new in r5, registry full) — the
       scrub half of exact-substring dedup, consuming the graded
       repeated_passages aggregate
-    - bigram_lm: never graded (new in r5, registry full) — the
-      interpolated pruned-bigram upgrade of the graded lm_score (same
-      broadcast-model probe shape, one Markov order deeper)
-    - quality_classifier: never graded (new in r5, registry full) —
-      fastText-shaped hashed linear scorer over the graded
-      dsir_logweights feature definition; map-only, no joins at all
-    - quality_mix: never graded (new in r5, registry full) — the
-      selection composition (classifier -> band -> temperature mix ->
-      hash gate) in one plan with relational thresholds
+    - mix_fractions: temperature mix weights — now a literal SUB-STAGE
+      of the graded quality_mix composition (same temperature_fractions
+      call feeding its band thresholds); swapped for quality_mix (r5)
+    - simhash_pairs: the 32-bit twin of the still-graded
+      simhash_pairs64 (identical banded self-join + popcount verify,
+      half-width fingerprints); swapped for quality_classifier (r5)
+    - ivf_search: on-the-fly IVF search — IDENTICAL oracle and results
+      to the still-graded ivf_search_indexed, which additionally proves
+      the partition-pruned index path; swapped for bigram_lm (r5)
 
     Still oracle-verified every round by tests/test_demoted_queries.py,
     which runs the same compare as the driver gate at sf0.001.
@@ -1445,9 +1445,9 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against": q_dedup_against,
         "repetition_stats": q_repetition_stats,
         "scrub_passages": q_scrub_passages,
-        "bigram_lm": q_bigram_lm,
-        "quality_classifier": q_quality_classifier,
-        "quality_mix": q_quality_mix,
+        "mix_fractions": q_mix_fractions,
+        "simhash_pairs": q_simhash_pairs,
+        "ivf_search": q_ivf_search,
     }
 
 
