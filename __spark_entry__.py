@@ -350,6 +350,34 @@ def q_top_customers(spark, sf_dir):
     )
 
 
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape — the three-table join benchmark: filtered
+    customer segment x pre-cutoff orders x post-cutoff lineitems, revenue
+    rollup per order, top-10.  Both dimension sides broadcast (customer
+    segment slice and date-filtered orders are small vs lineitem), so the
+    fact table is never shuffled for the join — only the final group-by
+    moves data.  Decimal-exact revenue (the tpch_q1 trick)."""
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    j = li.join(
+        F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey")
+    ).join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    agg = j.groupBy(
+        "l_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        "o_orderpriority",
+    ).agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+        .cast("decimal(38,4)")
+        .cast("double")
+        .alias("revenue")
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc()).limit(10)
+
+
 def q_text_stats(spark, sf_dir):
     return text_stats(_t(spark, sf_dir, "documents")).select(
         "doc_id",
@@ -1424,6 +1452,9 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - ivf_search: on-the-fly IVF search — IDENTICAL oracle and results
       to the still-graded ivf_search_indexed, which additionally proves
       the partition-pruned index path; swapped for bigram_lm (r5)
+    - shipping_priority: never graded (new in r5, registry full) — the
+      TPC-H Q3 three-table join shape (the graded top_customers covers
+      the two-table broadcast-join + rollup shape)
 
     Still oracle-verified every round by tests/test_demoted_queries.py,
     which runs the same compare as the driver gate at sf0.001.
@@ -1448,6 +1479,7 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_fractions": q_mix_fractions,
         "simhash_pairs": q_simhash_pairs,
         "ivf_search": q_ivf_search,
+        "shipping_priority": q_shipping_priority,
     }
 
 
@@ -2457,6 +2489,23 @@ SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price,
   round(sum_disc / count_order, 6) AS avg_disc,
   count_order
 FROM agg
+""".strip(),
+        "shipping_priority": """
+WITH agg AS (
+  SELECT l.l_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+         o.o_orderpriority,
+         CAST(CAST(sum(l.l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l.l_discount::DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1995-03-15'
+    AND l.l_shipdate > TIMESTAMP '1995-03-15'
+  GROUP BY 1, 2, 3
+)
+SELECT l_orderkey, orderdate, o_orderpriority, revenue
+FROM agg ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
 """.strip(),
         "top_customers": """
 SELECT c.c_custkey, c.c_name,
