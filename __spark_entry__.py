@@ -378,6 +378,26 @@ def q_shipping_priority(spark, sf_dir):
     return agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc()).limit(10)
 
 
+def q_priority_returns(spark, sf_dir):
+    """TPC-H Q4 shape — the EXISTS / left-SEMI join benchmark: orders in
+    one half-year having at least one RETURNED lineitem (l_returnflag='R'),
+    counted per order priority.  The semi join never materializes
+    lineitem columns (probe-only build side) and both date predicates
+    reach their scans."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li_r = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        o.join(li_r, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
 def q_text_stats(spark, sf_dir):
     return text_stats(_t(spark, sf_dir, "documents")).select(
         "doc_id",
@@ -1455,6 +1475,8 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - shipping_priority: never graded (new in r5, registry full) — the
       TPC-H Q3 three-table join shape (the graded top_customers covers
       the two-table broadcast-join + rollup shape)
+    - priority_returns: never graded (new in r5, registry full) — the
+      TPC-H Q4 EXISTS / left-semi join shape
 
     Still oracle-verified every round by tests/test_demoted_queries.py,
     which runs the same compare as the driver gate at sf0.001.
@@ -1480,6 +1502,7 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ivf_search": q_ivf_search,
         "shipping_priority": q_shipping_priority,
+        "priority_returns": q_priority_returns,
     }
 
 
@@ -2489,6 +2512,15 @@ SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price,
   round(sum_disc / count_order, 6) AS avg_disc,
   count_order
 FROM agg
+""".strip(),
+        "priority_returns": """
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
 """.strip(),
         "shipping_priority": """
 WITH agg AS (
