@@ -398,6 +398,24 @@ def q_priority_returns(spark, sf_dir):
     )
 
 
+def q_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape — LEFT OUTER join + two-level aggregation: orders
+    per customer (customers with zero orders kept by the outer join),
+    then the distribution of those counts.  The outer join preserves the
+    null-extended rows the inner-join queries never see; the second
+    aggregate is |distinct counts|-bounded."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
 def q_text_stats(spark, sf_dir):
     return text_stats(_t(spark, sf_dir, "documents")).select(
         "doc_id",
@@ -1477,6 +1495,8 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       the two-table broadcast-join + rollup shape)
     - priority_returns: never graded (new in r5, registry full) — the
       TPC-H Q4 EXISTS / left-semi join shape
+    - customer_distribution: never graded (new in r5, registry full) —
+      the TPC-H Q13 LEFT OUTER join + count-distribution shape
 
     Still oracle-verified every round by tests/test_demoted_queries.py,
     which runs the same compare as the driver gate at sf0.001.
@@ -1503,6 +1523,7 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_search": q_ivf_search,
         "shipping_priority": q_shipping_priority,
         "priority_returns": q_priority_returns,
+        "customer_distribution": q_customer_distribution,
     }
 
 
@@ -2512,6 +2533,15 @@ SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price,
   round(sum_disc / count_order, 6) AS avg_disc,
   count_order
 FROM agg
+""".strip(),
+        "customer_distribution": """
+SELECT c_count, count(*)::BIGINT AS n_customers
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+  FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
 """.strip(),
         "priority_returns": """
 SELECT o_orderpriority, count(*)::BIGINT AS n_orders
