@@ -416,6 +416,55 @@ def q_customer_distribution(spark, sf_dir):
     )
 
 
+def q_parts_below_avg(spark, sf_dir):
+    """Correlated-scalar-subquery shape (decorrelated): parts priced
+    below THEIR TYPE's average retail price, counted per type.  Spark
+    expresses the decorrelation explicitly — the per-type average is a
+    tiny aggregate broadcast back onto the fact scan — which is exactly
+    what a correlated `p_retailprice < (SELECT avg(...) WHERE p_type =
+    outer.p_type)` plans to.  Decimal-frozen average (exact,
+    order-independent comparison in both engines)."""
+    p = _t(spark, sf_dir, "part")
+    avg_t = p.groupBy(F.col("p_type").alias("t")).agg(
+        F.round(
+            F.avg(F.col("p_retailprice").cast("decimal(18,4)")).cast("double"), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("avg_price")
+    )
+    return (
+        p.join(F.broadcast(avg_t), F.col("p_type") == F.col("t"))
+        .filter(
+            F.col("p_retailprice").cast("decimal(18,6)") < F.col("avg_price")
+        )
+        .groupBy("p_type")
+        .agg(F.count(F.lit(1)).alias("n_below_avg"))
+    )
+
+
+def q_revenue_by_region(spark, sf_dir):
+    """Multi-hop dimension chain (orders -> customer -> nation ->
+    region): revenue rollup at the far end of a three-dim snowflake.
+    Every dimension broadcasts, so the fact side is joined entirely
+    map-side and only the final 5-region aggregate shuffles."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    j = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return j.groupBy("r_name").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("decimal(38,4)")
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 def q_text_stats(spark, sf_dir):
     return text_stats(_t(spark, sf_dir, "documents")).select(
         "doc_id",
@@ -1497,6 +1546,11 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       TPC-H Q4 EXISTS / left-semi join shape
     - customer_distribution: never graded (new in r5, registry full) —
       the TPC-H Q13 LEFT OUTER join + count-distribution shape
+    - parts_below_avg: never graded (new in r5, registry full) — the
+      correlated-scalar-subquery shape, decorrelated to a broadcast
+      aggregate join
+    - revenue_by_region: never graded (new in r5, registry full) — the
+      snowflake multi-hop dimension chain (3 broadcast dims)
 
     Still oracle-verified every round by tests/test_demoted_queries.py,
     which runs the same compare as the driver gate at sf0.001.
@@ -1524,6 +1578,8 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "priority_returns": q_priority_returns,
         "customer_distribution": q_customer_distribution,
+        "parts_below_avg": q_parts_below_avg,
+        "revenue_by_region": q_revenue_by_region,
     }
 
 
@@ -2533,6 +2589,27 @@ SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price,
   round(sum_disc / count_order, 6) AS avg_disc,
   count_order
 FROM agg
+""".strip(),
+        "parts_below_avg": """
+WITH avg_t AS (
+  SELECT p_type AS t,
+         round(CAST(avg(p_retailprice::DECIMAL(18,4)) AS DOUBLE), 6)::DECIMAL(18,6) AS avg_price
+  FROM part GROUP BY p_type
+)
+SELECT p.p_type, count(*)::BIGINT AS n_below_avg
+FROM part p JOIN avg_t ON p.p_type = avg_t.t
+WHERE p.p_retailprice::DECIMAL(18,6) < avg_t.avg_price
+GROUP BY p.p_type
+""".strip(),
+        "revenue_by_region": """
+SELECT r.r_name,
+       CAST(CAST(sum(o.o_totalprice::DECIMAL(18,4)) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+       count(*)::BIGINT AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
 """.strip(),
         "customer_distribution": """
 SELECT c_count, count(*)::BIGINT AS n_customers
