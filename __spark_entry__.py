@@ -465,6 +465,49 @@ def q_revenue_by_region(spark, sf_dir):
     )
 
 
+def q_events_cube(spark, sf_dir):
+    """CUBE aggregate (all four grouping sets of type x day in one
+    pass) — the grouping-sets sibling of the graded events_rollup."""
+    ev = _t(spark, sf_dir, "events")
+    day_epoch = (F.expr("ts div 86400000000000") * F.lit(86400)).alias(
+        "day_epoch"
+    )
+    return ev.select(day_epoch, "event_type", "value").cube(
+        "day_epoch", "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2).alias(
+            "sum_value"
+        ),
+    )
+
+
+def q_events_moving_avg(spark, sf_dir):
+    """Window-FRAME aggregate (ROWS BETWEEN 3 PRECEDING AND CURRENT):
+    per-user moving average of event values in time order — the frame
+    feature none of the other window queries exercise.  The frame sum
+    runs on DECIMAL(18,4) so it is exact and engine-order-independent;
+    ties broken by event_id for a deterministic frame."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-3, 0)
+    )
+    dec_sum = F.sum(F.col("value").cast("decimal(18,4)")).over(w)
+    n_frame = F.count(F.lit(1)).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        n_frame.cast("long").alias("n_frame"),
+        F.round(dec_sum.cast("double") / n_frame.cast("double"), 6).alias(
+            "moving_avg"
+        ),
+    )
+
+
 def q_text_stats(spark, sf_dir):
     return text_stats(_t(spark, sf_dir, "documents")).select(
         "doc_id",
@@ -1551,6 +1594,10 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       aggregate join
     - revenue_by_region: never graded (new in r5, registry full) — the
       snowflake multi-hop dimension chain (3 broadcast dims)
+    - events_cube: never graded (new in r5, registry full) — CUBE
+      grouping sets (events_rollup covers ROLLUP)
+    - events_moving_avg: never graded (new in r5, registry full) — the
+      window-FRAME aggregate (ROWS BETWEEN), decimal-exact frame sum
 
     Still oracle-verified every round by tests/test_demoted_queries.py,
     which runs the same compare as the driver gate at sf0.001.
@@ -1580,6 +1627,8 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_distribution": q_customer_distribution,
         "parts_below_avg": q_parts_below_avg,
         "revenue_by_region": q_revenue_by_region,
+        "events_cube": q_events_cube,
+        "events_moving_avg": q_events_moving_avg,
     }
 
 
@@ -2589,6 +2638,23 @@ SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price,
   round(sum_disc / count_order, 6) AS avg_disc,
   count_order
 FROM agg
+""".strip(),
+        "events_cube": """
+SELECT (epoch_ns(ts) // 86400000000000) * 86400 AS day_epoch,
+       event_type, count(*)::BIGINT AS n,
+       round(CAST(sum(value::DECIMAL(18,4)) AS DOUBLE), 2) AS sum_value
+FROM events
+GROUP BY CUBE (day_epoch, event_type)
+""".strip(),
+        "events_moving_avg": """
+SELECT event_id, user_id,
+       count(*) OVER w ::BIGINT AS n_frame,
+       round(CAST(sum(value::DECIMAL(18,4)) OVER w AS DOUBLE)
+             / (count(*) OVER w)::DOUBLE, 6) AS moving_avg
+FROM events
+WHERE user_id % 50 = 0
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
 """.strip(),
         "parts_below_avg": """
 WITH avg_t AS (
