@@ -83,3 +83,54 @@ def repartition_for_write(
         total_rows = df.count()
     n = max(1, (total_rows + target_rows_per_file - 1) // target_rows_per_file)
     return df.repartition(n)
+
+
+def zorder_key(c1, c2, bits: int = 21) -> "Column":
+    """Z-order (Morton) interleave of two non-negative integer columns —
+    the lakehouse multi-column data-skipping key: rows sorted by this key
+    cluster on BOTH dimensions at once, so parquet row-group min/max
+    stats prune scans filtered on either column (Delta's OPTIMIZE ZORDER
+    on plain parquet).  ``bits`` per dimension (default 21, so the
+    interleaved key fits a signed 64-bit long with room to spare);
+    values are clamped into [0, 2^bits).
+
+    Pure bit arithmetic, zero UDFs; pair with ``repartitionByRange`` +
+    ``sortWithinPartitions(zorder_key(...))`` before a write."""
+    from pyspark.sql import functions as F
+
+    a = F.least(F.greatest(c1.cast("long"), F.lit(0)), F.lit((1 << bits) - 1))
+    b = F.least(F.greatest(c2.cast("long"), F.lit(0)), F.lit((1 << bits) - 1))
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = (
+            key
+            + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return key
+
+
+def save_zordered(
+    df,
+    path: str,
+    c1: str,
+    c2: str,
+    n_files: int = 8,
+    bits: int = 21,
+) -> None:
+    """Write ``df`` as parquet laid out in Z-order on (c1, c2): range-
+    partition by the Morton key (each output file owns a contiguous key
+    range = a square-ish tile of the 2-D space), sort within partitions,
+    write.  A scan filtered on EITHER column then prunes most files via
+    parquet min/max stats — the two-column generalization of
+    ``VectorTable.save(cluster_by=...)``'s single-column clustering."""
+    from pyspark.sql import functions as F
+
+    keyed = df.withColumn("__z", zorder_key(F.col(c1), F.col(c2), bits))
+    (
+        keyed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -1631,3 +1631,50 @@ def test_scrub_repeated_passages_semantics(spark):
     assert out[2] == "totally different words here now"  # untouched
     assert out[3] == "x y" and out[4] == ""  # short-doc dup
     assert set(out) == {0, 1, 2, 3, 4}  # every doc keeps its row
+
+
+def test_sketch_accuracy_contracts(spark):
+    """The documented sketch error bounds hold against exact answers on a
+    seeded corpus, and the plans are partial-aggregated (the shuffle
+    moves sketch buffers, not raw rows)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from minivectordb_spark.operators.sketches import (
+        approx_distinct,
+        approx_quantiles,
+    )
+
+    rng = random.Random(47)
+    rows = [
+        (f"g{i % 4}", rng.randrange(0, 5000), rng.gauss(100.0, 15.0))
+        for i in range(40_000)
+    ]
+    df = spark.createDataFrame(rows, ["g", "uid", "v"]).repartition(16)
+
+    exact = {
+        r["g"]: r["d"]
+        for r in df.groupBy("g").agg(F.count_distinct("uid").alias("d")).collect()
+    }
+    approx = {
+        r["g"]: r["approx_distinct"]
+        for r in approx_distinct(df, "uid", group_by=["g"], rsd=0.05).collect()
+    }
+    for g, d in exact.items():
+        assert abs(approx[g] - d) <= 0.15 * d, (g, approx[g], d)  # 3 sigma
+
+    vals = sorted(v for _, _, v in rows)
+    probs = [0.5, 0.9, 0.99]
+    got = approx_quantiles(df, "v", probs, accuracy=10_000).first()["approx_q"]
+    n = len(vals)
+    for p, q in zip(probs, got):
+        # returned value's true rank must be within 1/accuracy (+ slack)
+        import bisect
+
+        rank = bisect.bisect_left(vals, q)
+        assert abs(rank - p * n) <= n * 2e-3, (p, q, rank)
+
+    # plan: partial aggregation before the exchange for both sketches
+    plan = approx_distinct(df, "uid", group_by=["g"])._jdf.queryExecution().executedPlan().toString()
+    assert "partial_approx_count_distinct" in plan
