@@ -30,6 +30,23 @@ def main():
     # JVM/codegen/noop-sink init, file-listing, and Python-worker startup
     # (the first pandas-UDF/mapInPandas query otherwise gets billed for
     # forking the executor-side Python workers)
+    # ivf_search_indexed's freshness-reuse index lives under tempdir and
+    # would otherwise survive across bench PROCESSES, silently excluding
+    # the build from even nominally-cold runs — clear it so run 1 prices a
+    # cold build and min-of-2 records the warm probe (the intended
+    # build-once / probe-many accounting, per-run instead of per-machine;
+    # the separate ivf_index_build entry keeps the cold cost visible too)
+    import shutil
+    import tempfile
+
+    shutil.rmtree(
+        os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_ivf_{os.path.basename(sf_dir.rstrip('/'))}",
+        ),
+        ignore_errors=True,
+    )
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     for t in ("embeddings", "documents", "events", "lineitem"):

@@ -66,6 +66,37 @@ def _bucket_expr(id_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_buckets))
 
 
+def _check_batch_schema(
+    manifest: dict, new_df: DataFrame, op: str, hint: str = ""
+) -> None:
+    """Batch-vs-table schema gate for the write paths: field NAMES and
+    DATA TYPES both (name-set equality alone would let a batch with
+    ``embedding array<float>`` write into an ``array<double>`` table —
+    type-mismatched parquet inside existing buckets that later
+    manifest-schema reads fail on or silently coerce)."""
+    expected = {
+        f.name: f.dataType
+        for f in StructType.fromJson(json.loads(manifest["schema"])).fields
+    }
+    got = {f.name: f.dataType for f in new_df.schema.fields}
+    if set(got) != set(expected):
+        raise ValueError(
+            f"{op}: batch schema must match the table "
+            f"(missing: {sorted(set(expected) - set(got))}, unexpected: "
+            f"{sorted(set(got) - set(expected))}).{hint}"
+        )
+    mismatched = [
+        f"{n}: table {expected[n].simpleString()} vs batch {got[n].simpleString()}"
+        for n in sorted(expected)
+        if got[n] != expected[n]
+    ]
+    if mismatched:
+        raise ValueError(
+            f"{op}: batch column types must match the table "
+            f"({'; '.join(mismatched)}).{hint}"
+        )
+
+
 class DurableVectorTable:
     """Handle on a copy-on-write table rooted at ``path``."""
 
@@ -270,16 +301,13 @@ class DurableVectorTable:
         id_col = self.manifest["id_col"]
         n_buckets = self.manifest["n_buckets"]
         next_version = self._check_uncommitted()
-        expected = {f["name"] for f in json.loads(self.manifest["schema"])["fields"]}
-        got = set(new_df.columns)
-        if got != expected:
-            raise ValueError(
-                "store_embeddings_batch: batch schema must match the table "
-                f"(missing: {sorted(expected - got)}, unexpected: "
-                f"{sorted(got - expected)}). For VectorTable-backed tables "
-                "build rows via VectorTable.empty(spark)"
-                ".store_embeddings_batch(...).df"
-            )
+        _check_batch_schema(
+            self.manifest,
+            new_df,
+            "store_embeddings_batch",
+            " For VectorTable-backed tables build rows via "
+            "VectorTable.empty(spark).store_embeddings_batch(...).df",
+        )
         stats = (
             new_df.withColumn("__b", _bucket_expr(id_col, n_buckets))
             .groupBy("__b")
@@ -337,14 +365,7 @@ class DurableVectorTable:
         id_col = self.manifest["id_col"]
         n_buckets = self.manifest["n_buckets"]
         next_version = self._check_uncommitted()
-        expected = {f["name"] for f in json.loads(self.manifest["schema"])["fields"]}
-        got = set(new_df.columns)
-        if got != expected:
-            raise ValueError(
-                "upsert_embeddings_batch: batch schema must match the table "
-                f"(missing: {sorted(expected - got)}, unexpected: "
-                f"{sorted(got - expected)})"
-            )
+        _check_batch_schema(self.manifest, new_df, "upsert_embeddings_batch")
         stats = (
             new_df.withColumn("__b", _bucket_expr(id_col, n_buckets))
             .groupBy("__b")

@@ -431,11 +431,16 @@ def _ivf_source_fingerprint(
     emb_col: str,
 ) -> str | None:
     """Freshness fingerprint of an index's inputs: the source's file set
-    with per-file (size, mtime) plus the centroid values and column names.
-    ``None`` (= no freshness tracking, always rebuild) when the source is
-    not a locally-stat-able file scan — on a real deployment this slot is
-    the table-format snapshot id (Delta/Iceberg version), which identifies
-    the source state without touching the filesystem at all."""
+    with per-file (size, mtime), the CANONICALIZED logical plan of ``df``
+    (so a filter/dedup/transform over the same files is a DIFFERENT source
+    than the bare scan — inputFiles() alone cannot tell them apart), plus
+    the centroid values and column names.  ``None`` (= no freshness
+    tracking, always rebuild) when the source is not a locally-stat-able
+    file scan or the plan cannot be canonicalized — on a real deployment
+    this slot is the table-format snapshot id (Delta/Iceberg version),
+    which identifies the source state without touching the filesystem at
+    all.  Canonicalization normalizes expression ids, so the digest is
+    stable across sessions for the same declared plan."""
     import hashlib
     import json
     import os
@@ -443,6 +448,7 @@ def _ivf_source_fingerprint(
 
     try:
         files = df.inputFiles()
+        plan = df._jdf.queryExecution().analyzed().canonicalized().toString()
     except Exception:
         return None
     if not files:
@@ -458,7 +464,7 @@ def _ivf_source_fingerprint(
         except OSError:
             return None
         ents.append([p, st.st_size, st.st_mtime_ns])
-    payload = json.dumps([ents, cents, id_col, emb_col], sort_keys=True)
+    payload = json.dumps([ents, plan, cents, id_col, emb_col], sort_keys=True)
     return hashlib.md5(payload.encode()).hexdigest()
 
 

@@ -92,14 +92,18 @@ def zorder_key(c1, c2, bits: int = 21) -> "Column":
     stats prune scans filtered on either column (Delta's OPTIMIZE ZORDER
     on plain parquet).  ``bits`` per dimension (default 21, so the
     interleaved key fits a signed 64-bit long with room to spare);
-    values are clamped into [0, 2^bits).
+    values are clamped into [0, 2^bits) and NULLs coalesce to 0 — a NULL
+    input must not yield a NULL key, or ``save_zordered`` would strand
+    every null-keyed row unclustered in one range partition and silently
+    weaken the skipping guarantee.
 
     Pure bit arithmetic, zero UDFs; pair with ``repartitionByRange`` +
     ``sortWithinPartitions(zorder_key(...))`` before a write."""
     from pyspark.sql import functions as F
 
-    a = F.least(F.greatest(c1.cast("long"), F.lit(0)), F.lit((1 << bits) - 1))
-    b = F.least(F.greatest(c2.cast("long"), F.lit(0)), F.lit((1 << bits) - 1))
+    lo, hi = F.lit(0), F.lit((1 << bits) - 1)
+    a = F.least(F.greatest(F.coalesce(c1.cast("long"), lo), lo), hi)
+    b = F.least(F.greatest(F.coalesce(c2.cast("long"), lo), lo), hi)
     key = F.lit(0).cast("long")
     for i in range(bits):
         key = (

@@ -194,6 +194,32 @@ def test_insert_schema_mismatch_clear_error(spark, tmp_path):
     assert d.store_embeddings_batch(shaped).count() == 2
 
 
+def test_batch_type_mismatch_rejected(spark, base_df, tmp_path):
+    """Matching NAMES with different TYPES (embedding array<float> vs the
+    table's array<double>) must be rejected up front — otherwise the batch
+    writes type-mismatched parquet into existing buckets and later
+    manifest-schema reads fail or silently coerce.  Applies to both insert
+    and upsert paths."""
+    root = str(tmp_path / "cow_types")
+    d = DurableVectorTable.create(base_df, root, id_col="id", n_buckets=4)
+    wrong = spark.createDataFrame(
+        [("x1", [1.0, 2.0], "m")],
+        "id string, embedding array<float>, tag string",
+    )
+    with pytest.raises(ValueError, match="array<float>"):
+        d.store_embeddings_batch(wrong)
+    with pytest.raises(ValueError, match="array<float>"):
+        d.upsert_embeddings_batch(wrong)
+    # correct types still pass both paths
+    ok = spark.createDataFrame(
+        [("x1", [1.0, 2.0], "m")],
+        "id string, embedding array<double>, tag string",
+    )
+    assert d.store_embeddings_batch(ok).count() == 41
+    d2 = DurableVectorTable.load(spark, root)
+    assert d2.upsert_embeddings_batch(ok).count() == 41
+
+
 def test_time_travel(spark, base_df, tmp_path):
     root = str(tmp_path / "cow_tt")
     t = DurableVectorTable.create(base_df, root, id_col="id", n_buckets=4)

@@ -528,6 +528,44 @@ def test_ivf_index_freshness_reuse(spark, tmp_path):
     assert save_ivf_index(mem, seed_centroids(mem, 4), idx, skip_if_fresh=True)
 
 
+def test_ivf_index_freshness_keyed_on_plan_not_just_files(spark, tmp_path):
+    """A TRANSFORMED source over the same files (filter/dedup) is a
+    different row set than the bare scan even though inputFiles() is
+    identical — the fingerprint's canonicalized-plan digest must force a
+    rebuild, or a filtered build would silently reuse the full-scan index
+    (and vice versa) and return wrong search results."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from minivectordb_spark.operators.ann import (
+        save_ivf_index,
+        seed_centroids,
+    )
+
+    rng = random.Random(12)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(100)],
+        ["vec_id", "embedding"],
+    ).write.parquet(src)
+    df = spark.read.parquet(src)
+    idx = str(tmp_path / "ivf")
+    cents = seed_centroids(df, 4)
+
+    assert save_ivf_index(df, cents, idx, skip_if_fresh=True)
+    assert not save_ivf_index(df, cents, idx, skip_if_fresh=True)
+    # same files, filtered plan -> stale -> rebuilt
+    filt = df.filter(F.col("vec_id") < 50)
+    assert save_ivf_index(filt, cents, idx, skip_if_fresh=True)
+    # the filtered plan now IS the indexed source -> fresh
+    assert not save_ivf_index(
+        df.filter(F.col("vec_id") < 50), cents, idx, skip_if_fresh=True
+    )
+    # back to the bare scan -> stale again
+    assert save_ivf_index(df, cents, idx, skip_if_fresh=True)
+
+
 def test_ivf_index_incremental_update(spark, tmp_path):
     """update_ivf_index appends new rows to their centroid partitions:
     searches over the updated index equal on-the-fly search over the

@@ -96,6 +96,43 @@ def test_zorder_key_matches_python_morton(spark):
         assert r["z"] == morton(r["x"], r["y"]), (r["x"], r["y"])
 
 
+def test_zorder_key_null_inputs_coalesce_to_zero(spark):
+    """NULL inputs must yield a usable (non-NULL) key — otherwise
+    save_zordered strands null-keyed rows unclustered in one range
+    partition with no warning, silently weakening the skipping
+    guarantee."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from minivectordb_spark.operators.partitioning import zorder_key
+
+    schema = StructType(
+        [StructField("x", LongType(), True), StructField("y", LongType(), True)]
+    )
+    df = spark.createDataFrame(
+        [(None, 3), (5, None), (None, None), (5, 3)], schema
+    )
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", zorder_key(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    }
+    assert all(v is not None for v in got.values())
+    # NULL behaves exactly like 0 in that dimension
+    assert got[(None, 3)] == got.get((None, 3))  # non-null key
+    ref = {
+        (r["x"], r["y"]): r["z"]
+        for r in spark.createDataFrame(
+            [(0, 3), (5, 0), (0, 0)], ["x", "y"]
+        ).select("x", "y", zorder_key(F.col("x"), F.col("y")).alias("z"))
+        .collect()
+    }
+    assert got[(None, 3)] == ref[(0, 3)]
+    assert got[(5, None)] == ref[(5, 0)]
+    assert got[(None, None)] == ref[(0, 0)]
+
+
 def test_save_zordered_skips_files_on_both_dimensions(spark, tmp_path):
     """Z-order layout proof via parquet footer stats: a narrow filter on
     EITHER dimension intersects only a minority of the written files'
