@@ -1329,11 +1329,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver verifies only the first 50 entries, so
-    # never-yet-verified queries lead (r5: decontaminate, lm_score,
-    # dsir_logweights), and redundant twins are demoted to
-    # demoted_queries() (still oracle-checked locally by
+    # never-yet-verified queries lead (r6: the five promoted SQL shapes —
+    # VERDICT r5 item 1 — plus events_sessions_native, the batch side of
+    # the streaming session gate, VERDICT r5 item 6), and redundant twins
+    # are demoted to demoted_queries() (still oracle-checked locally by
     # tests/test_demoted_queries.py).
     return {
+        "shipping_priority": q_shipping_priority,
+        "customer_distribution": q_customer_distribution,
+        "parts_below_avg": q_parts_below_avg,
+        "events_cube": q_events_cube,
+        "events_moving_avg": q_events_moving_avg,
+        "events_sessions_native": q_events_sessions_native,
         "bigram_lm": q_bigram_lm,
         "quality_classifier": q_quality_classifier,
         "quality_mix": q_quality_mix,
@@ -1347,7 +1354,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_topk": q_knn_topk,
         "knn_filtered": q_knn_filtered,
         "knn_batch": q_knn_batch,
-        "filter_events_and": q_filter_events_and,
         "filter_events_or": q_filter_events_or,
         "filter_events_exclude": q_filter_events_exclude,
         "filter_docs_in": q_filter_docs_in,
@@ -1374,11 +1380,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_lsh": q_neardup_lsh,
         "ivf_assign_kmeans": q_ivf_assign_kmeans,
         "ivf_search_indexed": q_ivf_search_indexed,
-        "point_lookup": q_point_lookup,
-        "delete_batch": q_delete_batch,
-        "insert_unique": q_insert_unique,
-        "autocut_topk": q_autocut_topk,
-        "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
         "events_percentiles": q_events_percentiles,
         "pack_sequences": q_pack_sequences,
@@ -1530,8 +1531,6 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - knn_matmul: alternative physical strategy for knn_batch (same oracle)
     - events_hourly: simple time-bucket groupBy; events_agg/rollup cover it
     - events_distinct_users: count_distinct variant of events_agg
-    - events_sessions_native: session_window twin of events_sessionize
-      (identical output, batch==stream equivalence unit-tested)
     - corpus_pipeline: scrub→dedup→chunk composition; every stage is
       separately green and clean_corpus is the graded composition
     - events_stats: avg/stddev aggregates per event_type — the plain-agg
@@ -1582,22 +1581,37 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - ivf_search: on-the-fly IVF search — IDENTICAL oracle and results
       to the still-graded ivf_search_indexed, which additionally proves
       the partition-pruned index path; swapped for bigram_lm (r5)
-    - shipping_priority: never graded (new in r5, registry full) — the
-      TPC-H Q3 three-table join shape (the graded top_customers covers
-      the two-table broadcast-join + rollup shape)
-    - priority_returns: never graded (new in r5, registry full) — the
-      TPC-H Q4 EXISTS / left-semi join shape
-    - customer_distribution: never graded (new in r5, registry full) —
-      the TPC-H Q13 LEFT OUTER join + count-distribution shape
-    - parts_below_avg: never graded (new in r5, registry full) — the
-      correlated-scalar-subquery shape, decorrelated to a broadcast
-      aggregate join
-    - revenue_by_region: never graded (new in r5, registry full) — the
-      snowflake multi-hop dimension chain (3 broadcast dims)
-    - events_cube: never graded (new in r5, registry full) — CUBE
-      grouping sets (events_rollup covers ROLLUP)
-    - events_moving_avg: never graded (new in r5, registry full) — the
-      window-FRAME aggregate (ROWS BETWEEN), decimal-exact frame sum
+    - priority_returns: the TPC-H Q4 EXISTS / left-semi join shape —
+      the only never-graded SQL-shape after the r6 promotion (registry
+      full; shipping_priority grades the sibling Q3 join shape and the
+      left-SEMI physical strategy is plan-tested)
+    - revenue_by_region: the snowflake multi-hop dimension chain —
+      never graded (registry full); shipping_priority grades the
+      broadcast-dim join + rollup core, this adds only more hops
+
+    Demoted in the r6 rotation (VERDICT r5 item 1: micro-rows whose
+    behavior is fully unit-pinned, swapped for the five SQL shapes plus
+    the streaming session gate's batch side):
+
+    - point_lookup: single-id equality filter — the pushed-filter point
+      read is pinned by test_plans and every durable/table unit test
+    - delete_batch: literal NOT IN filter + groupBy — the same
+      pushed-DataFilter shape, mutation contracts unit-pinned
+      (test_table, test_durable)
+    - insert_unique: 5-row union + anti-join uniqueness — the error
+      contracts and the anti-join live in test_table/test_durable
+    - autocut_topk: 3-row knee cut — the full autocut surface (scores,
+      distances, ties) is unit-pinned in tests/test_search.py
+    - filter_events_and: the AND leg of the filter DSL — the graded
+      filter_events_or / filter_events_exclude / filter_docs_in rows
+      still exercise the compiler, and AND∩OR−EXCL composition stays
+      pinned by test_filters + the property suite
+    - events_sessionize: gap-based lag/cumsum sessionization — replaced
+      in the graded window by events_sessions_native, which computes the
+      same sessions through streaming/events.session_rollup (the code
+      path the streaming gate runs; batch==stream equivalence
+      unit-tested), so the graded row now also covers shared streaming
+      logic
 
     Still oracle-verified every round by tests/test_demoted_queries.py,
     which runs the same compare as the driver gate at sf0.001.
@@ -1606,7 +1620,6 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_matmul": q_knn_matmul,
         "events_hourly": q_events_hourly,
         "events_distinct_users": q_events_distinct_users,
-        "events_sessions_native": q_events_sessions_native,
         "corpus_pipeline": q_corpus_pipeline,
         "events_stats": q_events_stats,
         "ivf_assign": q_ivf_assign,
@@ -1622,13 +1635,14 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_fractions": q_mix_fractions,
         "simhash_pairs": q_simhash_pairs,
         "ivf_search": q_ivf_search,
-        "shipping_priority": q_shipping_priority,
         "priority_returns": q_priority_returns,
-        "customer_distribution": q_customer_distribution,
-        "parts_below_avg": q_parts_below_avg,
         "revenue_by_region": q_revenue_by_region,
-        "events_cube": q_events_cube,
-        "events_moving_avg": q_events_moving_avg,
+        "point_lookup": q_point_lookup,
+        "delete_batch": q_delete_batch,
+        "insert_unique": q_insert_unique,
+        "autocut_topk": q_autocut_topk,
+        "filter_events_and": q_filter_events_and,
+        "events_sessionize": q_events_sessionize,
     }
 
 
