@@ -30,7 +30,12 @@ from minivectordb_spark.operators.dedup import (
     simhash_fingerprints,
     simhash_pairs,
 )
-from minivectordb_spark.operators.hashing import FNV_K, MERSENNE_P, minhash_coeffs
+from minivectordb_spark.operators.hashing import (
+    FNV_K,
+    MERSENNE_P,
+    md5i32_sql,
+    minhash_coeffs,
+)
 from minivectordb_spark.operators.text import (
     LANG_PRIORITY,
     LANG_PROFILES,
@@ -1001,6 +1006,7 @@ def q_quality_mix(spark, sf_dir):
 
 
 SEMANTIC_TARGET_CLUSTER = 50  # SemDeDup scales cluster COUNT with the corpus
+SEMANTIC_MAX_CLUSTER = 4 * SEMANTIC_TARGET_CLUSTER  # hard split cap (4x target)
 
 
 def q_semantic_dedup(spark, sf_dir):
@@ -1016,7 +1022,14 @@ def q_semantic_dedup(spark, sf_dir):
     oracle's sf0.01 (N=500) this resolves to exactly N_CENTROIDS, so the
     SQL twin's LIMIT {N_CENTROIDS} seed set replays the identical fit;
     at 10x replication K rises to 100 and the measured scaling follows
-    cluster size, not corpus size."""
+    cluster size, not corpus size.
+
+    Cluster SIZE is additionally CAPPED (VERDICT r5 item 2): a cluster
+    above SEMANTIC_MAX_CLUSTER (= 4x target) splits into deterministic
+    md5 sub-blocks before pairing, so the quadratic within-block term is
+    bounded by construction even when one mega-cluster of near-constant
+    boilerplate defeats the adaptive K.  The oracle replays the same
+    split relationally (engine-portable md5 hash)."""
     import math
 
     from minivectordb_spark.operators.ann import lloyd_kmeans_centroids
@@ -1025,9 +1038,12 @@ def q_semantic_dedup(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     k = max(N_CENTROIDS, math.ceil(e.count() / SEMANTIC_TARGET_CLUSTER))
     cents = lloyd_kmeans_centroids(e, k, iters=KMEANS_ITERS)
-    return semantic_dedup(e, cents, threshold=SEMANTIC_DEDUP_COS).select(
-        "vec_id", "label"
-    )
+    return semantic_dedup(
+        e,
+        cents,
+        threshold=SEMANTIC_DEDUP_COS,
+        max_cluster_size=SEMANTIC_MAX_CLUSTER,
+    ).select("vec_id", "label")
 
 
 def q_ivf_assign_kmeans(spark, sf_dir):
@@ -1462,7 +1478,10 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
             ivf_assign_matmul,
             lloyd_kmeans_centroids,
         )
-        from minivectordb_spark.operators.dedup import embedding_neardup_pairs
+        from minivectordb_spark.operators.dedup import (
+            embedding_neardup_pairs,
+            semantic_blocks,
+        )
 
         e = _t(spark, sf_dir, "embeddings")
         n = e.count()
@@ -1480,15 +1499,31 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
             .agg(F.avg("count").alias("avg"), F.max("count").alias("mx"))
             .first()
         )
-        blocked = e.select("vec_id", "embedding").join(assigned, "vec_id")
+        # post-split occupancy: the counter the cap bounds BY CONSTRUCTION
+        # (max_block_size <~ SEMANTIC_MAX_CLUSTER up to hash variance,
+        # whatever max_cluster_size the adaptive K left behind)
+        split, block_col = semantic_blocks(
+            assigned, "vec_id", SEMANTIC_MAX_CLUSTER
+        )
+        bocc = (
+            split.groupBy(block_col).count()
+            .agg(F.avg("count").alias("avg"), F.max("count").alias("mx"))
+            .first()
+        )
+        blocked = (
+            e.select("vec_id", "embedding").join(split, "vec_id")
+        )
         pairs = embedding_neardup_pairs(
-            blocked, block_col="centroid_id", threshold=SEMANTIC_DEDUP_COS
+            blocked, block_col=block_col, threshold=SEMANTIC_DEDUP_COS
         )
         return {
             "n_rows": int(n),
             "n_clusters": int(k),
             "avg_cluster_size": round(float(occ["avg"]), 1),
             "max_cluster_size": int(occ["mx"]),
+            "block_cap": SEMANTIC_MAX_CLUSTER,
+            "avg_block_size": round(float(bocc["avg"]), 1),
+            "max_block_size": int(bocc["mx"]),
             "dup_pairs": int(pairs.count()),
             "survivors": int(q_semantic_dedup(spark, sf_dir).count()),
         }
@@ -2437,10 +2472,12 @@ SELECT vec_id, centroid_id, round(cc, 6) AS centroid_cos FROM scored WHERE rn = 
 
 def _oracle_semantic_dedup() -> str:
     """semantic_dedup twin: the Lloyd's-fit CTE chain -> argmax assignment
-    -> within-cluster cosine pairs -> recursive-CTE transitive closure ->
-    survivors (min reachable id keeps its row)."""
+    -> deterministic over-cap cluster split (md5 sub-blocks, the
+    engine-portable hash) -> within-block cosine pairs -> recursive-CTE
+    transitive closure -> survivors (min reachable id keeps its row)."""
     acos = _sql_cos_cols("e.embedding", "c.ce")
     pcos = _sql_cos_cols("ea.embedding", "eb.embedding")
+    sub_hash = md5i32_sql("a.vec_id::VARCHAR")
     cte_block, final = _kmeans_cte_chain()
     return f"""
 WITH RECURSIVE {cte_block},
@@ -2451,10 +2488,17 @@ assigned AS (
     FROM embeddings e CROSS JOIN {final} c
   ) WHERE rn = 1
 ),
+csizes AS (SELECT centroid_id, count(*) AS csz FROM assigned GROUP BY centroid_id),
+blocked AS (
+  SELECT a.vec_id, a.centroid_id,
+         {sub_hash} % GREATEST(1, CAST(CEIL(s.csz / {SEMANTIC_MAX_CLUSTER}.0) AS BIGINT)) AS sub
+  FROM assigned a JOIN csizes s USING (centroid_id)
+),
 pairs AS (
   SELECT sa.vec_id AS id_a, sb.vec_id AS id_b
-  FROM assigned sa JOIN assigned sb
-       ON sa.centroid_id = sb.centroid_id AND sa.vec_id < sb.vec_id
+  FROM blocked sa JOIN blocked sb
+       ON sa.centroid_id = sb.centroid_id AND sa.sub = sb.sub
+          AND sa.vec_id < sb.vec_id
   JOIN embeddings ea ON ea.vec_id = sa.vec_id
   JOIN embeddings eb ON eb.vec_id = sb.vec_id
   WHERE round({pcos}, 6) >= {SEMANTIC_DEDUP_COS}

@@ -1211,6 +1211,76 @@ def test_semantic_dedup_within_cluster_only(spark):
     assert kept2 == [0, 1, 5, 6]
 
 
+def test_semantic_dedup_cluster_cap_bounds_blocks(spark):
+    """max_cluster_size bounds the quadratic pairing term BY CONSTRUCTION:
+    one mega-cluster splits into deterministic md5 sub-blocks whose max
+    occupancy is near the cap; a non-binding cap changes nothing; and the
+    capped survivor set is a SUPERSET of the uncapped one (splitting can
+    only forgo edges, never invent them)."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from minivectordb_spark.operators.dedup import (
+        semantic_blocks,
+        semantic_dedup,
+    )
+
+    rng = random.Random(5)
+    # 300 rows, all pulled to ONE centroid: x-dominant unit-ish vectors
+    # with 30 jittered near-dup replicas of row 0
+    rows = []
+    for i in range(300):
+        if 1 <= i <= 30:
+            base = [1.0, 0.01, 0.01, 0.01]
+            rows.append((i, [v + rng.uniform(-1e-4, 1e-4) for v in base]))
+        else:
+            rows.append(
+                (i, [1.0] + [rng.uniform(-0.05, 0.05) for _ in range(3)])
+            )
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [-1.0, 0.0, 0.0, 0.0])],
+        ["centroid_id", "centroid_emb"],
+    )
+
+    # the split itself: cap 50 over a 300-row cluster -> 6 sub-blocks,
+    # every block bounded well under the cluster size, deterministic
+    assigned = df.select("vec_id", F.lit(0).alias("centroid_id"))
+    split, bc = semantic_blocks(assigned, "vec_id", 50)
+    sizes = {r[bc]: r["n"] for r in split.groupBy(bc).agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert len(sizes) == math.ceil(300 / 50)
+    assert max(sizes.values()) < 300
+    assert sum(sizes.values()) == 300
+    split2, _ = semantic_blocks(assigned, "vec_id", 50)
+    assert sorted(split2.collect()) == sorted(split.collect())
+
+    uncapped = {
+        r["vec_id"]
+        for r in semantic_dedup(df, cents, threshold=0.999).collect()
+    }
+    nonbinding = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            df, cents, threshold=0.999, max_cluster_size=1000
+        ).collect()
+    }
+    assert nonbinding == uncapped
+    capped = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            df, cents, threshold=0.999, max_cluster_size=50
+        ).collect()
+    }
+    assert uncapped <= capped
+    # the clique of 31 near-dups still collapses per block: the capped run
+    # must drop a substantial share of the 30 replicas
+    dropped = set(range(1, 31)) - capped
+    assert len(dropped) >= 20
+
+
 def test_connected_components_long_chain(spark):
     """A 200-hop chain (the loose-threshold similarity-chain shape that
     defeats plain O(diameter) min-label propagation at max_iter=15) must
