@@ -336,6 +336,7 @@ def bigram_lm_score(
     id_col: str = "doc_id",
     lam: float = BIGRAM_LM_LAMBDA,
     top_bigrams: int = BIGRAM_LM_TOP,
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Interpolated-bigram LM document scoring — one Markov order closer to
     CCNet's 5-gram KenLM (Wenzek et al., arXiv:1911.00359) than the
@@ -360,7 +361,14 @@ def bigram_lm_score(
     the BIGRAM TABLE not the corpus, unigram vocab) build broadcast
     tables; the scoring pass is then two map-side broadcast joins plus
     ONE id-keyed partial aggregate — corpus-sized stages are map-only
-    throughout, like ``lm_score``."""
+    throughout, like ``lm_score``.
+
+    The BIGRAM table broadcast is always safe — ``top_bigrams`` caps it
+    by construction.  The UNIGRAM table has no such cap: Heaps' law
+    bounds a natural-language vocab far under broadcast limits, but a
+    web-scale noise vocabulary (mojibake, hashes, token soup) can blow
+    it — ``broadcast_vocab=False`` switches the unigram probe to a
+    shuffle join (``lm_score``'s escape hatch, same flag)."""
     from minivectordb_spark.operators.util import ensure_parallelism, materialize
 
     staged = materialize(
@@ -415,9 +423,10 @@ def bigram_lm_score(
     tot = uni.agg(F.sum("c_uni").alias("T"))
     unit = uni.crossJoin(F.broadcast(tot))
 
-    probe = ex2.join(F.broadcast(ptab), "bg", "left").join(
-        F.broadcast(unit.select(F.col("token").alias("w2"), "c_uni", "T")), "w2"
-    )
+    utab = unit.select(F.col("token").alias("w2"), "c_uni", "T")
+    if broadcast_vocab:
+        utab = F.broadcast(utab)
+    probe = ex2.join(F.broadcast(ptab), "bg", "left").join(utab, "w2")
     p_bi = F.when(
         F.col("c_bi").isNotNull(),
         F.col("c_bi").cast("double") / F.col("c_ctx").cast("double"),

@@ -174,6 +174,30 @@ def test_bigram_lm_broadcast_probe_single_corpus_shuffle(spark, sf):
         assert any(k in line for k in ("doc_id", "bg", "w1", "token")), line
 
 
+def test_bigram_lm_shuffle_vocab_fallback(spark, sf):
+    """broadcast_vocab=False (the adversarial-token-soup escape hatch,
+    VERDICT r5 item 3): the UNIGRAM probe becomes a shuffle join keyed on
+    the token (w2) while the count-capped BIGRAM table stays broadcast —
+    and the scores are identical to the broadcast path."""
+    from minivectordb_spark.operators.text import bigram_lm_score
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").limit(80)
+    bcast = bigram_lm_score(docs)
+    shuf = bigram_lm_score(docs, broadcast_vocab=False)
+    plan = physical_plan(shuf)
+    # the unigram probe is now a non-broadcast join on w2/token
+    keyed = [
+        line
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    ]
+    assert any("w2" in l or "token" in l for l in keyed), plan
+    assert "BroadcastHashJoin" in plan  # the pruned bigram table still is
+    a = {r["doc_id"]: (r["n_bigrams"], r["avg_logp"]) for r in bcast.collect()}
+    b = {r["doc_id"]: (r["n_bigrams"], r["avg_logp"]) for r in shuf.collect()}
+    assert a == b
+
+
 def test_quality_mix_one_plan_no_sort_merge(spark, sf):
     """quality_mix composes classifier + band mix + gate in one plan: the
     band-threshold join is broadcast, no SortMergeJoin, and the only
