@@ -315,6 +315,86 @@ def test_ivf_search_full_probe_equals_bruteforce(emb_df):
     ]
 
 
+def test_ivf_recall_contract(spark):
+    """The ivf_search docstring's pinned nprobe recall bound, measured on
+    a seeded clustered corpus (the regime IVF assumes): recall@10 >= 0.95
+    mean at nprobe=1 and == 1.0 at nprobe>=2 of K=10 Lloyd-fitted
+    centroids — plus the documented-miss case: a query equidistant
+    between two clusters whose true neighbors straddle them loses the
+    non-probed side at nprobe=1 and recovers it at nprobe=2."""
+    import numpy as np
+
+    from minivectordb_spark.operators.ann import (
+        ivf_search,
+        lloyd_kmeans_centroids,
+    )
+
+    rng = np.random.default_rng(17)
+    centers = rng.normal(0, 1, (10, 16))
+    rows, i = [], 0
+    for c in range(10):
+        for _ in range(120):
+            rows.append(
+                (i, (centers[c] + rng.normal(0, 0.25, 16)).tolist())
+            )
+            i += 1
+    for _ in range(300):
+        rows.append((i, rng.normal(0, 1, 16).tolist()))
+        i += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).localCheckpoint()
+    cents = lloyd_kmeans_centroids(df, 10, iters=2)
+
+    recalls = {1: [], 2: [], 3: []}
+    for qi in range(12):
+        q = (centers[qi % 10] + rng.normal(0, 0.3, 16)).tolist()
+        exact = {
+            r["vec_id"]
+            for r in knn(
+                df, q, k=10, emb_col="embedding", id_col="vec_id"
+            ).collect()
+        }
+        for nprobe in recalls:
+            got = {
+                r["vec_id"]
+                for r in ivf_search(df, cents, q, k=10, nprobe=nprobe).collect()
+            }
+            recalls[nprobe].append(len(got & exact) / 10)
+    assert sum(recalls[1]) / len(recalls[1]) >= 0.95, recalls[1]
+    assert all(r == 1.0 for r in recalls[2]), recalls[2]
+    assert all(r == 1.0 for r in recalls[3]), recalls[3]
+
+    # documented miss, fully deterministic: two orthogonal clusters (A
+    # along e0, B along e1), centroids = their axes, query at 45 degrees.
+    # The exact top-10 straddles both clusters; nprobe=1 probes one side
+    # and forgoes the other's members, nprobe=2 recovers them all.
+    two = []
+    for j in range(8):
+        two.append((j, [1.0, 0.001 * j, 0.0, 0.0]))          # cluster A
+        two.append((100 + j, [0.001 * j, 1.0, 0.0, 0.0]))    # cluster B
+    tdf = spark.createDataFrame(two, ["vec_id", "embedding"])
+    tcents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        ["centroid_id", "centroid_emb"],
+    )
+    mid = [1.0, 1.0, 0.0, 0.0]
+    exact = {
+        r["vec_id"]
+        for r in knn(tdf, mid, k=10, emb_col="embedding", id_col="vec_id").collect()
+    }
+    assert any(v < 100 for v in exact) and any(v >= 100 for v in exact)
+    r1 = {
+        r["vec_id"] for r in ivf_search(tdf, tcents, mid, k=10, nprobe=1).collect()
+    }
+    r2 = {
+        r["vec_id"] for r in ivf_search(tdf, tcents, mid, k=10, nprobe=2).collect()
+    }
+    # one-sided probe returns only one cluster's members — the documented
+    # recall loss; the second probe restores exactness
+    assert len({v // 100 for v in r1}) == 1
+    assert len(r1 & exact) <= len(exact) - 5
+    assert r2 == exact
+
+
 def test_random_projection_buckets_deterministic(emb_df):
     planes = [[1.0 if j == i else 0.0 for j in range(64)] for i in range(4)]
     out = random_projection_buckets(emb_df, planes).collect()
