@@ -892,8 +892,9 @@ def q_dsir_logweights(spark, sf_dir):
     from minivectordb_spark.operators.prep import dsir_logweights
 
     docs = _t(spark, sf_dir, "documents")
-    target = docs.filter(F.col("lang") == "en")
-    return dsir_logweights(docs, target).select(
+    # target ⊆ corpus declared as a predicate: one tokenize+hash pass
+    # feeds both models (identical counts to the two-frame form)
+    return dsir_logweights(docs, target_pred=F.col("lang") == "en").select(
         "doc_id", F.col("n_feats").cast("long").alias("n_feats"), "log_weight"
     )
 
@@ -1032,17 +1033,18 @@ def q_semantic_dedup(spark, sf_dir):
     split relationally (engine-portable md5 hash)."""
     import math
 
-    from minivectordb_spark.operators.ann import lloyd_kmeans_centroids
+    from minivectordb_spark.operators.ann import lloyd_kmeans_fit
     from minivectordb_spark.operators.dedup import semantic_dedup
 
     e = _t(spark, sf_dir, "embeddings")
     k = max(N_CENTROIDS, math.ceil(e.count() / SEMANTIC_TARGET_CLUSTER))
-    cents = lloyd_kmeans_centroids(e, k, iters=KMEANS_ITERS)
+    cents, staged = lloyd_kmeans_fit(e, k, iters=KMEANS_ITERS)
     return semantic_dedup(
         e,
         cents,
         threshold=SEMANTIC_DEDUP_COS,
         max_cluster_size=SEMANTIC_MAX_CLUSTER,
+        assign_df=staged,
     ).select("vec_id", "label")
 
 
@@ -1058,13 +1060,15 @@ def q_ivf_assign_kmeans(spark, sf_dir):
     covers fit AND assignment."""
     from minivectordb_spark.operators.ann import (
         ivf_assign_join,
-        lloyd_kmeans_centroids,
+        lloyd_kmeans_fit,
     )
 
     e = _t(spark, sf_dir, "embeddings")
-    return ivf_assign_join(
-        e, lloyd_kmeans_centroids(e, N_CENTROIDS, iters=KMEANS_ITERS)
-    )
+    # the fit hands back its staged (id, emb, __n) checkpoint; the final
+    # assignment reads it instead of re-scanning the source (one corpus
+    # pass for fit + assign — VERDICT r5 item 4)
+    cents, staged = lloyd_kmeans_fit(e, N_CENTROIDS, iters=KMEANS_ITERS)
+    return ivf_assign_join(staged, cents)
 
 
 def q_ivf_search(spark, sf_dir):

@@ -80,6 +80,21 @@ def lloyd_kmeans_centroids(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> DataFrame:
+    """``lloyd_kmeans_fit`` returning only the centroid frame (the
+    original public surface).  Callers that immediately assign against
+    the fitted centroids should use ``lloyd_kmeans_fit`` and feed its
+    staged frame to ``ivf_assign_join`` — the assignment then reuses the
+    fit's one corpus pass instead of re-reading the source."""
+    return lloyd_kmeans_fit(df, n, iters, id_col, emb_col)[0]
+
+
+def lloyd_kmeans_fit(
+    df: DataFrame,
+    n: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
     """Deterministic, oracle-reproducible Lloyd's k-means: init = the n
     lowest-id vectors (``seed_centroids``), then a FIXED number of
     iterations of (assign every vector to its argmax-cosine centroid,
@@ -95,7 +110,13 @@ def lloyd_kmeans_centroids(
     one map-side assignment pass + one partial-agg shuffle of K x dim
     cells + one constant-size (K rows) driver collect — Lloyd's on Spark
     scales exactly like ``ivf_assign`` itself.  Reference analogue:
-    data-adaptive IVF coarse quantizer (VERDICT r4 item 6)."""
+    data-adaptive IVF coarse quantizer (VERDICT r4 item 6).
+
+    Returns ``(centroids, staged)``: the fitted centroid frame plus the
+    lazily-checkpointed ``(id, emb, __n)`` staging frame the iterations
+    read — pass it straight to ``ivf_assign_join`` (which detects the
+    precomputed ``__n``) so fit + final assignment together make ONE
+    pass over the source."""
     from minivectordb_spark.operators.util import materialize
     from minivectordb_spark.scoring import norm_expr
 
@@ -127,6 +148,14 @@ def lloyd_kmeans_centroids(
     # is unchanged.  Small K (every oracle-graded configuration) keeps
     # the fold-exact join plan.
     use_matmul = len(cents) >= MATMUL_MIN_K
+    if iters <= 0:
+        return (
+            spark.createDataFrame(
+                [(int(cid), [float(x) for x in vec]) for cid, vec in cents],
+                ["centroid_id", "centroid_emb"],
+            ),
+            staged,
+        )
     for _ in range(iters):
         if use_matmul:
             assigned = (
@@ -188,7 +217,7 @@ def lloyd_kmeans_centroids(
         }
         cents = [(cid, means.get(cid, vec)) for cid, vec in cents]
     rows = [(int(cid), [float(x) for x in vec]) for cid, vec in cents]
-    return spark.createDataFrame(rows, ["centroid_id", "centroid_emb"])
+    return spark.createDataFrame(rows, ["centroid_id", "centroid_emb"]), staged
 
 
 def _collect_centroids(centroids: DataFrame) -> list[tuple[int, list[float]]]:
@@ -341,7 +370,14 @@ def ivf_assign_join(
     from minivectordb_spark.operators.util import materialize
     from minivectordb_spark.scoring import norm_expr
 
-    staged = materialize(df, norm_expr(F.col(emb_col)), "__n", [id_col, emb_col])
+    # a caller that already staged the (id, emb, __n) frame — e.g. the
+    # Lloyd's fit, whose checkpoint holds exactly this — passes it through
+    # unchanged: the assignment then reuses the fit's one corpus pass
+    # instead of re-reading and re-norming the source
+    if "__n" in df.columns:
+        staged = df.select(id_col, emb_col, "__n")
+    else:
+        staged = materialize(df, norm_expr(F.col(emb_col)), "__n", [id_col, emb_col])
     c = materialize(
         centroids.select("centroid_id", "centroid_emb"),
         norm_expr(F.col("centroid_emb")),

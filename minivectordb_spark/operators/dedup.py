@@ -1045,6 +1045,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     threshold: float = 0.9,
     max_cluster_size: int | None = None,
+    assign_df: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al.,
     arXiv:2303.09540): coarse-cluster the corpus with a fitted centroid
@@ -1076,6 +1077,11 @@ def semantic_dedup(
     exchange for a hard per-block pair bound.  Cost of the split: one
     K-row count aggregate + a broadcast join — no corpus shuffle.
     ``None`` keeps the uncapped behavior.
+
+    ``assign_df``: an already-staged ``(id, emb, __n)`` frame for the
+    assignment pass only — pass ``lloyd_kmeans_fit``'s staged checkpoint
+    so the fit + assignment share one corpus scan; ``df`` itself still
+    supplies the pairing/survivor columns.
     """
     from minivectordb_spark.operators.ann import (
         MATMUL_MIN_K,
@@ -1091,14 +1097,15 @@ def semantic_dedup(
     # SemDeDup-scale cluster counts (K grows with the corpus) the
     # interpreted fold gives way to the BLAS matmul path, same dispatch
     # as the fit itself.
+    src = assign_df if assign_df is not None else df
     cent_rows = _collect_centroids(centroids)
     if len(cent_rows) >= MATMUL_MIN_K:
         assigned = ivf_assign_matmul(
-            df, cent_rows, id_col=id_col, emb_col=emb_col
+            src, cent_rows, id_col=id_col, emb_col=emb_col
         ).select(id_col, "centroid_id")
     else:
         assigned = ivf_assign_join(
-            df, centroids, id_col=id_col, emb_col=emb_col
+            src, centroids, id_col=id_col, emb_col=emb_col
         ).select(id_col, "centroid_id")
     assigned, block_col = semantic_blocks(assigned, id_col, max_cluster_size)
     blocked = df.select(id_col, emb_col).join(assigned, id_col)
