@@ -991,18 +991,72 @@ def q_quality_classifier(spark, sf_dir):
     ).select("doc_id", "n_feats", "score")
 
 
+# MLlib-FITTED classifier weights (VERDICT r5 stretch 8), frozen to
+# integer micros post-fit so both engines inline the same literals.
+# Provenance: tools/fit_classifier_weights.py — LogisticRegression
+# (fit_hash_classifier) on the sf0.01 documents, labeled pos = heuristic
+# quality >= 0.5 (the FineWeb-Edu distill-a-scorer recipe; the testdata
+# generator shares one vocabulary across langs, so quality is the only
+# token-learnable label).  The graded artifact is the FROZEN list; refit
+# reproduces it up to LBFGS aggregation order.
+FITTED_BIAS_MICRO = 886130
+FITTED_WEIGHTS_MICRO = [
+    0, 9059, 27151, 9635, 3661, -6056, -33635, 3344,
+    557, 2428, -26548, -7026, 5559, -4385, -3279, 21740,
+    611, 22084, 4569, 14763, 2778, -20410, -1551, -25741,
+    8976, -29312, 6788, 102981, 10830, -13323, 12597, -10644,
+    -17438, 21618, 15167, -1852, -12593, 4249, -9869, -8045,
+    -20971, 31963, -9833, 4292, 12167, 21908, 3051, -41413,
+    -13792, -24860, -4863, 17060, -719, -2575, 8106, -83257,
+    -88603, 13293, 5674, -17475, -33638, -2735, -11941, 11763,
+    -5764, 6773, -23615, 4954, 1906, 4085, 5723, 3938,
+    3683, 9334, 14156, -4259, 4716, -31561, 16778, -6670,
+    -27667, 3926, 32318, -8647, -10633, 3722, 21149, -90022,
+    4771, -3882, 6628, 7792, -18646, -19609, -14358, -95449,
+    13290, 9167, -18227, 27496, 477, 13627, 16021, -3723,
+    7358, -55035, -10519, -12711, -4698, 162299, 9430, -8052,
+    26655, 12162, 7272, -4265, 30578, 24824, 16416, -2809,
+    1038, 9279, 30489, -16268, -20036, 132804, -5170, -26079,
+    -14305, -51316, 5431, 9780, -11363, -36107, -6423, -23209,
+    16196, -14503, 42593, 25447, 4184, -25379, -44800, -16433,
+    -13494, 7916, 24324, -12076, 17346, -6023, -54, 11882,
+    14900, 172215, 5843, 0, 15322, 9451, 17394, -4230,
+    -8611, -18402, -320, 0, -13360, -6529, -510, -4948,
+    11753, 4288, -18613, 2977, -8015, 13273, -9719, 14828,
+    18385, -6634, 9298, 17240, -1633, 8219, -25856, -555,
+    14931, 107268, -11119, 0, 3715, 18332, 6367, 10828,
+    -119161, -16296, -8977, 12119, 7642, 4350, -1211, 71,
+    -695, -3178, -33053, -9068, 7392, -13935, -2841, 21866,
+    -306, -14402, 923, 0, 3485, 7957, -43448, -5405,
+    13888, -2155, -13117, -6273, 11372, 11173, 18196, 8319,
+    11742, -5118, 4443, -19505, -35933, 6505, -741, 114130,
+    39388, 8008, 9, -3426, -9314, -22388, 13271, 1735,
+    -85375, 26956, 2872, 12133, 4769, -30509, 2308, 0,
+    -2509, -33472, -102964, 12972, -2654, -10285, 14871, -7343,
+]
+# fitted scores concentrate near sigmoid(0.89)/2-ish ~ 0.708 because the
+# shared-vocabulary corpus is nearly class-inseparable — the mix bands
+# below sit inside the fitted range so low/mid/high all stay populated
+FITTED_MIX_BANDS = (0.706, 0.710)
+
+
 def q_quality_mix(spark, sf_dir):
     """Model-scored data mixing (operators/text.quality_mix): classifier
     score -> quality band -> temperature mix (p ∝ n^0.7) -> hash-gated
     keep at each band's mix fraction, all in ONE plan with the band
-    thresholds joined in relationally (no driver-side fractions)."""
-    from minivectordb_spark.operators.text import (
-        default_classifier_weights,
-        quality_mix,
-    )
+    thresholds joined in relationally (no driver-side fractions).
+
+    r6: the classifier weights are the MLlib-FITTED set
+    (FITTED_WEIGHTS_MICRO — frozen integer micros from the real
+    fit_hash_classifier path) instead of the literal seeded draw; bands
+    FITTED_MIX_BANDS sit inside the fitted score range."""
+    from minivectordb_spark.operators.text import quality_mix
 
     return quality_mix(
-        _t(spark, sf_dir, "documents"), default_classifier_weights()
+        _t(spark, sf_dir, "documents"),
+        [w / 1_000_000.0 for w in FITTED_WEIGHTS_MICRO],
+        bias=FITTED_BIAS_MICRO / 1_000_000.0,
+        bands=FITTED_MIX_BANDS,
     )
 
 
@@ -2112,17 +2166,24 @@ FROM terms GROUP BY doc_id
 """.strip()
 
 
-def _sql_classifier_cte() -> str:
+def _sql_classifier_cte(
+    weights_micro: list[int] | None = None, bias_micro: int = 0
+) -> str:
     """Shared CTE chain ending in sc(doc_id, n_feats, score) — the
     hashed-feature linear classifier both quality_classifier and
-    quality_mix replay."""
+    quality_mix replay.  Defaults to the literal seeded weight draw;
+    quality_mix passes the MLlib-fitted micro set."""
     from minivectordb_spark.operators.text import (
         CLASSIFIER_BUCKETS as B,
         default_classifier_weights,
     )
 
-    wi = [int(round(w * 1_000_000)) for w in default_classifier_weights()]
-    w_list = "[" + ", ".join(str(x) for x in wi) + "]"
+    if weights_micro is None:
+        weights_micro = [
+            int(round(w * 1_000_000)) for w in default_classifier_weights()
+        ]
+    w_list = "[" + ", ".join(str(x) for x in weights_micro) + "]"
+    bias = f"({bias_micro}::DOUBLE / 1000000.0)"
     feat_list = f"""list_concat(
       list_transform(tk, s -> {_sql_hash('s')} % {B}),
       CASE WHEN len(tk) >= 2
@@ -2135,7 +2196,7 @@ s AS (SELECT doc_id, len(bk)::BIGINT AS n_feats,
              list_sum(list_transform(bk, x -> ({w_list}::BIGINT[])[x + 1]))::BIGINT AS sw
       FROM b WHERE len(bk) > 0),
 sc AS (SELECT doc_id, n_feats,
-              round(1.0 / (1.0 + exp(-(0.0 + (sw::DOUBLE / 1000000.0) / n_feats::DOUBLE))), 6) AS score
+              round(1.0 / (1.0 + exp(-({bias} + (sw::DOUBLE / 1000000.0) / n_feats::DOUBLE))), 6) AS score
        FROM s)
 """.strip()
 
@@ -2151,17 +2212,20 @@ SELECT doc_id, n_feats, score FROM sc
 
 
 def _oracle_quality_mix() -> str:
-    """quality_mix twin: classifier CTE -> band CASE -> pow(n, tau)
-    temperature weights -> relational floor(round(frac * buckets, 6))
-    threshold -> the stratified-sample hash gate with salt 'q0'."""
+    """quality_mix twin: classifier CTE (the MLlib-FITTED integer-micro
+    weights, same literals as the graded query) -> band CASE ->
+    pow(n, tau) temperature weights -> relational
+    floor(round(frac * buckets, 6)) threshold -> the stratified-sample
+    hash gate with salt 'q0'."""
     from minivectordb_spark.operators.prep import SAMPLE_BUCKETS as SB
 
+    lo, hi = FITTED_MIX_BANDS
     gate_key = "'q0' || '#' || bd.band || '#' || bd.doc_id::VARCHAR"
     return f"""
-WITH {_sql_classifier_cte()},
+WITH {_sql_classifier_cte(FITTED_WEIGHTS_MICRO, FITTED_BIAS_MICRO)},
 bd AS (SELECT doc_id, score,
-              CASE WHEN score >= 0.55 THEN 'high'
-                   WHEN score >= 0.45 THEN 'mid'
+              CASE WHEN score >= {hi} THEN 'high'
+                   WHEN score >= {lo} THEN 'mid'
                    ELSE 'low' END AS band
        FROM sc),
 cnt AS (SELECT band, count(*)::BIGINT AS n FROM bd GROUP BY band),
