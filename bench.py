@@ -148,6 +148,7 @@ def main():
     # query builders) — the mechanical regression check for plan shapes
     # whose cost must stay ~linear; disable with SPARK_GRAFT_SCALED=0
     scaled = None
+    scaled2 = None
     if os.environ.get("SPARK_GRAFT_SCALED", "1") != "0":
         try:
             from tools.scaling_bench import default_scaled_base, scaled_section
@@ -162,6 +163,20 @@ def main():
             scaled = scaled_section(spark, base_dir, factor=10, runs=RUNS)
         except Exception as e:
             print(f"bench scaled-section error: {e}", file=sys.stderr)
+        # second-decade check (VERDICT r5 stretch 7): sf0.1 x10 — 100x the
+        # oracle gate's data — for the counter-instrumented queries only
+        # (the ones whose 100 TB grade rests on recorded candidate/
+        # occupancy counters).  ~4 min; disable with SPARK_GRAFT_SCALED2=0
+        if os.environ.get("SPARK_GRAFT_SCALED2", "1") != "0":
+            try:
+                from tools.scaling_bench import scaled_section
+
+                names = list(entry.scaling_counters().keys())
+                scaled2 = scaled_section(
+                    spark, sf_dir, factor=10, runs=1, queries=names
+                )
+            except Exception as e:
+                print(f"bench scaled2-section error: {e}", file=sys.stderr)
 
     out = {
         "metric": "total_wall_sec_all_queries",
@@ -186,14 +201,26 @@ def main():
             },
         }
         full["scaled"] = scaled
+    if scaled2 is not None:
+        # second decade = base sf0.1 (the bench sf itself) x 10
+        out["scaled2"] = {
+            "base_sf": float(sf),
+            "factor": scaled2.get("factor"),
+            "ratios": {
+                k: v["ratio"] for k, v in scaled2.get("queries", {}).items()
+            },
+        }
+        full["scaled2"] = scaled2
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_LOCAL.json"), "w") as f:
         json.dump(full, f, indent=1)
     print("bench full detail: " + json.dumps(full, separators=(",", ":")))
     line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 1900 and "scaled" in out:  # never let the head get cut
-        del out["scaled"]
-        line = json.dumps(out, separators=(",", ":"))
+    for trim in ("scaled2", "scaled"):  # never let the head get cut; drop
+        # the second-decade extra before the primary ratio block
+        if len(line) > 1900 and trim in out:
+            del out[trim]
+            line = json.dumps(out, separators=(",", ":"))
     print(line, flush=True)
     spark.stop()
 

@@ -143,11 +143,19 @@ def _time_query(spark, fn, sf_dir: str, runs: int = 2) -> float:
     return round(best, 3)
 
 
-def scaled_section(spark, sf_dir: str, factor: int = 10, runs: int = 2) -> dict:
+def scaled_section(
+    spark,
+    sf_dir: str,
+    factor: int = 10,
+    runs: int = 2,
+    queries: list[str] | None = None,
+) -> dict:
     """{"factor": F, "queries": {name: {"base": s, "scaled": s, "ratio": r}}}.
 
     ratio ~1 for map-only/partial-agg plans (10x rows absorbed by idle
     cores at this core count), bounded small multiples for bucketed joins.
+    ``queries`` restricts the measured subset (the second-decade run
+    times only the counter-instrumented queries).
     """
     import __spark_entry__ as entry
 
@@ -159,7 +167,7 @@ def scaled_section(spark, sf_dir: str, factor: int = 10, runs: int = 2) -> dict:
     try:
         build_scaled_dir(spark, sf_dir, out_dir, factor)
         result = {}
-        for name in SCALED_QUERIES:
+        for name in queries if queries is not None else SCALED_QUERIES:
             fn = qs[name]
             base = _time_query(spark, fn, sf_dir, runs)
             print(f"scaling: {name} base {base}s", file=sys.stderr, flush=True)
@@ -190,9 +198,10 @@ def main() -> None:
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    subset = sys.argv[3].split(",") if len(sys.argv) > 3 else None
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(app_name="scaling_bench", cores=cpus, shuffle_partitions=int(cpus))
-    section = scaled_section(spark, sf_dir, factor)
+    section = scaled_section(spark, sf_dir, factor, queries=subset)
     for name, row in section["queries"].items():
         print(
             f"{name:24s} base {row['base']:7.3f}s  "
