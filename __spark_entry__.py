@@ -213,6 +213,46 @@ def q_knn_filtered(spark, sf_dir):
     )
 
 
+# three deterministic query token vectors for the late-interaction query
+# (the QVEC pattern: fixed trig literals both engines inline identically)
+MAXSIM_QUERY = [
+    QVEC,
+    [round(math.cos((i + 1) * 1.3), 6) for i in range(DIM)],
+    [round(math.sin((i + 1) * 0.9 + 0.5), 6) for i in range(DIM)],
+]
+MAXSIM_DOC_TOKENS = 5  # synthetic multi-vector docs: 5 token vectors each
+
+
+def q_maxsim_topk(spark, sf_dir):
+    """ColBERT-style late-interaction top-k (scoring.maxsim_topk):
+    multi-vector documents built from the embeddings table (5 consecutive
+    vec_ids per doc, order pinned by array_sort so the construction is
+    deterministic in both engines), scored sum-of-max-cosine against the
+    3-token MAXSIM_QUERY.  The doc construction's groupBy is test
+    harness shaping; the OPERATOR itself is map-only + TakeOrdered
+    (plan-tested) — at 100 TB token_embeddings is a stored column."""
+    from minivectordb_spark.scoring import maxsim_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    docs = (
+        e.select(F.expr("vec_id div 5").alias("doc_id"), "vec_id", "embedding")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("vec_id", "embedding"))
+            ).alias("__s")
+        )
+        .select(
+            "doc_id",
+            F.transform(F.col("__s"), lambda r: r["embedding"]).alias(
+                "token_embeddings"
+            ),
+        )
+    )
+    out = maxsim_topk(docs, MAXSIM_QUERY, k=10)
+    return out.select("doc_id", F.col("score").cast("double").alias("score"))
+
+
 def q_knn_batch(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5).select(
@@ -1681,6 +1721,10 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - revenue_by_region: the snowflake multi-hop dimension chain —
       never graded (registry full); shipping_priority grades the
       broadcast-dim join + rollup core, this adds only more hops
+    - maxsim_topk: ColBERT-style late-interaction multi-vector top-k
+      (new in r6, registry full) — map-only sum-of-max-cosine +
+      TakeOrdered, the same plan class the graded knn_topk row covers;
+      oracle-verified here every round
 
     Demoted in the r6 rotation (VERDICT r5 item 1: micro-rows whose
     behavior is fully unit-pinned, swapped for the five SQL shapes plus
@@ -1730,6 +1774,7 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_search": q_ivf_search,
         "priority_returns": q_priority_returns,
         "revenue_by_region": q_revenue_by_region,
+        "maxsim_topk": q_maxsim_topk,
         "point_lookup": q_point_lookup,
         "delete_batch": q_delete_batch,
         "insert_unique": q_insert_unique,
@@ -1749,6 +1794,34 @@ def _oracle_knn(where: str = "") -> str:
 SELECT vec_id, label, round({cos}, 6) AS score
 FROM embeddings {where}
 ORDER BY {cos} DESC, vec_id ASC
+LIMIT 10
+""".strip()
+
+
+def _oracle_maxsim() -> str:
+    """maxsim_topk twin: the same 5-consecutive-vec_id doc construction
+    (list ORDER BY vec_id == Spark's array_sort on (vec_id, embedding)
+    structs), sum-of-max-cosine over the 3 literal query token vectors in
+    the same left-associative addition order as the Spark reduce."""
+    import math as _m
+
+    maxes = []
+    for q in MAXSIM_QUERY:
+        qn = _m.sqrt(sum(x * x for x in q))
+        maxes.append(
+            f"list_max(list_transform(tes, dv -> "
+            f"{_sql_dot_lit('dv', q)} / ({_sql_norm('dv')} * {qn!r})))"
+        )
+    s = " + ".join(maxes)
+    return f"""
+WITH docs AS (
+  SELECT vec_id // {MAXSIM_DOC_TOKENS} AS doc_id,
+         list(embedding ORDER BY vec_id) AS tes
+  FROM embeddings GROUP BY (vec_id // {MAXSIM_DOC_TOKENS})
+)
+SELECT doc_id, round({s}, 6) AS score
+FROM docs WHERE len(tes) > 0
+ORDER BY score DESC, doc_id ASC
 LIMIT 10
 """.strip()
 
@@ -2722,6 +2795,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_topk": _oracle_knn(),
         "knn_filtered": _oracle_knn("WHERE label >= 5"),
         "knn_batch": _oracle_knn_batch(),
+        "maxsim_topk": _oracle_maxsim(),
         "knn_matmul": _oracle_knn_batch(),
         "filter_events_and": _oracle_events(
             f"event_type = 'purchase' AND value > 100 AND {_K_SQL} <= 50"

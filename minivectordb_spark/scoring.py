@@ -206,6 +206,79 @@ def knn_batch(
     )
 
 
+def maxsim_score(
+    df: DataFrame,
+    query_vecs: Sequence[Sequence[float]],
+    emb_col: str = "token_embeddings",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """ColBERT-style late-interaction scoring (Khattab & Zaharia,
+    SIGIR'20): a document is an ARRAY of token vectors
+    (``array<array<float>>``); score(q, d) = sum over query token
+    vectors of max over doc token vectors of cosine.  Multi-vector
+    retrieval keeps per-token matching (unlike single-vector pooling)
+    while staying a pure map-side expression here.
+
+    Plan: the per-doc token-norm array is staged ONCE behind a Generate
+    barrier (``materialize`` — HOFs are exempt from subexpression
+    elimination, so without the barrier every query token would re-fold
+    every doc token's norm); each query vector then contributes one
+    zip_with + array_max over the staged pair, and the per-query maxes
+    sum into one rounded score.  Zero joins, zero shuffles — cost is one
+    scan x |q| x doc tokens, the same plan class as ``knn``.  Documents
+    with no token vectors drop out (score undefined).  At 100 TB this
+    composes with the IVF/LSH blocking paths exactly like single-vector
+    cosine: block on a pooled or centroid vector first, maxsim only the
+    candidates."""
+    from functools import reduce
+
+    from minivectordb_spark.operators.util import materialize
+
+    qs = [[float(x) for x in q] for q in query_vecs]
+    if not qs:
+        raise ValueError("maxsim_score: query_vecs must be non-empty")
+    qns = [math.sqrt(sum(x * x for x in q)) for q in qs]
+    staged = materialize(
+        df,
+        F.transform(F.col(emb_col), lambda dv: norm_expr(dv)),
+        "__dn",
+        [id_col, emb_col],
+    )
+    def _per_token_cos(q: list[float], qn: float):
+        return lambda dv, n: dot_expr(dv, q) / (n * F.lit(qn))
+
+    per_q = [
+        F.array_max(
+            F.zip_with(F.col(emb_col), F.col("__dn"), _per_token_cos(q, qn))
+        )
+        for q, qn in zip(qs, qns)
+    ]
+    score = F.round(reduce(lambda a, b: a + b, per_q), 6)
+    return staged.filter(F.size(F.col(emb_col)) > 0).select(
+        F.col(id_col), score.alias(score_col)
+    )
+
+
+def maxsim_topk(
+    df: DataFrame,
+    query_vecs: Sequence[Sequence[float]],
+    k: int = 10,
+    emb_col: str = "token_embeddings",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Top-k documents by late-interaction maxsim — ``maxsim_score``
+    followed by the deterministic (score desc, id asc) TakeOrdered; the
+    physical plan is TakeOrderedAndProject over the scan, no global
+    sort, exactly like ``knn``."""
+    return (
+        maxsim_score(df, query_vecs, emb_col, id_col, score_col)
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     emb_col: str = "embedding",

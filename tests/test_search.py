@@ -351,3 +351,56 @@ def test_int8_scorer_rank_overlap(spark, sf_dir):
         key = (r["query_id"], r["vec_id"])
         if key in exact_map:
             assert abs(r["score"] - exact_map[key]) < 2e-2
+
+
+def test_maxsim_matches_numpy_oracle(spark):
+    """maxsim_score == the straightforward numpy sum-of-max-cosine on a
+    seeded multi-vector corpus; maxsim_topk orders (score desc, id asc)
+    and drops empty documents."""
+    import random
+
+    import numpy as np
+
+    from minivectordb_spark.scoring import maxsim_score, maxsim_topk
+
+    rng = random.Random(23)
+    docs = []
+    for d in range(30):
+        n_tok = rng.randrange(1, 6)
+        docs.append(
+            (d, [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(n_tok)])
+        )
+    docs.append((99, []))  # empty doc: must drop out
+    df = spark.createDataFrame(docs, ["doc_id", "token_embeddings"])
+    qs = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(3)]
+
+    got = {r["doc_id"]: r["score"] for r in maxsim_score(df, qs).collect()}
+    assert 99 not in got and len(got) == 30
+
+    def cos(a, b):
+        a, b = np.array(a), np.array(b)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    for d, toks in docs[:-1]:
+        want = round(sum(max(cos(q, t) for t in toks) for q in qs), 6)
+        assert abs(got[d] - want) < 2e-6, (d, got[d], want)
+
+    top = maxsim_topk(df, qs, k=5).collect()
+    want_order = sorted(got.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(r["doc_id"], r["score"]) for r in top] == want_order
+
+
+def test_maxsim_topk_plan_is_map_only_take_ordered(spark):
+    """The maxsim operator itself (stored multi-vector column) is one
+    map-side pass + TakeOrderedAndProject — no Exchange, the knn plan
+    class."""
+    from minivectordb_spark.plans import assert_no_shuffle, assert_plan_contains
+    from minivectordb_spark.scoring import maxsim_topk
+
+    df = spark.createDataFrame(
+        [(0, [[1.0, 0.0], [0.0, 1.0]]), (1, [[0.5, 0.5]])],
+        ["doc_id", "token_embeddings"],
+    )
+    out = maxsim_topk(df, [[1.0, 0.0], [0.0, 1.0]], k=2)
+    assert_plan_contains(out, "TakeOrderedAndProject")
+    assert_no_shuffle(out)
