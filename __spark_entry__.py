@@ -893,6 +893,16 @@ def q_repeated_passages(spark, sf_dir):
     return repeated_passages(_t(spark, sf_dir, "documents"), min_docs=2)
 
 
+def q_dup_ngram_fraction(spark, sf_dir):
+    """Per-doc duplicated-n-gram fraction (operators/dedup.
+    dup_ngram_fraction) — the RefinedWeb/Gopher cross-document
+    repetition quality signal, graded at window=3 over the same
+    bit-for-bit shingle machinery as repeated_passages."""
+    from minivectordb_spark.operators.dedup import dup_ngram_fraction
+
+    return dup_ngram_fraction(_t(spark, sf_dir, "documents"), min_docs=2)
+
+
 DECONTAM_MOD = 20  # every 20th doc plays the held-out benchmark
 
 
@@ -1725,6 +1735,10 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       (new in r6, registry full) — map-only sum-of-max-cosine +
       TakeOrdered, the same plan class the graded knn_topk row covers;
       oracle-verified here every round
+    - dup_ngram_fraction: RefinedWeb/Gopher cross-document repetition
+      fraction (new in r6, registry full) — the repeated_passages
+      aggregate LEFT-joined back per doc; same shingle machinery the
+      graded repeated_passages row covers
 
     Demoted in the r6 rotation (VERDICT r5 item 1: micro-rows whose
     behavior is fully unit-pinned, swapped for the five SQL shapes plus
@@ -1775,6 +1789,7 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_returns": q_priority_returns,
         "revenue_by_region": q_revenue_by_region,
         "maxsim_topk": q_maxsim_topk,
+        "dup_ngram_fraction": q_dup_ngram_fraction,
         "point_lookup": q_point_lookup,
         "delete_batch": q_delete_batch,
         "insert_unique": q_insert_unique,
@@ -2426,6 +2441,23 @@ FROM sh GROUP BY gram_hash HAVING count(*) >= 2
 """.strip()
 
 
+def _oracle_dup_ngram_fraction() -> str:
+    """dup_ngram_fraction twin: the same distinct-window shingle hashes,
+    repeated table as a HAVING aggregate, LEFT join back, per-doc
+    fraction rounded 6dp."""
+    return f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+sh AS (SELECT doc_id, unnest({_SQL_SHINGLE_HASHES}) AS gram_hash FROM t),
+rep AS (SELECT gram_hash FROM sh GROUP BY gram_hash HAVING count(*) >= 2)
+SELECT sh.doc_id,
+       count(*)::BIGINT AS n_windows,
+       count(rep.gram_hash)::BIGINT AS n_repeated,
+       round(count(rep.gram_hash)::DOUBLE / count(*)::DOUBLE, 6) AS dup_fraction
+FROM sh LEFT JOIN rep USING (gram_hash)
+GROUP BY sh.doc_id
+""".strip()
+
+
 def _oracle_dedup_components() -> str:
     """Recursive-CTE transitive closure over the LSH pair set: component =
     min reachable id.  Closure size = sum of component sizes^2 — fine at
@@ -2967,6 +2999,7 @@ SELECT vec_id, scale,
         "bm25_search": _oracle_bm25(),
         "hybrid_rrf": _oracle_hybrid_rrf(),
         "repeated_passages": _oracle_repeated_passages(),
+        "dup_ngram_fraction": _oracle_dup_ngram_fraction(),
         "decontaminate": _oracle_decontaminate(),
         "lm_score": _oracle_lm_score(),
         "dsir_logweights": _oracle_dsir_logweights(),

@@ -1155,6 +1155,61 @@ def repeated_passages(
     )
 
 
+def dup_ngram_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = DEFAULT_SHINGLE,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-n-gram fraction — the RefinedWeb / Gopher
+    CROSS-document repetition quality signal (Penedo et al.,
+    arXiv:2306.01116 "fraction of characters in duplicated n-grams";
+    Rae et al., arXiv:2112.11446): for each doc, the share of its
+    distinct token windows that appear in >= ``min_docs`` documents
+    corpus-wide.  High fraction = boilerplate/template/mirrored content
+    — the standard filter signal BETWEEN document-level near-dup (too
+    coarse) and passage scrubbing (destructive).  Returns
+    ``(id_col, n_windows, n_repeated, dup_fraction)``; docs shorter than
+    ``window`` tokens carry no windows and drop out.
+
+    Plan: the shingle machinery stages tokens and window hashes once;
+    the corpus-repeated window table is the ``repeated_passages``
+    aggregate (ONE hash-keyed combiner-reduced shuffle, output bounded
+    by distinct repeated windows); the per-doc pass re-explodes the
+    staged shingles, LEFT-joins the repeated table on the 4-byte hash,
+    and partial-aggregates on the id — two corpus-keyed shuffles total
+    (the hash join's and the per-doc count's), both combiner-reduced.
+    At 100 TB the repeated-window table is the only state that grows
+    with corpus redundancy, and it shrinks as ``min_docs`` rises."""
+    sh = _reused(_shingle_frame(df, text_col, id_col, window))
+    exploded = sh.select(F.col(id_col), F.explode("sh").alias("gram_hash"))
+    repeated = (
+        exploded.groupBy("gram_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gram_hash", F.lit(1).alias("__rep"))
+    )
+    joined = exploded.join(repeated, "gram_hash", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count("__rep").alias("n_repeated"),
+        )
+        .select(
+            F.col(id_col),
+            "n_windows",
+            "n_repeated",
+            F.round(
+                F.col("n_repeated").cast("double")
+                / F.col("n_windows").cast("double"),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
 def scrub_repeated_passages(
     df: DataFrame,
     text_col: str = "text",
