@@ -172,8 +172,11 @@ def main():
                 from tools.scaling_bench import scaled_section
 
                 names = list(entry.scaling_counters().keys())
+                # min-of-2 like every other number here: a single run
+                # prices cold codegen into the ratio (measured: dedup_
+                # groups 5.6 at runs=1 vs 2.2 at min-of-2)
                 scaled2 = scaled_section(
-                    spark, sf_dir, factor=10, runs=1, queries=names
+                    spark, sf_dir, factor=10, runs=RUNS, queries=names
                 )
             except Exception as e:
                 print(f"bench scaled2-section error: {e}", file=sys.stderr)
@@ -216,11 +219,33 @@ def main():
         json.dump(full, f, indent=1)
     print("bench full detail: " + json.dumps(full, separators=(",", ":")))
     line = json.dumps(out, separators=(",", ":"))
+    trimmed = []
     for trim in ("scaled2", "scaled"):  # never let the head get cut; drop
         # the second-decade extra before the primary ratio block
         if len(line) > 1900 and trim in out:
+            trimmed.append(trim)
             del out[trim]
             line = json.dumps(out, separators=(",", ":"))
+    # a block trimmed from the compact line still lands inside the
+    # driver's 2000-char stdout tail as its own SHORT line right before
+    # the final one (the final line is <=1900, this one ~150)
+    if "scaled2" in trimmed and scaled2 is not None:
+        print(
+            json.dumps(
+                {
+                    "scaled2": {
+                        "base_sf": float(sf),
+                        "factor": scaled2.get("factor"),
+                        "ratios": {
+                            k: v["ratio"]
+                            for k, v in scaled2.get("queries", {}).items()
+                        },
+                    }
+                },
+                separators=(",", ":"),
+            ),
+            flush=True,
+        )
     print(line, flush=True)
     spark.stop()
 
