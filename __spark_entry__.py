@@ -1453,12 +1453,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver verifies only the first 50 entries, so
-    # never-yet-verified queries lead (r6: the five promoted SQL shapes —
+    # never-yet-verified queries lead (r6: ALL SEVEN SQL shapes —
     # VERDICT r5 item 1 — plus events_sessions_native, the batch side of
     # the streaming session gate, VERDICT r5 item 6), and redundant twins
     # are demoted to demoted_queries() (still oracle-checked locally by
     # tests/test_demoted_queries.py).
     return {
+        "priority_returns": q_priority_returns,
+        "revenue_by_region": q_revenue_by_region,
         "shipping_priority": q_shipping_priority,
         "customer_distribution": q_customer_distribution,
         "parts_below_avg": q_parts_below_avg,
@@ -1485,7 +1487,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
-        "fingerprints": q_fingerprints,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "lsh_jaccard_pairs": q_lsh_jaccard_pairs,
@@ -1493,7 +1494,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs64": q_simhash_pairs64,
         "quantize_embeddings": q_quantize_embeddings,
         "doc_chunks": q_doc_chunks,
-        "sample_stratified": q_sample_stratified,
         "vocabulary": q_vocabulary,
         "bm25_search": q_bm25_search,
         "repeated_passages": q_repeated_passages,
@@ -1724,13 +1724,14 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - ivf_search: on-the-fly IVF search — IDENTICAL oracle and results
       to the still-graded ivf_search_indexed, which additionally proves
       the partition-pruned index path; swapped for bigram_lm (r5)
-    - priority_returns: the TPC-H Q4 EXISTS / left-semi join shape —
-      the only never-graded SQL-shape after the r6 promotion (registry
-      full; shipping_priority grades the sibling Q3 join shape and the
-      left-SEMI physical strategy is plan-tested)
-    - revenue_by_region: the snowflake multi-hop dimension chain —
-      never graded (registry full); shipping_priority grades the
-      broadcast-dim join + rollup core, this adds only more hops
+    - fingerprints: map-only rolling-hash + md5 fingerprints — the same
+      expression class the graded minhash_signatures / simhash_pairs64
+      rows run corpus-wide; demoted r6 so revenue_by_region earns a
+      driver row
+    - sample_stratified: the deterministic hash gate — literally the
+      gate sub-stage of the graded quality_mix composition (same
+      sample_gate call, same md5 bucket arithmetic); demoted r6 so
+      priority_returns earns a driver row
     - maxsim_topk: ColBERT-style late-interaction multi-vector top-k
       (new in r6, registry full) — map-only sum-of-max-cosine +
       TakeOrdered, the same plan class the graded knn_topk row covers;
@@ -1786,8 +1787,8 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_fractions": q_mix_fractions,
         "simhash_pairs": q_simhash_pairs,
         "ivf_search": q_ivf_search,
-        "priority_returns": q_priority_returns,
-        "revenue_by_region": q_revenue_by_region,
+        "fingerprints": q_fingerprints,
+        "sample_stratified": q_sample_stratified,
         "maxsim_topk": q_maxsim_topk,
         "dup_ngram_fraction": q_dup_ngram_fraction,
         "point_lookup": q_point_lookup,
