@@ -585,6 +585,15 @@ def q_fingerprints(spark, sf_dir):
     return fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def q_source_report(spark, sf_dir):
+    """Per-source dataset-card rollup (operators/text.py source_report):
+    doc counts, exact-dup rate, token/char volume, exact decimal-summed
+    mean quality — pipeline observability per ingested domain."""
+    from minivectordb_spark.operators.text import source_report
+
+    return source_report(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_exact(spark, sf_dir):
     return exact_dedup_groups(_t(spark, sf_dir, "documents"))
 
@@ -1740,6 +1749,11 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       fraction (new in r6, registry full) — the repeated_passages
       aggregate LEFT-joined back per doc; same shingle machinery the
       graded repeated_passages row covers
+    - source_report: per-source dataset-card rollup (new in r6,
+      registry full) — groupBy(source) over the same staged per-doc
+      stats expressions the graded text_stats row covers, with an
+      exact decimal-summed mean quality; oracle-verified here every
+      round
 
     Demoted in the r6 rotation (VERDICT r5 item 1: micro-rows whose
     behavior is fully unit-pinned, swapped for the five SQL shapes plus
@@ -1797,6 +1811,7 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocut_topk": q_autocut_topk,
         "filter_events_and": q_filter_events_and,
         "events_sessionize": q_events_sessionize,
+        "source_report": q_source_report,
     }
 
 
@@ -1910,6 +1925,37 @@ SELECT doc_id,
   (list_reduce(list_transform(tk, (x, i) -> {term}), (a, b) -> a + b)) % {P} AS fp,
   md5(text) AS content_md5
 FROM t
+""".strip()
+
+
+def _oracle_source_report() -> str:
+    """source_report twin: identical per-doc quality expression as
+    _oracle_text_stats, rounded to 6 dp then frozen to DECIMAL(18,6) so
+    the per-source sum is exact in both engines (summation order never
+    enters); the final divisions are single IEEE double ops on identical
+    operands."""
+    stops = _sql_in_list(EN_STOPWORDS)
+    return f"""
+WITH t AS (SELECT source, text, {_SQL_TOKS} AS tk FROM documents),
+per AS (
+  SELECT source, md5(text) AS h,
+    len(tk)::BIGINT AS toks, length(text)::BIGINT AS chars,
+    round(
+      0.4 * least(1.0, len(tk)::DOUBLE / 100.0)
+      + 0.3 * (CASE WHEN len(tk) = 0 THEN 0.0 ELSE len(list_distinct(tk))::DOUBLE / len(tk)::DOUBLE END)
+      + 0.3 * least(1.0, 3.0 * (CASE WHEN len(tk) = 0 THEN 0.0 ELSE len(list_filter(tk, x -> x IN {stops}))::DOUBLE / len(tk)::DOUBLE END)),
+      6)::DECIMAL(18,6) AS q
+  FROM t
+)
+SELECT source,
+  count(*)::BIGINT AS n_docs,
+  count(DISTINCT h)::BIGINT AS n_distinct_texts,
+  sum(toks)::BIGINT AS total_tokens,
+  sum(chars)::BIGINT AS total_chars,
+  round(1.0 - count(DISTINCT h)::DOUBLE / count(*)::DOUBLE, 6) AS dup_rate,
+  round(sum(q)::DOUBLE / count(*)::DOUBLE, 6) AS avg_quality
+FROM per
+GROUP BY source
 """.strip()
 
 
@@ -2963,6 +3009,7 @@ FROM documents
 """.strip(),
         "lang_id": _oracle_lang_id(),
         "fingerprints": _oracle_fingerprints(),
+        "source_report": _oracle_source_report(),
         "dedup_exact": (
             "SELECT md5(text) AS content_md5, min(doc_id)::BIGINT AS keep_id, "
             "count(*)::BIGINT AS n_dups FROM documents GROUP BY md5(text)"

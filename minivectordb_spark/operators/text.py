@@ -218,6 +218,71 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def source_report(
+    df: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Per-source corpus observability rollup (dataset-card shape): doc
+    count, exact-duplicate rate (1 - distinct md5(text) / docs), token and
+    char volume, mean quality score — the per-domain report a pipeline run
+    prints after each ingest wave.
+
+    Scale: every per-document expression is map-side; the distinct-text
+    count is a two-phase hash aggregate keyed (source, md5), so the
+    shuffle moves one row per (source, distinct text) and then one row
+    per source — never the corpus.  Mean quality is summed as
+    DECIMAL(18,6) over the per-doc 6-dp-rounded scores, so the aggregate
+    is exact and engine-portable (float summation order never enters);
+    the final divisions are single IEEE ops on identical operands.
+    """
+    from minivectordb_spark.operators.util import materialize
+
+    staged = materialize(df, tokens(F.col(text_col)), "__toks", [source_col, text_col])
+    toks = F.col("__toks")
+    n = F.size(toks)
+    nz = n > 0
+    ttr = F.when(~nz, F.lit(0.0)).otherwise(
+        F.size(F.array_distinct(toks)).cast("double") / n.cast("double")
+    )
+    stop_r = F.when(~nz, F.lit(0.0)).otherwise(
+        F.size(F.filter(toks, _isin_pred(EN_STOPWORDS))).cast("double")
+        / n.cast("double")
+    )
+    quality = (
+        F.lit(0.4) * F.least(F.lit(1.0), n.cast("double") / F.lit(100.0))
+        + F.lit(0.3) * ttr
+        + F.lit(0.3) * F.least(F.lit(1.0), F.lit(3.0) * stop_r)
+    )
+    per_doc = staged.select(
+        F.col(source_col).alias("source"),
+        F.md5(F.col(text_col)).alias("__h"),
+        n.cast("long").alias("__toks_n"),
+        F.length(F.col(text_col)).cast("long").alias("__chars"),
+        F.round(quality, 6).cast("decimal(18,6)").alias("__q"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("__h").alias("n_distinct_texts"),
+        F.sum("__toks_n").alias("total_tokens"),
+        F.sum("__chars").alias("total_chars"),
+        F.sum("__q").alias("__qsum"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_distinct_texts",
+        "total_tokens",
+        "total_chars",
+        F.round(
+            F.lit(1.0)
+            - F.col("n_distinct_texts").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("dup_rate"),
+        F.round(
+            F.col("__qsum").cast("double") / F.col("n_docs").cast("double"), 6
+        ).alias("avg_quality"),
+    )
+
+
 def lm_score(
     df: DataFrame,
     text_col: str = "text",
