@@ -594,6 +594,23 @@ def q_source_report(spark, sf_dir):
     return source_report(_t(spark, sf_dir, "documents"))
 
 
+HH_THETA = 0.02
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Corpus-boilerplate finder (operators/sketches.py heavy_hitters):
+    EXACT tokens with frequency >= theta*N via per-partition Misra-Gries
+    candidates (bounded state) + broadcast-probe exact recount — never a
+    full-cardinality shuffle."""
+    from minivectordb_spark.operators.sketches import heavy_hitters
+    from minivectordb_spark.operators.text import tokens
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(tokens(F.col("text"))).alias("item")
+    )
+    return heavy_hitters(toks, "item", theta=HH_THETA)
+
+
 def q_dedup_exact(spark, sf_dir):
     return exact_dedup_groups(_t(spark, sf_dir, "documents"))
 
@@ -1754,6 +1771,10 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       stats expressions the graded text_stats row covers, with an
       exact decimal-summed mean quality; oracle-verified here every
       round
+    - heavy_hitters: exact corpus heavy hitters via bounded-state
+      Misra-Gries candidates + exact recount (new in r6, registry
+      full) — the two-pass composition is exact, so the oracle is the
+      plain GROUP BY/HAVING answer; oracle-verified here every round
 
     Demoted in the r6 rotation (VERDICT r5 item 1: micro-rows whose
     behavior is fully unit-pinned, swapped for the five SQL shapes plus
@@ -1812,6 +1833,7 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_events_and": q_filter_events_and,
         "events_sessionize": q_events_sessionize,
         "source_report": q_source_report,
+        "heavy_hitters": q_heavy_hitters,
     }
 
 
@@ -1956,6 +1978,21 @@ SELECT source,
   round(sum(q)::DOUBLE / count(*)::DOUBLE, 6) AS avg_quality
 FROM per
 GROUP BY source
+""".strip()
+
+
+def _oracle_heavy_hitters() -> str:
+    """heavy_hitters twin: the two-pass Misra-Gries composition is EXACT
+    (candidate superset + exact recount), so the oracle is the plain
+    GROUP BY ... HAVING cnt >= ceil(theta * N) answer."""
+    return f"""
+WITH t AS (SELECT {_SQL_TOKS} AS tk FROM documents),
+e AS (SELECT unnest(tk) AS item FROM t),
+n AS (SELECT count(*)::BIGINT AS total FROM e)
+SELECT item, count(*)::BIGINT AS cnt
+FROM e
+GROUP BY item
+HAVING count(*) >= (SELECT greatest(1, ceil({HH_THETA} * total))::BIGINT FROM n)
 """.strip()
 
 
@@ -3010,6 +3047,7 @@ FROM documents
         "lang_id": _oracle_lang_id(),
         "fingerprints": _oracle_fingerprints(),
         "source_report": _oracle_source_report(),
+        "heavy_hitters": _oracle_heavy_hitters(),
         "dedup_exact": (
             "SELECT md5(text) AS content_md5, min(doc_id)::BIGINT AS keep_id, "
             "count(*)::BIGINT AS n_dups FROM documents GROUP BY md5(text)"

@@ -54,3 +54,76 @@ def approx_quantiles(
     if group_by:
         return df.groupBy(*group_by).agg(agg)
     return df.agg(agg)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    theta: float = 0.01,
+) -> DataFrame:
+    """EXACT heavy hitters (items with frequency >= ``theta`` * N) in two
+    bounded passes — the corpus-boilerplate finder that never shuffles
+    the full item cardinality.
+
+    Pass 1 runs Misra-Gries per partition (``mapInPandas``, state capped
+    at ``k = floor(1/theta) + 1`` counters).  Pigeonhole guarantee: an
+    item with global count > N/k exceeds count/k in at least one
+    partition, so the UNION of per-partition summaries is a SUPERSET of
+    every item with global frequency >= theta * N.  Pass 2 exact-counts
+    only the candidate set (a broadcast semi-join probe over the scan —
+    map-side filter, then a candidate-cardinality groupBy) and keeps
+    count >= ceil(theta * N).  The final output is therefore EXACT and
+    partition-independent even though the intermediate summary is not:
+    candidates that are not true heavy hitters are filtered by their
+    exact count, and no true heavy hitter can be missed.
+
+    State/shuffle at 100 TB: per-task memory is k counters; the driver
+    holds <= k * n_partitions candidate strings (constant per task by
+    construction); the only shuffle is the groupBy over rows matching
+    the candidate set.  Output columns: ``item``, ``cnt``.
+    """
+    import pandas as pd
+
+    if not 0.0 < theta <= 1.0:
+        raise ValueError(f"theta must be in (0, 1], got {theta}")
+    k = int(1.0 / theta) + 1
+
+    items = df.select(F.col(col).cast("string").alias("item")).where(
+        F.col("item").isNotNull()
+    )
+
+    def _mg(batches):
+        # mergeable-summaries form of Misra-Gries (Agarwal et al.): fold
+        # each Arrow batch's exact value_counts into the summary, then
+        # shrink back to k entries by subtracting the (k+1)-th largest
+        # count from all and dropping non-positives.  Each shrink of
+        # `cut` is charged against (k+1)*cut removed occurrences, so the
+        # total undercount stays < N_p/k — same guarantee as the per-item
+        # decrement, vectorized instead of O(N*k) Python.
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for item, c in pdf["item"].value_counts().items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    key: v - cut for key, v in counters.items() if v - cut > 0
+                }
+        yield pd.DataFrame({"item": list(counters.keys())})
+
+    candidates = [
+        r["item"]
+        for r in items.mapInPandas(_mg, "item string").select("item").distinct().collect()
+    ]
+    total = items.count()
+    import math
+
+    threshold = max(1, math.ceil(theta * total))
+    if not candidates:
+        return items.limit(0).groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        items.where(F.col("item").isin(candidates))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= F.lit(threshold))
+    )

@@ -1866,3 +1866,55 @@ def test_sketch_accuracy_contracts(spark):
     # plan: partial aggregation before the exchange for both sketches
     plan = approx_distinct(df, "uid", group_by=["g"])._jdf.queryExecution().executedPlan().toString()
     assert "partial_approx_count_distinct" in plan
+
+
+def test_heavy_hitters_exact_contract(spark):
+    """heavy_hitters output equals the exact groupBy-HAVING answer on a
+    skewed seeded corpus regardless of partitioning (the Misra-Gries
+    candidate superset never drops a true heavy hitter), and the
+    per-partition summary stays bounded at k entries."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from minivectordb_spark.operators.sketches import heavy_hitters
+
+    rng = random.Random(31)
+    # Zipf-ish skew: a few boilerplate items dominate a long noise tail
+    pool = [f"hot{i}" for i in range(5) for _ in range(200)] + [
+        f"cold{rng.randrange(0, 4000)}" for _ in range(4000)
+    ]
+    rng.shuffle(pool)
+    theta = 0.02
+    for parts in (1, 7, 32):
+        df = spark.createDataFrame([(x,) for x in pool], ["item"]).repartition(parts)
+        got = {
+            (r["item"], r["cnt"]) for r in heavy_hitters(df, "item", theta).collect()
+        }
+        thr = max(1, math.ceil(theta * len(pool)))
+        exact = {
+            (r["item"], r["cnt"])
+            for r in df.groupBy("item")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .where(F.col("cnt") >= thr)
+            .collect()
+        }
+        assert got == exact, (parts, got ^ exact)
+    assert {i for i, _ in exact} == {f"hot{i}" for i in range(5)}
+
+    # bounded state: the mapInPandas summary never exceeds k entries even
+    # when the partition's distinct cardinality is far larger
+    k = int(1.0 / theta) + 1
+    one_part = spark.createDataFrame([(x,) for x in pool], ["item"]).coalesce(1)
+    import pandas as pd
+
+    # replicate the internal fold on the full partition in one batch
+    counters = {}
+    for item, c in pd.Series(pool).value_counts().items():
+        counters[item] = counters.get(item, 0) + int(c)
+    if len(counters) > k:
+        cut = sorted(counters.values(), reverse=True)[k]
+        counters = {key: v - cut for key, v in counters.items() if v - cut > 0}
+    assert len(counters) <= k
+    assert {f"hot{i}" for i in range(5)} <= set(counters)
