@@ -1682,6 +1682,15 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
             "total_overlaps": int(agg["s"] or 0),
         }
 
+    def c_heavy_hitters(spark: SparkSession, sf_dir: str) -> dict:
+        from minivectordb_spark.operators.sketches import heavy_hitters_diagnostics
+        from minivectordb_spark.operators.text import tokens
+
+        toks = _t(spark, sf_dir, "documents").select(
+            F.explode(tokens(F.col("text"))).alias("item")
+        )
+        return heavy_hitters_diagnostics(toks, "item", HH_THETA)
+
     return {
         "neardup_lsh": c_neardup_lsh,
         "neardup_cosine": c_neardup_cosine,
@@ -1689,6 +1698,7 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
         "lsh_jaccard_pairs": c_lsh_jaccard,
         "semantic_dedup": c_semantic_dedup,
         "decontaminate": c_decontaminate,
+        "heavy_hitters": c_heavy_hitters,
     }
 
 

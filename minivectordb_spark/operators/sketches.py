@@ -82,15 +82,38 @@ def heavy_hitters(
     construction); the only shuffle is the groupBy over rows matching
     the candidate set.  Output columns: ``item``, ``cnt``.
     """
-    import pandas as pd
+    import math
 
-    if not 0.0 < theta <= 1.0:
-        raise ValueError(f"theta must be in (0, 1], got {theta}")
-    k = int(1.0 / theta) + 1
+    items = _hh_items(df, col)
+    k = _hh_k(theta)
+    candidates = _hh_candidates(items, k)
+    total = items.count()
+    threshold = max(1, math.ceil(theta * total))
+    if not candidates:
+        return items.limit(0).groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        items.where(F.col("item").isin(candidates))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= F.lit(threshold))
+    )
 
-    items = df.select(F.col(col).cast("string").alias("item")).where(
+
+def _hh_items(df: DataFrame, col: str) -> DataFrame:
+    return df.select(F.col(col).cast("string").alias("item")).where(
         F.col("item").isNotNull()
     )
+
+
+def _hh_k(theta: float) -> int:
+    if not 0.0 < theta <= 1.0:
+        raise ValueError(f"theta must be in (0, 1], got {theta}")
+    return int(1.0 / theta) + 1
+
+
+def _hh_candidates(items: DataFrame, k: int) -> list[str]:
+    """Pass 1: per-partition Misra-Gries candidate summaries (union)."""
+    import pandas as pd
 
     def _mg(batches):
         # mergeable-summaries form of Misra-Gries (Agarwal et al.): fold
@@ -111,19 +134,44 @@ def heavy_hitters(
                 }
         yield pd.DataFrame({"item": list(counters.keys())})
 
-    candidates = [
+    return [
         r["item"]
-        for r in items.mapInPandas(_mg, "item string").select("item").distinct().collect()
+        for r in items.mapInPandas(_mg, "item string")
+        .select("item")
+        .distinct()
+        .collect()
     ]
-    total = items.count()
+
+
+def heavy_hitters_diagnostics(df: DataFrame, col: str, theta: float) -> dict:
+    """Falsifiable scaling counters for ``heavy_hitters``: total item
+    count N, summary capacity k, partition count, the candidate-set size
+    against its k * n_partitions bound, the exact threshold, and the
+    final output rows — recorded at base and scaled inputs by the bench
+    so the bounded-candidate claim is a number, not prose."""
     import math
 
+    items = _hh_items(df, col)
+    k = _hh_k(theta)
+    n_parts = items.rdd.getNumPartitions()
+    candidates = _hh_candidates(items, k)
+    total = items.count()
     threshold = max(1, math.ceil(theta * total))
-    if not candidates:
-        return items.limit(0).groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
-    return (
+    out_rows = (
         items.where(F.col("item").isin(candidates))
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") >= F.lit(threshold))
+        .count()
+        if candidates
+        else 0
     )
+    return {
+        "n_items": int(total),
+        "k": int(k),
+        "n_partitions": int(n_parts),
+        "candidates": len(candidates),
+        "candidate_bound": int(k * n_parts),
+        "threshold": int(threshold),
+        "output_rows": int(out_rows),
+    }

@@ -65,6 +65,9 @@ SCALED_QUERIES = [
     "dsir_logweights",
     "bigram_lm",
     "quality_classifier",
+    # r6 addition: bounded-state Misra-Gries heavy hitters (candidate
+    # count vs k * n_partitions bound recorded via scaling_counters)
+    "heavy_hitters",
 ]
 
 
