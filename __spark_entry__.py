@@ -1042,7 +1042,14 @@ def q_bigram_lm(spark, sf_dir):
     the pruned-KenLM-shaped upgrade of lm_score — per position,
     ln(0.75 * p_bi + 0.25 * p_uni) with the bigram table count-pruned to
     a bounded top-N (unpruned here: the sf vocab is far under the cap);
-    per-position terms frozen to DECIMAL(18,6) before the per-doc mean."""
+    per-position terms frozen to DECIMAL(18,6) before the per-doc mean.
+
+    Parity note: the per-VOCAB-ENTRY round(ln(p), 6) can land on a
+    cross-libm ulp boundary (JVM Math.log vs DuckDB libm differ by one
+    ulp on some operands); exact at the sf0.01 gate vocab, O(1)
+    last-digit rows at larger vocabs (measured: 2 of 5000 docs at
+    sf0.1, each off by exactly 1e-6 — tools/check_oracle.py
+    GATE_PINNED)."""
     from minivectordb_spark.operators.text import bigram_lm_score
 
     return bigram_lm_score(_t(spark, sf_dir, "documents")).select(
