@@ -92,11 +92,26 @@ def heavy_hitters(
     if not candidates:
         return items.limit(0).groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
     return (
-        items.where(F.col("item").isin(candidates))
+        _hh_probe(items, candidates)
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") >= F.lit(threshold))
     )
+
+
+# above this many candidates, probe via broadcast LEFT SEMI join instead
+# of an inlined isin literal list: the candidate union is bounded by
+# k * n_partitions, which at cluster partition counts can reach millions —
+# far past what a literal IN predicate can carry in one plan tree
+_HH_ISIN_MAX = 10_000
+
+
+def _hh_probe(items: DataFrame, candidates: list[str]) -> DataFrame:
+    if len(candidates) <= _HH_ISIN_MAX:
+        return items.where(F.col("item").isin(candidates))
+    spark = items.sparkSession
+    cand_df = spark.createDataFrame([(c,) for c in candidates], ["item"])
+    return items.join(F.broadcast(cand_df), on="item", how="left_semi")
 
 
 def _hh_items(df: DataFrame, col: str) -> DataFrame:
@@ -158,7 +173,7 @@ def heavy_hitters_diagnostics(df: DataFrame, col: str, theta: float) -> dict:
     total = items.count()
     threshold = max(1, math.ceil(theta * total))
     out_rows = (
-        items.where(F.col("item").isin(candidates))
+        _hh_probe(items, candidates)
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") >= F.lit(threshold))

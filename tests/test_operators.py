@@ -1918,3 +1918,44 @@ def test_heavy_hitters_exact_contract(spark):
         counters = {key: v - cut for key, v in counters.items() if v - cut > 0}
     assert len(counters) <= k
     assert {f"hot{i}" for i in range(5)} <= set(counters)
+
+
+def test_heavy_hitters_broadcast_probe_path(spark, monkeypatch):
+    """Above _HH_ISIN_MAX candidates the pass-2 probe switches from an
+    inlined isin literal list to a broadcast LEFT SEMI join; forcing the
+    switchover must not change the answer, and the plan must carry the
+    broadcast join (never a shuffle of the items side)."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from minivectordb_spark.operators import sketches
+
+    rng = random.Random(13)
+    pool = [f"hot{i}" for i in range(3) for _ in range(150)] + [
+        f"cold{rng.randrange(0, 800)}" for _ in range(800)
+    ]
+    rng.shuffle(pool)
+    df = spark.createDataFrame([(x,) for x in pool], ["item"]).repartition(8)
+    theta = 0.05
+    expected = {
+        (r["item"], r["cnt"])
+        for r in sketches.heavy_hitters(df, "item", theta).collect()
+    }
+
+    monkeypatch.setattr(sketches, "_HH_ISIN_MAX", 0)
+    out = sketches.heavy_hitters(df, "item", theta)
+    got = {(r["item"], r["cnt"]) for r in out.collect()}
+    assert got == expected
+    thr = max(1, math.ceil(theta * len(pool)))
+    exact = {
+        (r["item"], r["cnt"])
+        for r in df.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= thr)
+        .collect()
+    }
+    assert got == exact
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:800]
