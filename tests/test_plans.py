@@ -211,3 +211,18 @@ def test_quality_mix_one_plan_no_sort_merge(spark, sf):
         if "Exchange hashpartitioning" in line
     ]
     assert all("band" in l for l in keyed), plan
+
+
+def test_source_report_two_phase_distinct(spark, sf):
+    """source_report's distinct-text count must plan as the two-phase
+    (source, md5) -> (source) hash aggregate — partial aggregation before
+    BOTH exchanges, never an Expand over the corpus and never more than
+    the two keyed shuffles."""
+    df = _q("source_report", spark, sf)
+    plan = physical_plan(df)
+    assert "Expand" not in plan, plan
+    assert exchange_count(df) == 2, plan
+    # every Exchange is keyed (hashpartitioning) — no round-robin repartition
+    for line in plan.splitlines():
+        if "Exchange" in line and "hashpartitioning" not in line:
+            raise AssertionError(line)
