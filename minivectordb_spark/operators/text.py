@@ -218,22 +218,14 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
-def source_report(
+def source_per_doc(
     df: DataFrame, text_col: str = "text", source_col: str = "source"
 ) -> DataFrame:
-    """Per-source corpus observability rollup (dataset-card shape): doc
-    count, exact-duplicate rate (1 - distinct md5(text) / docs), token and
-    char volume, mean quality score — the per-domain report a pipeline run
-    prints after each ingest wave.
-
-    Scale: every per-document expression is map-side; the distinct-text
-    count is a two-phase hash aggregate keyed (source, md5), so the
-    shuffle moves one row per (source, distinct text) and then one row
-    per source — never the corpus.  Mean quality is summed as
-    DECIMAL(18,6) over the per-doc 6-dp-rounded scores, so the aggregate
-    is exact and engine-portable (float summation order never enters);
-    the final divisions are single IEEE ops on identical operands.
-    """
+    """Per-document stage shared by ``source_report`` and the streaming
+    ``stream_source_stats_ingest`` gate: (source, __h md5, __toks_n,
+    __chars, __q DECIMAL(18,6)) — all map-side expressions over one
+    staged token array, quality frozen to 6-dp decimal so any downstream
+    sum is exact and engine-portable."""
     from minivectordb_spark.operators.util import materialize
 
     staged = materialize(df, tokens(F.col(text_col)), "__toks", [source_col, text_col])
@@ -252,14 +244,32 @@ def source_report(
         + F.lit(0.3) * ttr
         + F.lit(0.3) * F.least(F.lit(1.0), F.lit(3.0) * stop_r)
     )
-    per_doc = staged.select(
+    return staged.select(
         F.col(source_col).alias("source"),
         F.md5(F.col(text_col)).alias("__h"),
         n.cast("long").alias("__toks_n"),
         F.length(F.col(text_col)).cast("long").alias("__chars"),
         F.round(quality, 6).cast("decimal(18,6)").alias("__q"),
     )
-    agg = per_doc.groupBy("source").agg(
+
+
+def source_report(
+    df: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Per-source corpus observability rollup (dataset-card shape): doc
+    count, exact-duplicate rate (1 - distinct md5(text) / docs), token and
+    char volume, mean quality score — the per-domain report a pipeline run
+    prints after each ingest wave.
+
+    Scale: every per-document expression is map-side; the distinct-text
+    count is a two-phase hash aggregate keyed (source, md5), so the
+    shuffle moves one row per (source, distinct text) and then one row
+    per source — never the corpus.  Mean quality is summed as
+    DECIMAL(18,6) over the per-doc 6-dp-rounded scores, so the aggregate
+    is exact and engine-portable (float summation order never enters);
+    the final divisions are single IEEE ops on identical operands.
+    """
+    agg = source_per_doc(df, text_col, source_col).groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("__h").alias("n_distinct_texts"),
         F.sum("__toks_n").alias("total_tokens"),

@@ -1,5 +1,6 @@
 from minivectordb_spark.streaming.events import (
     hourly_event_counts,
+    read_source_stats,
     session_rollup,
     stream_decontaminated_ingest,
     stream_ivf_index_ingest,
@@ -7,11 +8,13 @@ from minivectordb_spark.streaming.events import (
     stream_durable_ingest,
     stream_events,
     stream_neardup_ingest,
+    stream_source_stats_ingest,
     stream_vector_ingest,
 )
 
 __all__ = [
     "hourly_event_counts",
+    "read_source_stats",
     "session_rollup",
     "stream_decontaminated_ingest",
     "stream_ivf_index_ingest",
@@ -19,5 +22,6 @@ __all__ = [
     "stream_durable_ingest",
     "stream_events",
     "stream_neardup_ingest",
+    "stream_source_stats_ingest",
     "stream_vector_ingest",
 ]

@@ -544,3 +544,94 @@ def stream_ivf_index_ingest(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def stream_source_stats_ingest(
+    stream_df: DataFrame,
+    stats_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    source_col: str = "source",
+):
+    """Streaming per-source corpus observability: each micro-batch folds
+    its documents into an incremental stats store whose rollup
+    (``read_source_stats``) equals the batch ``source_report`` over
+    everything ingested so far — the dataset-card numbers, maintained on
+    ingest instead of recomputed corpus-wide.
+
+    Store layout (both append-only, batch-cost writes):
+    - ``partials/``: ONE ROW PER (batch, source) — n_docs / token / char
+      / DECIMAL-quality partial aggregates.  Exact under summation
+      because every quantity is associative (the decimal freeze makes
+      the quality sum order-independent, operators/text.source_per_doc).
+    - ``hashes/``: one row per FIRST-SEEN (source, md5(text)) — the
+      distinct-text set behind dup_rate, maintained with the same
+      column-pruned anti-join the dedup ingest gates use.  At real scale
+      this store is bucketed by hash prefix so the probe reads only the
+      batch's buckets.
+
+    Per-trigger cost: map-side expressions over the batch + one
+    |sources|-row aggregate + one anti-join against the hash store —
+    never a corpus-wide pass.  Batch==stream equivalence is pinned by
+    tests/test_streaming_multimodal.py."""
+    from pyspark.errors import AnalysisException
+
+    from minivectordb_spark.operators.text import source_per_doc
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        per_doc = source_per_doc(batch_df, text_col, source_col)
+        per_doc.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__toks_n").alias("total_tokens"),
+            F.sum("__chars").alias("total_chars"),
+            F.sum("__q").cast("decimal(28,6)").alias("qsum"),
+        ).write.mode("append").parquet(f"{stats_path}/partials")
+        fresh = per_doc.select("source", "__h").distinct()
+        try:
+            seen = spark.read.parquet(f"{stats_path}/hashes")
+        except AnalysisException:
+            seen = None
+        if seen is not None:
+            fresh = fresh.join(seen, ["source", "__h"], "left_anti")
+        fresh.write.mode("append").parquet(f"{stats_path}/hashes")
+
+    return (
+        stream_df.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
+def read_source_stats(spark: SparkSession, stats_path: str) -> DataFrame:
+    """Fold the incremental store written by ``stream_source_stats_ingest``
+    into the exact ``source_report`` schema: (source, n_docs,
+    n_distinct_texts, total_tokens, total_chars, dup_rate, avg_quality).
+    One |sources|-row aggregate over the partials log plus one count per
+    source over the hash store — cost scales with log size, not corpus."""
+    partials = spark.read.parquet(f"{stats_path}/partials")
+    hashes = spark.read.parquet(f"{stats_path}/hashes")
+    totals = partials.groupBy("source").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_tokens").alias("total_tokens"),
+        F.sum("total_chars").alias("total_chars"),
+        F.sum("qsum").alias("__qsum"),
+    )
+    distinct = hashes.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_distinct_texts")
+    )
+    return totals.join(distinct, "source").select(
+        "source",
+        "n_docs",
+        "n_distinct_texts",
+        "total_tokens",
+        "total_chars",
+        F.round(
+            F.lit(1.0)
+            - F.col("n_distinct_texts").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("dup_rate"),
+        F.round(
+            F.col("__qsum").cast("double") / F.col("n_docs").cast("double"), 6
+        ).alias("avg_quality"),
+    )

@@ -657,3 +657,44 @@ def test_stream_ivf_index_ingest_builds_and_appends(spark, tmp_path):
         spark, idx, qv, k=1, nprobe=4, id_col="doc_id"
     ).first()
     assert top["doc_id"] == 50  # appended row reachable through the index
+
+
+def test_stream_source_stats_matches_batch_report(spark, tmp_path):
+    """Batch==stream equivalence for the observability gate: after
+    streaming the corpus in two waves (the second replaying duplicate
+    texts), read_source_stats equals source_report over the full corpus
+    — same columns, same exact values, dup_rate included."""
+    import random
+
+    from minivectordb_spark.operators.text import source_report
+    from minivectordb_spark.streaming import (
+        read_source_stats,
+        stream_source_stats_ingest,
+    )
+
+    rng = random.Random(17)
+    vocab = ["the", "fast", "query", "data", "spark", "row"]
+    rows = [
+        (i, f"src{i % 3}", " ".join(rng.choices(vocab, k=rng.randrange(3, 12))))
+        for i in range(18)
+    ]
+    # wave 2 replays six texts verbatim under new doc ids → real dup_rate
+    wave2 = [(100 + i, s, t) for i, (_, s, t) in enumerate(rows[:6])]
+
+    src = str(tmp_path / "docs_in")
+    stats = str(tmp_path / "stats")
+    ck = str(tmp_path / "ck_stats")
+    cols = ["doc_id", "source", "text"]
+    spark.createDataFrame(rows, cols).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, source string, text string").parquet(src)
+    q = stream_source_stats_ingest(stream, stats, ck).start()
+    q.awaitTermination(120)
+    spark.createDataFrame(wave2, cols).write.mode("append").parquet(src)
+    q = stream_source_stats_ingest(stream, stats, ck).start()
+    q.awaitTermination(120)
+
+    full = spark.createDataFrame(rows + wave2, cols)
+    want = {r["source"]: r.asDict() for r in source_report(full).collect()}
+    got = {r["source"]: r.asDict() for r in read_source_stats(spark, stats).collect()}
+    assert got == want
+    assert any(v["dup_rate"] > 0 for v in want.values())
