@@ -29,6 +29,7 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
     how: str = "inner",
+    tolerance=None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right.ts <= left.ts`` within the same ``key``.
@@ -36,6 +37,14 @@ def asof_join(
     Ties (right.ts == left.ts) match, and among equal right timestamps the
     union order is made deterministic by sorting (ts, side) with the right
     side first at equal ts.
+
+    ``tolerance`` (same unit as the ts columns — epoch-nanos under the
+    engine contract) bounds how stale a match may be, pandas
+    ``merge_asof``-style: a carried right row with
+    ``left.ts - right.ts > tolerance`` is treated as NO match (row
+    dropped under ``how='inner'``, right columns nulled under
+    ``how='left'``).  The bound is applied AFTER the single union+window
+    pass, so it adds zero shuffles.
     """
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (key, right_ts)]
@@ -65,12 +74,24 @@ def asof_join(
         F.last(F.col("__r_ts"), ignorenulls=True).over(w).alias("__c_ts"),
     )
     out = carried.filter(F.col("__side") == 1)
+    matched = F.col("__c_ts").isNotNull()
+    if tolerance is not None:
+        matched = matched & (
+            (F.col("__ats") - F.col("__c_ts")) <= F.lit(tolerance)
+        )
     if how == "inner":
-        out = out.filter(F.col("__c_ts").isNotNull())
+        out = out.filter(matched)
     elif how != "left":
         raise ValueError(f"asof_join supports 'inner' or 'left', got {how!r}")
     keep = [c for c in left.columns]
     proj = [F.col(c) for c in keep]
-    proj += [F.col(f"__c_{c}").alias(f"r_{c}") for c in right_cols]
-    proj.append(F.col("__c_ts").alias("r_ts"))
+    if how == "left" and tolerance is not None:
+        proj += [
+            F.when(matched, F.col(f"__c_{c}")).alias(f"r_{c}")
+            for c in right_cols
+        ]
+        proj.append(F.when(matched, F.col("__c_ts")).alias("r_ts"))
+    else:
+        proj += [F.col(f"__c_{c}").alias(f"r_{c}") for c in right_cols]
+        proj.append(F.col("__c_ts").alias("r_ts"))
     return out.select(*proj)

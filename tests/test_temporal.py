@@ -38,3 +38,38 @@ def test_asof_bad_how(frames):
     left, right = frames
     with pytest.raises(ValueError):
         asof_join(left, right, "key", how="outer")
+
+
+def test_asof_join_tolerance(spark):
+    """pandas merge_asof-style tolerance: a carried match staler than the
+    bound is no match — dropped under inner, nulled under left — while
+    in-bound matches and the no-tolerance default are unchanged."""
+    from minivectordb_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 200), (2, 500)], ["k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(1, 95, "a"), (1, 120, "b"), (2, 100, "c")], ["k", "ts", "v"]
+    )
+
+    base = {
+        (r["k"], r["ts"]): r["r_v"]
+        for r in asof_join(left, right, "k").collect()
+    }
+    assert base == {(1, 100): "a", (1, 200): "b", (2, 500): "c"}
+
+    # tolerance 80: (1,200)->b is 80 stale (kept, boundary inclusive);
+    # (2,500)->c is 400 stale (dropped)
+    inner = {
+        (r["k"], r["ts"]): r["r_v"]
+        for r in asof_join(left, right, "k", tolerance=80).collect()
+    }
+    assert inner == {(1, 100): "a", (1, 200): "b"}
+
+    outer = {
+        (r["k"], r["ts"]): (r["r_v"], r["r_ts"])
+        for r in asof_join(left, right, "k", how="left", tolerance=80).collect()
+    }
+    assert outer[(2, 500)] == (None, None)
+    assert outer[(1, 100)] == ("a", 95) and outer[(1, 200)] == ("b", 120)
