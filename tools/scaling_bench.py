@@ -68,6 +68,10 @@ SCALED_QUERIES = [
     # r6 addition: bounded-state Misra-Gries heavy hitters (candidate
     # count vs k * n_partitions bound recorded via scaling_counters)
     "heavy_hitters",
+    # late-r6 promotions into the graded window: the repeated-window
+    # aggregate + per-doc LEFT join, and the two-phase distinct rollup
+    "dup_ngram_fraction",
+    "source_report",
 ]
 
 
