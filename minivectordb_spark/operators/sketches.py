@@ -77,40 +77,45 @@ def heavy_hitters(
     candidates that are not true heavy hitters are filtered by their
     exact count, and no true heavy hitter can be missed.
 
-    State/shuffle at 100 TB: per-task memory is k counters; the driver
-    holds <= k * n_partitions candidate strings (constant per task by
-    construction); the only shuffle is the groupBy over rows matching
-    the candidate set.  Output columns: ``item``, ``cnt``.
+    State/shuffle at 100 TB: per-task memory is k counters; the
+    candidate union (bounded by k * n_partitions) stays a DataFrame —
+    it reaches the driver only when small enough for an inlined isin
+    literal list, and rides a broadcast LEFT SEMI join otherwise; the
+    only shuffle is the groupBy over rows matching the candidate set.
+    Output columns: ``item``, ``cnt``.
     """
     import math
 
     items = _hh_items(df, col)
     k = _hh_k(theta)
-    candidates = _hh_candidates(items, k)
+    cand_df = _hh_candidates(items, k).localCheckpoint(eager=True)
     total = items.count()
     threshold = max(1, math.ceil(theta * total))
-    if not candidates:
-        return items.limit(0).groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
     return (
-        _hh_probe(items, candidates)
+        _hh_probe(items, cand_df)
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") >= F.lit(threshold))
     )
 
 
-# above this many candidates, probe via broadcast LEFT SEMI join instead
-# of an inlined isin literal list: the candidate union is bounded by
-# k * n_partitions, which at cluster partition counts can reach millions —
-# far past what a literal IN predicate can carry in one plan tree
+# below this many candidates, probe via an inlined isin literal list
+# (cheapest plan: a codegen'd IN predicate, no join at all); above it,
+# a broadcast LEFT SEMI join — the candidate union is bounded by
+# k * n_partitions, which at cluster partition counts can reach millions:
+# far past what a literal IN predicate can carry in one plan tree, and
+# far past what should round-trip through the driver at all (the join
+# path never collects candidates driver-side)
 _HH_ISIN_MAX = 10_000
 
 
-def _hh_probe(items: DataFrame, candidates: list[str]) -> DataFrame:
-    if len(candidates) <= _HH_ISIN_MAX:
+def _hh_probe(items: DataFrame, cand_df: DataFrame) -> DataFrame:
+    n = cand_df.limit(_HH_ISIN_MAX + 1).count()
+    if n <= _HH_ISIN_MAX:
+        candidates = [r["item"] for r in cand_df.collect()]
+        if not candidates:
+            return items.limit(0)
         return items.where(F.col("item").isin(candidates))
-    spark = items.sparkSession
-    cand_df = spark.createDataFrame([(c,) for c in candidates], ["item"])
     return items.join(F.broadcast(cand_df), on="item", how="left_semi")
 
 
@@ -126,8 +131,10 @@ def _hh_k(theta: float) -> int:
     return int(1.0 / theta) + 1
 
 
-def _hh_candidates(items: DataFrame, k: int) -> list[str]:
-    """Pass 1: per-partition Misra-Gries candidate summaries (union)."""
+def _hh_candidates(items: DataFrame, k: int) -> DataFrame:
+    """Pass 1: per-partition Misra-Gries candidate summaries, returned as
+    a DISTINCT one-column DataFrame — candidates only reach the driver on
+    the small isin path, never for the broadcast join."""
     import pandas as pd
 
     def _mg(batches):
@@ -149,13 +156,7 @@ def _hh_candidates(items: DataFrame, k: int) -> list[str]:
                 }
         yield pd.DataFrame({"item": list(counters.keys())})
 
-    return [
-        r["item"]
-        for r in items.mapInPandas(_mg, "item string")
-        .select("item")
-        .distinct()
-        .collect()
-    ]
+    return items.mapInPandas(_mg, "item string").select("item").distinct()
 
 
 def heavy_hitters_diagnostics(df: DataFrame, col: str, theta: float) -> dict:
@@ -169,23 +170,22 @@ def heavy_hitters_diagnostics(df: DataFrame, col: str, theta: float) -> dict:
     items = _hh_items(df, col)
     k = _hh_k(theta)
     n_parts = items.rdd.getNumPartitions()
-    candidates = _hh_candidates(items, k)
+    cand_df = _hh_candidates(items, k).localCheckpoint(eager=True)
+    n_candidates = cand_df.count()
     total = items.count()
     threshold = max(1, math.ceil(theta * total))
     out_rows = (
-        _hh_probe(items, candidates)
+        _hh_probe(items, cand_df)
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") >= F.lit(threshold))
         .count()
-        if candidates
-        else 0
     )
     return {
         "n_items": int(total),
         "k": int(k),
         "n_partitions": int(n_parts),
-        "candidates": len(candidates),
+        "candidates": int(n_candidates),
         "candidate_bound": int(k * n_parts),
         "threshold": int(threshold),
         "output_rows": int(out_rows),
