@@ -635,3 +635,91 @@ def read_source_stats(spark: SparkSession, stats_path: str) -> DataFrame:
             F.col("__qsum").cast("double") / F.col("n_docs").cast("double"), 6
         ).alias("avg_quality"),
     )
+
+
+def stream_heavy_hitters_ingest(
+    stream_df: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    col: str = "item",
+    theta: float = 0.01,
+):
+    """Streaming heavy hitters (boilerplate watch) with a PINNED error
+    contract: each micro-batch runs the batch operator's Misra-Gries
+    candidate pass (``operators/sketches``) and appends the batch's EXACT
+    counts of its own candidates plus one meta row (batch item count, k).
+
+    Summing partials gives a LOWER bound on each item's true count that
+    undercounts by < N/k in total (an item missing from a batch's
+    candidates had batch count < N_b/k there — the per-partition MG
+    pigeonhole applied per batch; the misses sum to < N/k).  Therefore,
+    for any read-side threshold theta' >= 1/k (``read_heavy_hitters``
+    checks this):
+
+    - every item whose recorded sum >= ceil(theta' * N) is CERTAIN (the
+      sum never overcounts);
+    - every true heavy hitter (true count >= ceil(theta' * N)) has
+      recorded sum > theta' * N - N/k, so it appears among the returned
+      candidates — no silent misses.
+
+    The sandwich (certain set ⊆ exact set ⊆ candidate set) is pinned by
+    tests/test_streaming_multimodal.py.  Per-trigger cost: the batch's
+    MG pass + one candidate-cardinality aggregate — never corpus-wide."""
+    from minivectordb_spark.operators.sketches import (
+        _hh_candidates,
+        _hh_items,
+        _hh_k,
+        _hh_probe,
+    )
+
+    k = _hh_k(theta)
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        items = _hh_items(batch_df, col)
+        cand = _hh_candidates(items, k).localCheckpoint(eager=True)
+        _hh_probe(items, cand).groupBy("item").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).write.mode("append").parquet(f"{store_path}/partials")
+        items.agg(F.count(F.lit(1)).alias("n_items")).select(
+            "n_items", F.lit(k).alias("k")
+        ).write.mode("append").parquet(f"{store_path}/meta")
+
+    return (
+        stream_df.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
+def read_heavy_hitters(
+    spark: SparkSession, store_path: str, theta: float
+) -> DataFrame:
+    """Fold the ``stream_heavy_hitters_ingest`` store: (item, cnt_lower,
+    certain).  ``certain`` rows are guaranteed true heavy hitters at
+    ``theta``; every true heavy hitter is present in the returned frame
+    (possibly with certain=false) — see the gate docstring for the
+    bound.  Requires ``theta >= 1/k`` of the wired gate."""
+    import math
+
+    partials = spark.read.parquet(f"{store_path}/partials")
+    meta = spark.read.parquet(f"{store_path}/meta")
+    m = meta.agg(
+        F.sum("n_items").alias("n"), F.min("k").alias("k")
+    ).first()
+    n_total, k = int(m["n"]), int(m["k"])
+    if theta < 1.0 / k:
+        raise ValueError(
+            f"theta={theta} below the wired gate's resolution 1/k={1.0 / k}"
+        )
+    thr = max(1, math.ceil(theta * n_total))
+    slack = math.ceil(n_total / k)
+    return (
+        partials.groupBy("item")
+        .agg(F.sum("cnt").alias("cnt_lower"))
+        .where(F.col("cnt_lower") > F.lit(thr - slack))
+        .select(
+            "item",
+            "cnt_lower",
+            (F.col("cnt_lower") >= F.lit(thr)).alias("certain"),
+        )
+    )

@@ -698,3 +698,64 @@ def test_stream_source_stats_matches_batch_report(spark, tmp_path):
     got = {r["source"]: r.asDict() for r in read_source_stats(spark, stats).collect()}
     assert got == want
     assert any(v["dup_rate"] > 0 for v in want.values())
+
+
+def test_stream_heavy_hitters_sandwich_contract(spark, tmp_path):
+    """The streaming heavy-hitters store satisfies its documented
+    two-sided contract after a multi-wave ingest: certain rows are all
+    true heavy hitters, every true heavy hitter is among the returned
+    candidates, and recorded sums never overcount the true counts."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from minivectordb_spark.streaming import (
+        read_heavy_hitters,
+        stream_heavy_hitters_ingest,
+    )
+
+    rng = random.Random(23)
+    theta = 0.05
+    wave1 = [f"hot{i}" for i in range(3) for _ in range(120)] + [
+        f"cold{rng.randrange(0, 600)}" for _ in range(700)
+    ]
+    wave2 = [f"hot{i}" for i in range(3) for _ in range(40)] + [
+        f"cold{rng.randrange(0, 600)}" for _ in range(400)
+    ]
+    rng.shuffle(wave1)
+    rng.shuffle(wave2)
+
+    src = str(tmp_path / "items_in")
+    store = str(tmp_path / "hh_store")
+    ck = str(tmp_path / "ck_hh")
+    spark.createDataFrame([(x,) for x in wave1], ["item"]).write.parquet(src)
+    stream = spark.readStream.schema("item string").parquet(src)
+    q = stream_heavy_hitters_ingest(stream, store, ck, theta=theta).start()
+    q.awaitTermination(120)
+    spark.createDataFrame([(x,) for x in wave2], ["item"]).write.mode(
+        "append"
+    ).parquet(src)
+    q = stream_heavy_hitters_ingest(stream, store, ck, theta=theta).start()
+    q.awaitTermination(120)
+
+    full = wave1 + wave2
+    thr = max(1, math.ceil(theta * len(full)))
+    from collections import Counter
+
+    true_counts = Counter(full)
+    exact = {i for i, c in true_counts.items() if c >= thr}
+    assert exact == {"hot0", "hot1", "hot2"}
+
+    got = {r["item"]: r for r in read_heavy_hitters(spark, store, theta).collect()}
+    certain = {i for i, r in got.items() if r["certain"]}
+    assert certain <= exact, certain - exact
+    assert exact <= set(got), exact - set(got)
+    for i, r in got.items():
+        assert r["cnt_lower"] <= true_counts[i], (i, r["cnt_lower"], true_counts[i])
+
+    # theta below the gate's resolution is refused
+    import pytest
+
+    with pytest.raises(ValueError):
+        read_heavy_hitters(spark, store, 1e-6)
