@@ -1266,7 +1266,7 @@ def q_ivf_assign_kmeans(spark, sf_dir):
     # assignment reads it instead of re-scanning the source (one corpus
     # pass for fit + assign — VERDICT r5 item 4)
     cents, staged = lloyd_kmeans_fit(e, N_CENTROIDS, iters=KMEANS_ITERS)
-    return ivf_assign_join(staged, cents)
+    return ivf_assign_join(staged, cents, prestaged=True)
 
 
 def q_ivf_search(spark, sf_dir):

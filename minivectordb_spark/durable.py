@@ -66,6 +66,30 @@ def _bucket_expr(id_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_buckets))
 
 
+def _strip_nullability(dt):
+    """Recursively normalize every nullability flag (ArrayType.containsNull,
+    MapType.valueContainsNull, nested StructField.nullable) to True so the
+    schema gate compares only element/field TYPES.  Parquet write paths
+    accept a non-null batch into a nullable table column and vice versa;
+    rejecting on containsNull alone would refuse write-compatible batches."""
+    from pyspark.sql.types import ArrayType, MapType, StructField
+
+    if isinstance(dt, ArrayType):
+        return ArrayType(_strip_nullability(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(
+            _strip_nullability(dt.keyType), _strip_nullability(dt.valueType), True
+        )
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(f.name, _strip_nullability(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    return dt
+
+
 def _check_batch_schema(
     manifest: dict, new_df: DataFrame, op: str, hint: str = ""
 ) -> None:
@@ -73,12 +97,14 @@ def _check_batch_schema(
     DATA TYPES both (name-set equality alone would let a batch with
     ``embedding array<float>`` write into an ``array<double>`` table —
     type-mismatched parquet inside existing buckets that later
-    manifest-schema reads fail on or silently coerce)."""
+    manifest-schema reads fail on or silently coerce).  Nullability flags
+    are normalized out before comparing (a batch differing only in
+    ArrayType.containsNull is write-compatible, not a type mismatch)."""
     expected = {
-        f.name: f.dataType
+        f.name: _strip_nullability(f.dataType)
         for f in StructType.fromJson(json.loads(manifest["schema"])).fields
     }
-    got = {f.name: f.dataType for f in new_df.schema.fields}
+    got = {f.name: _strip_nullability(f.dataType) for f in new_df.schema.fields}
     if set(got) != set(expected):
         raise ValueError(
             f"{op}: batch schema must match the table "

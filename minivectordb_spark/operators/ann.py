@@ -114,9 +114,8 @@ def lloyd_kmeans_fit(
 
     Returns ``(centroids, staged)``: the fitted centroid frame plus the
     lazily-checkpointed ``(id, emb, __n)`` staging frame the iterations
-    read — pass it straight to ``ivf_assign_join`` (which detects the
-    precomputed ``__n``) so fit + final assignment together make ONE
-    pass over the source."""
+    read — pass it straight to ``ivf_assign_join(..., prestaged=True)``
+    so fit + final assignment together make ONE pass over the source."""
     from minivectordb_spark.operators.util import materialize
     from minivectordb_spark.scoring import norm_expr
 
@@ -348,6 +347,7 @@ def ivf_assign_join(
     centroids: DataFrame,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    prestaged: bool = False,
 ) -> DataFrame:
     """``ivf_assign`` for LARGE centroid sets: broadcast crossJoin +
     per-vector max-struct aggregation instead of inlined literals.
@@ -371,10 +371,17 @@ def ivf_assign_join(
     from minivectordb_spark.scoring import norm_expr
 
     # a caller that already staged the (id, emb, __n) frame — e.g. the
-    # Lloyd's fit, whose checkpoint holds exactly this — passes it through
-    # unchanged: the assignment then reuses the fit's one corpus pass
-    # instead of re-reading and re-norming the source
-    if "__n" in df.columns:
+    # Lloyd's fit, whose checkpoint holds exactly this — declares it with
+    # prestaged=True: the assignment then reuses the fit's one corpus pass
+    # instead of re-reading and re-norming the source.  The reuse is
+    # opt-in (never sniffed from column names) so an unrelated __n column
+    # on the input cannot silently corrupt the cosine.
+    if prestaged:
+        if "__n" not in df.columns:
+            raise ValueError(
+                "ivf_assign_join(prestaged=True) requires a staged frame "
+                "carrying the __n norm column (as produced by the fit)"
+            )
         staged = df.select(id_col, emb_col, "__n")
     else:
         staged = materialize(df, norm_expr(F.col(emb_col)), "__n", [id_col, emb_col])
@@ -495,7 +502,13 @@ def _ivf_source_fingerprint(
 
     try:
         files = df.inputFiles()
-        plan = df._jdf.queryExecution().analyzed().canonicalized().toString()
+        canon = df._jdf.queryExecution().analyzed().canonicalized()
+        # toString() truncates attribute lists at
+        # spark.sql.debug.maxToStringFields (default 25) — two different
+        # plans over a wide schema could render identically and silently
+        # reuse a stale index.  semanticHash() digests the FULL
+        # canonicalized tree, so the pair cannot collide by truncation.
+        plan = f"{canon.toString()}#{canon.semanticHash()}"
     except Exception:
         return None
     if not files:

@@ -1105,7 +1105,11 @@ def semantic_dedup(
         ).select(id_col, "centroid_id")
     else:
         assigned = ivf_assign_join(
-            src, centroids, id_col=id_col, emb_col=emb_col
+            src,
+            centroids,
+            id_col=id_col,
+            emb_col=emb_col,
+            prestaged=assign_df is not None,
         ).select(id_col, "centroid_id")
     assigned, block_col = semantic_blocks(assigned, id_col, max_cluster_size)
     blocked = df.select(id_col, emb_col).join(assigned, id_col)

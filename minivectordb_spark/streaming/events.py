@@ -559,48 +559,81 @@ def stream_source_stats_ingest(
     everything ingested so far — the dataset-card numbers, maintained on
     ingest instead of recomputed corpus-wide.
 
-    Store layout (both append-only, batch-cost writes):
-    - ``partials/``: ONE ROW PER (batch, source) — n_docs / token / char
-      / DECIMAL-quality partial aggregates.  Exact under summation
+    Store layout (both batch-cost writes, keyed by batch for replay
+    idempotence — foreachBatch is at-least-once, so a batch replayed
+    after a mid-batch failure must not double-count):
+    - ``partials/batch={id}/``: ONE ROW PER (batch, source) — n_docs /
+      token / char / DECIMAL-quality partial aggregates, OVERWRITTEN on
+      replay of the same batch_id (Structured Streaming replays a failed
+      epoch under its original id), so the partial exists exactly once
+      per batch no matter how many attempts ran.  Exact under summation
       because every quantity is associative (the decimal freeze makes
       the quality sum order-independent, operators/text.source_per_doc).
-    - ``hashes/``: one row per FIRST-SEEN (source, md5(text)) — the
-      distinct-text set behind dup_rate, maintained with the same
-      column-pruned anti-join the dedup ingest gates use.  At real scale
-      this store is bucketed by hash prefix so the probe reads only the
-      batch's buckets.
+    - ``hashes/batch={id}/``: one row per FIRST-SEEN (source, md5(text))
+      — the distinct-text set behind dup_rate, maintained with the same
+      column-pruned anti-join the dedup ingest gates use, anti-joined
+      against every OTHER batch's partition (a replay recomputes the
+      same first-seen set and overwrites its own partition).  At real
+      scale this store is bucketed by hash prefix so the probe reads
+      only the batch's buckets.
 
     Per-trigger cost: map-side expressions over the batch + one
     |sources|-row aggregate + one anti-join against the hash store —
-    never a corpus-wide pass.  Batch==stream equivalence is pinned by
-    tests/test_streaming_multimodal.py."""
-    from pyspark.errors import AnalysisException
-
-    from minivectordb_spark.operators.text import source_per_doc
+    never a corpus-wide pass.  Batch==stream equivalence AND replay
+    idempotence are pinned by tests/test_streaming_multimodal.py."""
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        per_doc = source_per_doc(batch_df, text_col, source_col)
-        per_doc.groupBy("source").agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("__toks_n").alias("total_tokens"),
-            F.sum("__chars").alias("total_chars"),
-            F.sum("__q").cast("decimal(28,6)").alias("qsum"),
-        ).write.mode("append").parquet(f"{stats_path}/partials")
-        fresh = per_doc.select("source", "__h").distinct()
-        try:
-            seen = spark.read.parquet(f"{stats_path}/hashes")
-        except AnalysisException:
-            seen = None
-        if seen is not None:
-            fresh = fresh.join(seen, ["source", "__h"], "left_anti")
-        fresh.write.mode("append").parquet(f"{stats_path}/hashes")
+        _source_stats_write_batch(
+            batch_df, batch_id, stats_path, text_col, source_col
+        )
 
     return (
         stream_df.writeStream.foreachBatch(_write_batch)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def _source_stats_write_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    stats_path: str,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> None:
+    """One ``stream_source_stats_ingest`` epoch, idempotent per
+    ``batch_id``: both writes land in ``batch={id}`` partition
+    directories with overwrite mode, and the first-seen anti-join
+    excludes the batch's OWN partition (so a replay after a mid-batch
+    failure reproduces — not skips — its first-seen rows).  Module-level
+    so the replay contract is directly unit-testable."""
+    from pyspark.errors import AnalysisException
+
+    from minivectordb_spark.operators.text import source_per_doc
+
+    spark = batch_df.sparkSession
+    per_doc = source_per_doc(batch_df, text_col, source_col)
+    per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__toks_n").alias("total_tokens"),
+        F.sum("__chars").alias("total_chars"),
+        F.sum("__q").cast("decimal(28,6)").alias("qsum"),
+    ).write.mode("overwrite").parquet(f"{stats_path}/partials/batch={batch_id}")
+    fresh = per_doc.select("source", "__h").distinct()
+    try:
+        seen = (
+            spark.read.parquet(f"{stats_path}/hashes")
+            .where(F.col("batch") != F.lit(int(batch_id)))
+            .select("source", "__h")
+        )
+    except AnalysisException:
+        seen = None
+    if seen is not None:
+        fresh = fresh.join(seen, ["source", "__h"], "left_anti")
+    # materialize BEFORE the overwrite deletes the target partition —
+    # the anti-join's scan must never race the delete of batch={id}
+    fresh = fresh.localCheckpoint(eager=True)
+    fresh.write.mode("overwrite").parquet(f"{stats_path}/hashes/batch={batch_id}")
 
 
 def read_source_stats(spark: SparkSession, stats_path: str) -> DataFrame:
@@ -663,32 +696,49 @@ def stream_heavy_hitters_ingest(
       candidates — no silent misses.
 
     The sandwich (certain set ⊆ exact set ⊆ candidate set) is pinned by
-    tests/test_streaming_multimodal.py.  Per-trigger cost: the batch's
-    MG pass + one candidate-cardinality aggregate — never corpus-wide."""
-    from minivectordb_spark.operators.sketches import (
-        _hh_candidates,
-        _hh_items,
-        _hh_k,
-        _hh_probe,
-    )
+    tests/test_streaming_multimodal.py.  Both stores are keyed by
+    ``batch={id}`` partition directories written with overwrite mode —
+    foreachBatch is at-least-once, and an appended replay would inflate
+    ``cnt_lower`` past the true count, breaking the never-overcounts
+    half of the contract; the overwrite makes every attempt of a batch
+    land exactly once.  Per-trigger cost: the batch's MG pass + one
+    candidate-cardinality aggregate — never corpus-wide."""
+    from minivectordb_spark.operators.sketches import _hh_k
 
     k = _hh_k(theta)
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        items = _hh_items(batch_df, col)
-        cand = _hh_candidates(items, k).localCheckpoint(eager=True)
-        _hh_probe(items, cand).groupBy("item").agg(
-            F.count(F.lit(1)).alias("cnt")
-        ).write.mode("append").parquet(f"{store_path}/partials")
-        items.agg(F.count(F.lit(1)).alias("n_items")).select(
-            "n_items", F.lit(k).alias("k")
-        ).write.mode("append").parquet(f"{store_path}/meta")
+        _heavy_hitters_write_batch(batch_df, batch_id, store_path, col, k)
 
     return (
         stream_df.writeStream.foreachBatch(_write_batch)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def _heavy_hitters_write_batch(
+    batch_df: DataFrame, batch_id: int, store_path: str, col: str, k: int
+) -> None:
+    """One ``stream_heavy_hitters_ingest`` epoch, idempotent per
+    ``batch_id``: partials and meta land in ``batch={id}`` partition
+    directories with overwrite mode, so a replayed epoch replaces its
+    own rows instead of double-counting.  Module-level so the replay
+    contract is directly unit-testable."""
+    from minivectordb_spark.operators.sketches import (
+        _hh_candidates,
+        _hh_items,
+        _hh_probe,
+    )
+
+    items = _hh_items(batch_df, col)
+    cand = _hh_candidates(items, k).localCheckpoint(eager=True)
+    _hh_probe(items, cand).groupBy("item").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).write.mode("overwrite").parquet(f"{store_path}/partials/batch={batch_id}")
+    items.agg(F.count(F.lit(1)).alias("n_items")).select(
+        "n_items", F.lit(k).alias("k")
+    ).write.mode("overwrite").parquet(f"{store_path}/meta/batch={batch_id}")
 
 
 def read_heavy_hitters(

@@ -477,3 +477,30 @@ def test_concurrent_upsert_cas(spark, base_df, tmp_path):
     final = DurableVectorTable.load(spark, root)
     assert final.manifest["version"] == 2
     assert {r["tag"] for r in final.to_df().collect() if r["id"] == "5"} == {"retry"}
+
+
+def test_batch_nullability_only_difference_accepted(spark, base_df, tmp_path):
+    """A batch whose types differ from the table ONLY in nullability flags
+    (ArrayType.containsNull, nested StructField nullability) is
+    write-compatible and must pass the schema gate — only element/field
+    TYPES are enforced (ADVICE r6)."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "cow_nulls")
+    d = DurableVectorTable.create(base_df, root, id_col="id", n_buckets=4)
+    # transform() with a non-null lambda yields array<double> with
+    # containsNull=false — same element type, different flag
+    batch = spark.createDataFrame(
+        [("n1", [3.0, 4.0], "m")],
+        "id string, embedding array<double>, tag string",
+    ).withColumn(
+        "embedding", F.transform("embedding", lambda x: F.coalesce(x, F.lit(0.0)))
+    )
+    assert batch.schema["embedding"].dataType.containsNull is False
+    assert d.store_embeddings_batch(batch).count() == 41
+    # but a genuinely different element type is still rejected
+    wrong = spark.createDataFrame(
+        [("n2", [1, 2], "m")], "id string, embedding array<int>, tag string"
+    )
+    with pytest.raises(ValueError, match="array<int>"):
+        DurableVectorTable.load(spark, root).store_embeddings_batch(wrong)

@@ -1959,3 +1959,44 @@ def test_heavy_hitters_broadcast_probe_path(spark, monkeypatch):
     assert got == exact
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:800]
+
+
+def test_ivf_assign_join_prestaged_is_explicit(spark, emb_df):
+    """Staged-norm reuse is opt-in (prestaged=True), never sniffed from a
+    column named __n: an unrelated __n column on the input must be
+    ignored (recomputed norms, correct cosines), and prestaged=True
+    without the staged column is a clear error (ADVICE r6)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from minivectordb_spark.operators.ann import (
+        ivf_assign_join,
+        lloyd_kmeans_fit,
+        seed_centroids,
+    )
+
+    cents = seed_centroids(emb_df, 5)
+    want = {
+        r["vec_id"]: (r["centroid_id"], r["centroid_cos"])
+        for r in ivf_assign_join(emb_df, cents).collect()
+    }
+    # poison: a coincidental __n column with garbage values
+    poisoned = emb_df.withColumn("__n", F.lit(1e9))
+    got = {
+        r["vec_id"]: (r["centroid_id"], r["centroid_cos"])
+        for r in ivf_assign_join(poisoned, cents).collect()
+    }
+    assert got == want  # garbage __n ignored without prestaged=True
+    with pytest.raises(ValueError, match="prestaged"):
+        ivf_assign_join(emb_df, cents, prestaged=True)
+    # the real staged frame still round-trips bit-identically
+    fit_cents, staged = lloyd_kmeans_fit(emb_df, 5, iters=1)
+    a = {
+        r["vec_id"]: (r["centroid_id"], r["centroid_cos"])
+        for r in ivf_assign_join(staged, fit_cents, prestaged=True).collect()
+    }
+    b = {
+        r["vec_id"]: (r["centroid_id"], r["centroid_cos"])
+        for r in ivf_assign_join(emb_df.select("vec_id", "embedding"), fit_cents).collect()
+    }
+    assert a == b

@@ -759,3 +759,64 @@ def test_stream_heavy_hitters_sandwich_contract(spark, tmp_path):
 
     with pytest.raises(ValueError):
         read_heavy_hitters(spark, store, 1e-6)
+
+def test_stream_source_stats_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying an epoch under its
+    original batch_id (the Structured Streaming failure-recovery path)
+    must leave the store EXACTLY as a single run would — no doubled
+    n_docs/token/char/quality partials, no duplicated first-seen rows."""
+    from minivectordb_spark.streaming import read_source_stats
+    from minivectordb_spark.streaming.events import _source_stats_write_batch
+
+    rows = [(i, f"src{i % 2}", f"text number {i % 5}") for i in range(12)]
+    cols = ["doc_id", "source", "text"]
+    b0 = spark.createDataFrame(rows[:7], cols)
+    b1 = spark.createDataFrame(rows[7:], cols)
+    stats = str(tmp_path / "stats_replay")
+
+    _source_stats_write_batch(b0, 0, stats)
+    _source_stats_write_batch(b1, 1, stats)
+    want = {r["source"]: r.asDict() for r in read_source_stats(spark, stats).collect()}
+
+    # replay both epochs (mid-batch-failure recovery): same batch ids
+    _source_stats_write_batch(b1, 1, stats)
+    _source_stats_write_batch(b0, 0, stats)
+    got = {r["source"]: r.asDict() for r in read_source_stats(spark, stats).collect()}
+    assert got == want
+    # and the fold still equals the batch report over everything ingested
+    from minivectordb_spark.operators.text import source_report
+
+    full = {r["source"]: r.asDict() for r in source_report(spark.createDataFrame(rows, cols)).collect()}
+    assert got == full
+
+
+def test_stream_heavy_hitters_replay_idempotent(spark, tmp_path):
+    """A replayed heavy-hitters epoch must not inflate cnt_lower past the
+    true count (the never-overcounts half of the pinned contract)."""
+    from collections import Counter
+
+    from minivectordb_spark.operators.sketches import _hh_k
+    from minivectordb_spark.streaming import read_heavy_hitters
+    from minivectordb_spark.streaming.events import _heavy_hitters_write_batch
+
+    theta = 0.1
+    k = _hh_k(theta)
+    wave1 = ["hot"] * 30 + [f"cold{i}" for i in range(60)]
+    wave2 = ["hot"] * 10 + [f"cold{i}" for i in range(40)]
+    b0 = spark.createDataFrame([(x,) for x in wave1], ["item"])
+    b1 = spark.createDataFrame([(x,) for x in wave2], ["item"])
+    store = str(tmp_path / "hh_replay")
+
+    _heavy_hitters_write_batch(b0, 0, store, "item", k)
+    _heavy_hitters_write_batch(b1, 1, store, "item", k)
+    want = {r["item"]: (r["cnt_lower"], r["certain"])
+            for r in read_heavy_hitters(spark, store, theta).collect()}
+
+    _heavy_hitters_write_batch(b0, 0, store, "item", k)  # replay epoch 0
+    got = {r["item"]: (r["cnt_lower"], r["certain"])
+           for r in read_heavy_hitters(spark, store, theta).collect()}
+    assert got == want
+    true_counts = Counter(wave1 + wave2)
+    for item, (cnt, _c) in got.items():
+        assert cnt <= true_counts[item], (item, cnt, true_counts[item])
+    assert got["hot"][0] == true_counts["hot"] and got["hot"][1]
