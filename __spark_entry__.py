@@ -1761,6 +1761,28 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
         )
         return heavy_hitters_diagnostics(toks, "item", HH_THETA)
 
+    def c_tpch_q1(spark: SparkSession, sf_dir: str) -> dict:
+        """Fixed-vs-variable wall split for the one recorded 10x ratio
+        above 2 (VERDICT r6 item 4, sub-second absolute): plan_wall
+        forces analysis + optimization + physical planning WITHOUT
+        running a job (the per-call constant — the chained exact-DECIMAL
+        aggregate tree is the analysis-heavy part); exec_wall then runs
+        the prepared plan.  A shape-dominated ratio shows as plan_wall
+        ~equal at base and scaled with only exec_wall moving."""
+        import time as _time
+
+        t0 = _time.time()
+        df = q_tpch_q1(spark, sf_dir)
+        df._jdf.queryExecution().executedPlan()
+        plan_wall = _time.time() - t0
+        t0 = _time.time()
+        df.write.format("noop").mode("overwrite").save()
+        exec_wall = _time.time() - t0
+        return {
+            "plan_wall": round(plan_wall, 3),
+            "exec_wall": round(exec_wall, 3),
+        }
+
     return {
         "neardup_lsh": c_neardup_lsh,
         "neardup_cosine": c_neardup_cosine,
@@ -1769,6 +1791,7 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
         "semantic_dedup": c_semantic_dedup,
         "decontaminate": c_decontaminate,
         "heavy_hitters": c_heavy_hitters,
+        "tpch_q1": c_tpch_q1,
     }
 
 
@@ -2343,22 +2366,34 @@ GROUP BY corp.doc_id HAVING count(*) >= 1
 """.strip()
 
 
+def _sql_exact_avg_micros(mi: str, n: str) -> str:
+    """DuckDB twin of text._exact_avg_micros: half-away-from-zero of the
+    exact rational micro/n at integer precision (nonnegative-operand
+    truncating division — no float quotient, no .5e-6 round boundary)."""
+    pos = f"((({mi}) * 2 + {n}) // ({n} * 2))"
+    neg = f"(-((((-({mi})) * 2) + {n}) // ({n} * 2)))"
+    return f"(CASE WHEN {mi} >= 0 THEN {pos} ELSE {neg} END)::DOUBLE / 1000000.0"
+
+
 def _oracle_lm_score() -> str:
     """lm_score twin: corpus-fit unigram logp frozen to DECIMAL(18,6)
     per VOCAB ENTRY (one float round per token type), exact decimal sum
-    per doc, then one final double round — order-independent on both
-    engines."""
+    per doc, then the exact integer-micro average — order-independent
+    AND ulp-stable on both engines at any scale."""
     return f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
 ex AS (SELECT doc_id, unnest(tk) AS token FROM t),
 vocab AS (SELECT token, count(*)::BIGINT AS c FROM ex GROUP BY token),
 tot AS (SELECT sum(c)::BIGINT AS T FROM vocab),
 lp AS (SELECT token, round(ln(c::DOUBLE / (SELECT T FROM tot)::DOUBLE), 6)::DECIMAL(18,6) AS logp
-       FROM vocab)
-SELECT ex.doc_id, count(*)::BIGINT AS n_tokens,
-       round(sum(lp.logp)::DOUBLE / count(*)::DOUBLE, 6) AS avg_logp
-FROM ex JOIN lp USING (token)
-GROUP BY ex.doc_id
+       FROM vocab),
+agg AS (SELECT ex.doc_id, count(*)::BIGINT AS n_tokens,
+               (sum(lp.logp) * 1000000)::BIGINT AS mi
+        FROM ex JOIN lp USING (token)
+        GROUP BY ex.doc_id)
+SELECT doc_id, n_tokens,
+       {_sql_exact_avg_micros('mi', 'n_tokens')} AS avg_logp
+FROM agg
 """.strip()
 
 
@@ -2421,10 +2456,13 @@ terms AS (
                                 ELSE 0.0 END)
                 + {om} * (uni.c_uni::DOUBLE / (SELECT T FROM tot)::DOUBLE)),
                6)::DECIMAL(18,6) AS tm
-  FROM bi LEFT JOIN ptab USING (bg) JOIN uni ON uni.token = bi.w2)
-SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-       round(sum(tm)::DOUBLE / count(*)::DOUBLE, 6) AS avg_logp
-FROM terms GROUP BY doc_id
+  FROM bi LEFT JOIN ptab USING (bg) JOIN uni ON uni.token = bi.w2),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+               (sum(tm) * 1000000)::BIGINT AS mi
+        FROM terms GROUP BY doc_id)
+SELECT doc_id, n_bigrams,
+       {_sql_exact_avg_micros('mi', 'n_bigrams')} AS avg_logp
+FROM agg
 """.strip()
 
 
@@ -2747,6 +2785,64 @@ def _oracle_neardup() -> str:
     return _oracle_neardup_lsh(planes=NEARDUP_COS_PLANES)
 
 
+NEARDUP_PMAX = 16  # oracle covers adaptive P up to 16 (N <= 32 * 2^16 ~ 2.1M)
+
+
+def _oracle_neardup_lsh_adaptive(
+    max_probes: int = 4, target_block_size: int = 32
+) -> str:
+    """SCALE-PARAMETERIZED q_neardup_lsh twin (VERDICT r6 item 1): the
+    operator's adaptive plane count P = max(4, ceil(log2(N / target)))
+    is a deterministic function of the corpus size, and the seeded plane
+    draw is PREFIX-STABLE (``default_projection_planes`` draws plane
+    rows sequentially from one ``random.Random(7)`` stream, so the
+    first k planes are identical for every P >= k).  The twin therefore
+    inlines the first ``NEARDUP_PMAX`` planes as literals, computes
+    np from ``count(*)`` via the integer form of the ceil-log2 (smallest
+    p >= 4 with target * 2^p >= N — float-free, so no log2-ulp boundary
+    at exact powers of two), and replays the operator's query-directed
+    one-sided multiprobe (flip the ``max_probes`` planes with smallest
+    |dot|/||plane||, margin ties by plane index) over just the first np
+    dots.  Matches the Spark plan at EVERY corpus size up to
+    32 * 2^NEARDUP_PMAX rows — beyond that np is NULL and the compare
+    fails loudly rather than silently pinning."""
+    import math as _m
+
+    planes = default_projection_planes(DIM, n_planes=NEARDUP_PMAX)
+    invs = []
+    for p in planes:
+        nrm = _m.sqrt(sum(x * x for x in p))
+        invs.append(1.0 / nrm if nrm > 0 else 0.0)
+    dots_list = "[" + ",\n   ".join(_sql_dot_lit("embedding", p) for p in planes) + "]"
+    invs_list = "[" + ", ".join(repr(x) for x in invs) + "]::DOUBLE[]"
+    cos = _sql_cos_cols("ea.embedding", "eb.embedding")
+    return f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+pp AS (SELECT MIN(CASE WHEN ({target_block_size}::BIGINT << u.i) >= nn.n THEN u.i END)::INT AS np
+       FROM nn, unnest(range(4, {NEARDUP_PMAX + 1})) u(i)),
+d AS (SELECT vec_id, {dots_list} AS dots FROM embeddings),
+bb AS (SELECT vec_id, dots,
+              list_sum(list_transform(range(1, pp.np + 1),
+                 i -> CASE WHEN dots[i] >= 0 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END))::BIGINT AS bucket
+       FROM d, pp),
+fl AS (SELECT vec_id, bucket,
+              unnest(list_slice(list_sort(list_transform(range(1, pp.np + 1),
+                    i -> {{'m': abs(dots[i]) * ({invs_list})[i], 'i': i - 1}})), 1, LEAST({max_probes}, pp.np))) AS s
+       FROM bb, pp),
+pr AS (SELECT vec_id, bucket AS probe FROM bb
+       UNION ALL
+       SELECT vec_id, xor(bucket, 1::BIGINT << s.i) AS probe FROM fl),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM pr a JOIN bb b ON a.probe = b.bucket AND a.vec_id < b.vec_id)
+SELECT * FROM (
+  SELECT c.id_a, c.id_b, round({cos}, 6) AS cosine
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
+) WHERE cosine >= {NEARDUP_COS}
+""".strip()
+
+
 def _oracle_ivf_assign() -> str:
     cos = _sql_cos_cols("e.embedding", "c.ce")
     return f"""
@@ -2760,7 +2856,7 @@ SELECT vec_id, centroid_id, round(cc, 6) AS centroid_cos FROM scored WHERE rn = 
 """.strip()
 
 
-def _kmeans_cte_chain() -> tuple[str, str]:
+def _kmeans_cte_chain(seed_limit: str | None = None) -> tuple[str, str]:
     """(cte_block, final_cte_name) replaying the deterministic Lloyd's fit
     relationally: c0 = seed centroids (n lowest-id vectors), then per
     iteration t: a{t} = argmax-cosine assignment against c{t} (min-id
@@ -2768,11 +2864,14 @@ def _kmeans_cte_chain() -> tuple[str, str]:
     c{t+1} = l{t} with empty clusters keeping their c{t} center.  Zero
     inlined literals — the oracle derives the same centers the Spark fit
     collects.  Shared by the ivf_assign_kmeans and semantic_dedup
-    oracles."""
+    oracles.  ``seed_limit`` overrides the seed-set LIMIT expression
+    (default N_CENTROIDS) — semantic_dedup passes a scalar subquery
+    computing its adaptive K from count(*), so the twin replays the fit
+    at EVERY corpus size (VERDICT r6 item 1)."""
     cos = _sql_cos_cols("e.embedding", "c.ce")
     ctes = [
         f"c0 AS (SELECT vec_id AS centroid_id, embedding AS ce "
-        f"FROM embeddings ORDER BY vec_id ASC LIMIT {N_CENTROIDS})"
+        f"FROM embeddings ORDER BY vec_id ASC LIMIT {seed_limit or N_CENTROIDS})"
     ]
     for t in range(KMEANS_ITERS):
         ctes.append(
@@ -2825,7 +2924,15 @@ def _oracle_semantic_dedup() -> str:
     acos = _sql_cos_cols("e.embedding", "c.ce")
     pcos = _sql_cos_cols("ea.embedding", "eb.embedding")
     sub_hash = md5i32_sql("a.vec_id::VARCHAR")
-    cte_block, final = _kmeans_cte_chain()
+    # the operator's adaptive K = max(N_CENTROIDS, ceil(N / target)) as a
+    # scalar subquery: N / 50.0 is an IEEE double division whose exact
+    # integer quotients are exactly representable, so CEIL agrees with the
+    # Python-side math.ceil at every N
+    adaptive_k = (
+        f"(SELECT GREATEST({N_CENTROIDS}, CAST(CEIL(count(*) / "
+        f"{SEMANTIC_TARGET_CLUSTER}.0) AS BIGINT)) FROM embeddings)"
+    )
+    cte_block, final = _kmeans_cte_chain(seed_limit=adaptive_k)
     return f"""
 WITH RECURSIVE {cte_block},
 assigned AS (
@@ -3251,7 +3358,7 @@ FROM s
         "dedup_groups": _oracle_dedup_components(),
         "dedup_resolve": _oracle_dedup_resolve(),
         "neardup_cosine": _oracle_neardup(),
-        "neardup_lsh": _oracle_neardup_lsh(),
+        "neardup_lsh": _oracle_neardup_lsh_adaptive(),
         "ivf_assign": _oracle_ivf_assign(),
         "ivf_assign_kmeans": _oracle_ivf_assign_kmeans(),
         "semantic_dedup": _oracle_semantic_dedup(),

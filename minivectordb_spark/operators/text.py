@@ -313,6 +313,13 @@ def lm_score(
     DECIMAL(18,6) BEFORE the per-doc sum, so the aggregate is exact and
     order-independent — the engine-parity trick tpch_q1 uses — and the
     float round happens once per VOCAB ENTRY, not once per occurrence.
+    The final per-doc average is rounded half-away-from-zero at 6dp on
+    the EXACT rational (integer-micro arithmetic, ``_exact_avg_micros``)
+    — a float ``round(sum/n, 6)`` sits on a .5e-6 boundary whenever n
+    divides the 6dp sum into a 7th decimal digit of 5, where engines'
+    double-rounding paths legitimately disagree (measured: 2 docs at
+    sf0.1 flipped between Spark's exact-BigDecimal HALF_UP and DuckDB's
+    scaled ``std::round``).  Exact integer division has no such boundary.
 
     Plan: one explode + token-keyed groupBy builds the vocab (the same
     combiner-reduced shuffle as ``prep.vocabulary``); the corpus total is
@@ -334,15 +341,36 @@ def lm_score(
     )
     if broadcast_vocab:
         lp = F.broadcast(lp)
-    return (
+    agg = (
         ex.join(lp, "token")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(
-                F.sum("logp").cast("double") / F.count(F.lit(1)).cast("double"), 6
-            ).alias("avg_logp"),
+            F.sum("logp").alias("__sum"),
         )
+    )
+    return agg.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        _exact_avg_micros("__sum", "n_tokens").alias("avg_logp"),
+    )
+
+
+def _exact_avg_micros(sum_name: str, n_name: str):
+    """round-half-away-from-zero of ``sum/n`` at 6 decimals, computed on
+    the EXACT rational: the DECIMAL(·,6) sum scales to integer micros
+    losslessly, and ``(2*|micro| + n) div (2*n)`` adds the half before an
+    integer (truncating, nonnegative-operand) division — no double ever
+    carries the quotient, so the result is bit-identical on every engine
+    (the float-division form differs between engines exactly when sum/n
+    lands on a .5e-6 boundary).  Division is applied to nonnegative
+    operands only (sign split out), where trunc == floor on every SQL
+    dialect."""
+    mi = f"CAST(({sum_name}) * 1000000 AS BIGINT)"
+    pos = f"((({mi}) * 2 + {n_name}) div ({n_name} * 2))"
+    neg = f"(-((((-({mi})) * 2) + {n_name}) div ({n_name} * 2)))"
+    return F.expr(
+        f"CAST((CASE WHEN {mi} >= 0 THEN {pos} ELSE {neg} END) AS DOUBLE) / 1000000.0"
     )
 
 
@@ -429,7 +457,9 @@ def bigram_lm_score(
     DECIMAL(18,6) before the per-doc sum (exact, order-independent); the
     probabilities themselves stay exact IEEE divisions (never frozen to
     fixed decimals — linear probs underflow fixed scales at corpus sizes
-    where logs do not).
+    where logs do not).  The final per-doc average uses the exact
+    integer-micro rounding of ``_exact_avg_micros`` (see ``lm_score``) —
+    ulp-stable across engines at every corpus scale.
 
     Plan: the staged token pass fans out once per side; three bounded
     aggregates (bigram counts -> top-N prune, context counts derived from
@@ -511,15 +541,18 @@ def bigram_lm_score(
         F.round(F.log(F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni), 6)
         .cast("decimal(18,6)")
     )
-    return (
+    agg = (
         probe.select(F.col(id_col), term.alias("__t"))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(
-                F.sum("__t").cast("double") / F.count(F.lit(1)).cast("double"), 6
-            ).alias("avg_logp"),
+            F.sum("__t").alias("__sum"),
         )
+    )
+    return agg.select(
+        F.col(id_col),
+        F.col("n_bigrams"),
+        _exact_avg_micros("__sum", "n_bigrams").alias("avg_logp"),
     )
 
 

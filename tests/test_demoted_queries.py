@@ -6,7 +6,8 @@ demoted_queries() entries are near-duplicates of still-registered queries
 but remain part of the engine's public surface, so every round this test
 runs the SAME compare the driver gate runs — Spark result vs DuckDB
 oracle, row count + name-sorted columns + order-insensitive values — at
-sf0.001.
+sf0.01, the driver gate's own scale (VERDICT r6 item 3: rotation must
+never reduce evidence strength).
 """
 
 import duckdb
@@ -21,11 +22,14 @@ TABLES = [
 ]
 
 
+GATE_SF_DIR = "/root/testdata/sf0.01"
+
+
 @pytest.fixture(scope="module")
-def duck(sf_dir):
+def duck():
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{GATE_SF_DIR}/{t}.parquet'")
     yield con
     con.close()
 
@@ -41,10 +45,10 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 @pytest.mark.parametrize("name", sorted(entry.demoted_queries()))
-def test_demoted_query_matches_oracle(spark, sf_dir, duck, name):
+def test_demoted_query_matches_oracle(spark, duck, name):
     oracles = entry.oracle_sql()
     assert name in oracles, f"demoted query {name} lost its oracle"
-    sdf = entry.demoted_queries()[name](spark, sf_dir).toPandas()
+    sdf = entry.demoted_queries()[name](spark, GATE_SF_DIR).toPandas()
     ddf = duck.sql(oracles[name]).df()
     assert len(sdf) == len(ddf), f"rowcount spark={len(sdf)} duck={len(ddf)}"
     assert sorted(sdf.columns) == sorted(ddf.columns)

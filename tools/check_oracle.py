@@ -21,28 +21,14 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
-# The static oracle SQL replays adaptive-parameter queries with the
-# literals those parameters resolve to at the DRIVER GATE's corpus size
-# (sf0.001/sf0.01, 500 docs / 500 vectors).  At other scales the Spark
-# side adapts (by documented operator contract) while the SQL cannot, so
-# the twin is only meaningful at the gate scale — each divergence is
-# documented in the query builder's docstring.
+# Retired r7: the GATE_PINNED skip class is empty.  The formerly pinned
+# twins are now scale-parameterized (neardup_lsh: prefix-stable plane
+# literals + np computed from count(*); semantic_dedup: adaptive-K seed
+# LIMIT as a scalar subquery) or ulp-stable (bigram_lm / lm_score: exact
+# integer-micro average instead of a float round that could sit on a
+# .5e-6 boundary), so every oracle compare runs at every scale.
 GATE_SF = ("sf0.001", "sf0.01")
-GATE_PINNED = {
-    "neardup_lsh": (
-        "adaptive plane count == the oracle's static NEARDUP_PLANES only "
-        "at N=500 (see q_neardup_lsh docstring)"
-    ),
-    "semantic_dedup": (
-        "adaptive K == N_CENTROIDS only at N=500; the SQL twin's seed-set "
-        "LIMIT replays that fit (see q_semantic_dedup docstring)"
-    ),
-    "bigram_lm": (
-        "per-vocab-entry round(ln, 6) can sit on a cross-libm ulp boundary; "
-        "exact at the gate vocab, O(1) last-digit rows at larger vocabs "
-        "(2 of 5000 rows at sf0.1, each off by 1e-6)"
-    ),
-}
+GATE_PINNED: dict[str, str] = {}
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
