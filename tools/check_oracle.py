@@ -91,6 +91,15 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs = entry.queries()
+    # explicitly-named queries resolve from the demoted set too (demoted
+    # rows run the same compare via tests/test_demoted_queries.py; naming
+    # one here runs it on demand at any sf)
+    if only:
+        qs = {**entry.demoted_queries(), **qs}
+        unknown = only - set(qs)
+        if unknown:
+            print(f"unknown queries: {sorted(unknown)}")
+            sys.exit(2)
     oracles = entry.oracle_sql()
     failed = []
     import os
