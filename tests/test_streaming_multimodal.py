@@ -157,7 +157,14 @@ def test_multimodal_extract_features(spark):
     assert out["a2"]["features"] == [0.0] * 16
 
 
-def test_multimodal_real_decoder_is_stubbed(spark):
+def test_multimodal_real_decoder_is_import_gated(spark):
+    # Pillow absent and nothing injected -> clear NotImplementedError
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow installed here; gate only fires without it")
+    except ImportError:
+        pass
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
     df = spark.createDataFrame(
@@ -167,6 +174,67 @@ def test_multimodal_real_decoder_is_stubbed(spark):
         extract_features(df, decoder="image").collect()
     with pytest.raises(ValueError):
         extract_features(df, decoder="nope")
+
+
+def test_multimodal_image_decoder_injected_double(spark):
+    """decoder='image' with an injected PIL stand-in: features must be
+    the fold of the DECODED PIXELS (not the raw payload) — proving the
+    decode step actually runs inside the mapInPandas loop — and must
+    share the fake path's feature contract exactly.  The doubles are
+    LOCAL classes so cloudpickle ships them by value to executors."""
+
+    class _FakePilImg:
+        # decoded-image double: byte 0 = width, byte 1 = height, rest =
+        # luminance pixel bytes (the double's whole "container format")
+        def __init__(self, data: bytes):
+            self._pixels = data[2:]
+
+        def convert(self, mode: str):
+            assert mode == "L"
+            return self
+
+        def tobytes(self) -> bytes:
+            return self._pixels
+
+    class _FakePilModule:
+        # PIL.Image stand-in (the embedder's injected-session pattern)
+        @staticmethod
+        def open(buf):
+            return _FakePilImg(buf.read())
+
+    pixels = bytes(range(1, 33))
+    payload = bytes([8, 4]) + pixels  # 8x4 'image'
+    df = spark.createDataFrame(
+        [("img1", "image/png", bytearray(payload), 8, 4, None, "s")],
+        ASSET_SCHEMA,
+    )
+    out = {
+        r["asset_id"]: r
+        for r in extract_features(
+            df, decoder="image", pil_module=_FakePilModule
+        ).collect()
+    }
+    want = fake_decode_features(pixels)
+    assert [round(x, 6) for x in out["img1"]["features"]] == pytest.approx(want)
+    assert want != fake_decode_features(payload)  # decode changed the fold
+    # n_bytes stays the PAYLOAD size (storage accounting, not decode)
+    assert out["img1"]["n_bytes"] == len(payload)
+    # driver-side single call agrees with the distributed path
+    assert decode_image(payload, pil_module=_FakePilModule) == want
+
+
+def test_multimodal_real_png_roundtrip(spark):
+    """With real Pillow present, a tiny real PNG decodes through the same
+    path (skipped where Pillow isn't installed)."""
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    img = Image.new("L", (4, 2))
+    img.putdata(list(range(8)))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    feats = decode_image(buf.getvalue())
+    assert feats == fake_decode_features(bytes(range(8)))
 
 
 def test_sample_frames(spark):
