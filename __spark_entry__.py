@@ -1658,6 +1658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and redundant twins are demoted to demoted_queries() (still
     # oracle-checked locally by tests/test_demoted_queries.py).
     return {
+        "events_salted_skew": q_events_salted_skew,
+        "int8_search": q_int8_search,
         "maxsim_topk": q_maxsim_topk,
         "dup_ngram_fraction": q_dup_ngram_fraction,
         "source_report": q_source_report,
@@ -1680,7 +1682,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "search_pipeline": q_search_pipeline,
         "knn_topk": q_knn_topk,
-        "knn_batch": q_knn_batch,
         "filter_events_or": q_filter_events_or,
         "filter_events_exclude": q_filter_events_exclude,
         "filter_docs_in": q_filter_docs_in,
@@ -1689,7 +1690,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "dedup_exact": q_dedup_exact,
-        "minhash_signatures": q_minhash_signatures,
         "lsh_jaccard_pairs": q_lsh_jaccard_pairs,
         "semantic_dedup": q_semantic_dedup,
         "simhash_pairs64": q_simhash_pairs64,
@@ -2066,17 +2066,22 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       full) — sequence()-exploded hour spine x distinct types broadcast
       LEFT-joined to hourly counts; corpus-side work is one groupBy,
       the same shape the graded events_rollup row prices
-    - events_salted_skew: skew-resistant salted join over a
-      deliberately hot key (VERDICT r6 item 5) — exact-multiplicity
-      aggregate vs the plain-join twin; salt fan-out plan-asserted in
-      tests/test_partitioning.py
-    - int8_search: end-to-end Int8MatmulScorer top-k (VERDICT r6
-      item 7) — the oracle replays the exact int32 arithmetic
-      (round_even quantization == numpy rint, integer dot, IEEE
-      rescale), not a rank-overlap proxy
-    - durable_cdc: streaming-CDC durable read (VERDICT r6 item 9) —
-      three upsert waves through stream_durable_ingest(mode='upsert'),
-      final version vs the latest-wins mutation replay
+    - durable_cdc: streaming-CDC durable read (VERDICT r6 item 9,
+      demoted-registered per that item's wording) — three upsert waves
+      through stream_durable_ingest(mode='upsert'), final version vs
+      the latest-wins mutation replay
+    - minhash_signatures: the raw signature columns — the graded
+      lsh_jaccard_pairs row runs the IDENTICAL minhash machinery
+      (signatures -> bands -> verify) end-to-end with the same
+      seeded-coefficient oracle family; demoted r7 so
+      events_salted_skew (the skew-resistant salted join, VERDICT r6
+      item 5, salt fan-out plan-asserted) earns a driver row
+    - knn_batch: multi-query brute-force top-k via the matmul scorer —
+      the graded knn_topk row pins the exact cosine top-k contract and
+      the graded int8_search row now grades the same mapInPandas
+      scorer + per-query-window machinery (with a strictly harder
+      engine-exact int32 oracle); demoted r7 so int8_search (VERDICT
+      r6 item 7) earns a driver row
 
     Demoted in the r6 rotation (VERDICT r5 item 1: micro-rows whose
     behavior is fully unit-pinned, swapped for the five SQL shapes plus
@@ -2138,9 +2143,9 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_resolve": q_dedup_resolve,
         "events_pivot": q_events_pivot,
         "events_gapfill": q_events_gapfill,
-        "events_salted_skew": q_events_salted_skew,
-        "int8_search": q_int8_search,
         "durable_cdc": q_durable_cdc,
+        "minhash_signatures": q_minhash_signatures,
+        "knn_batch": q_knn_batch,
     }
 
 
