@@ -2280,16 +2280,20 @@ per AS (
       + 0.3 * least(1.0, 3.0 * (CASE WHEN len(tk) = 0 THEN 0.0 ELSE len(list_filter(tk, x -> x IN {stops}))::DOUBLE / len(tk)::DOUBLE END)),
       6)::DECIMAL(18,6) AS q
   FROM t
-)
-SELECT source,
+),
+agg AS (SELECT source,
   count(*)::BIGINT AS n_docs,
   count(DISTINCT h)::BIGINT AS n_distinct_texts,
   sum(toks)::BIGINT AS total_tokens,
   sum(chars)::BIGINT AS total_chars,
-  round(1.0 - count(DISTINCT h)::DOUBLE / count(*)::DOUBLE, 6) AS dup_rate,
-  round(sum(q)::DOUBLE / count(*)::DOUBLE, 6) AS avg_quality
+  ((count(*) - count(DISTINCT h)) * 1000000)::BIGINT AS dmi,
+  (sum(q) * 1000000)::BIGINT AS qmi
 FROM per
-GROUP BY source
+GROUP BY source)
+SELECT source, n_docs, n_distinct_texts, total_tokens, total_chars,
+  {_sql_exact_avg_micros('dmi', 'n_docs')} AS dup_rate,
+  {_sql_exact_avg_micros('qmi', 'n_docs')} AS avg_quality
+FROM agg
 """.strip()
 
 
@@ -2826,11 +2830,15 @@ g AS (
          THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
          ELSE []::VARCHAR[] END) AS gram
   FROM t),
-pg AS (SELECT doc_id, gram, count(*)::BIGINT AS c FROM g GROUP BY doc_id, gram)
-SELECT doc_id, sum(c)::BIGINT AS n_ngrams,
-       round(1.0 - count(*)::DOUBLE / sum(c)::DOUBLE, 6) AS dup_ngram_frac,
-       round(max(c)::DOUBLE / sum(c)::DOUBLE, 6) AS top_ngram_frac
-FROM pg GROUP BY doc_id
+pg AS (SELECT doc_id, gram, count(*)::BIGINT AS c FROM g GROUP BY doc_id, gram),
+agg AS (SELECT doc_id, sum(c)::BIGINT AS n_ngrams,
+               ((sum(c) - count(*)) * 1000000)::BIGINT AS dmi,
+               (max(c) * 1000000)::BIGINT AS tmi
+        FROM pg GROUP BY doc_id)
+SELECT doc_id, n_ngrams,
+       {_sql_exact_avg_micros('dmi', 'n_ngrams')} AS dup_ngram_frac,
+       {_sql_exact_avg_micros('tmi', 'n_ngrams')} AS top_ngram_frac
+FROM agg
 """.strip()
 
 
@@ -2920,13 +2928,16 @@ def _oracle_dup_ngram_fraction() -> str:
     return f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
 sh AS (SELECT doc_id, unnest({_SQL_SHINGLE_HASHES}) AS gram_hash FROM t),
-rep AS (SELECT gram_hash FROM sh GROUP BY gram_hash HAVING count(*) >= 2)
-SELECT sh.doc_id,
-       count(*)::BIGINT AS n_windows,
-       count(rep.gram_hash)::BIGINT AS n_repeated,
-       round(count(rep.gram_hash)::DOUBLE / count(*)::DOUBLE, 6) AS dup_fraction
-FROM sh LEFT JOIN rep USING (gram_hash)
-GROUP BY sh.doc_id
+rep AS (SELECT gram_hash FROM sh GROUP BY gram_hash HAVING count(*) >= 2),
+agg AS (SELECT sh.doc_id,
+               count(*)::BIGINT AS n_windows,
+               count(rep.gram_hash)::BIGINT AS n_repeated,
+               (count(rep.gram_hash) * 1000000)::BIGINT AS rmi
+        FROM sh LEFT JOIN rep USING (gram_hash)
+        GROUP BY sh.doc_id)
+SELECT doc_id, n_windows, n_repeated,
+       {_sql_exact_avg_micros('rmi', 'n_windows')} AS dup_fraction
+FROM agg
 """.strip()
 
 

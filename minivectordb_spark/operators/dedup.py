@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from minivectordb_spark.operators.hashing import MERSENNE_P, md5i32, minhash_coeffs
-from minivectordb_spark.operators.text import tokens
+from minivectordb_spark.operators.text import _exact_avg_micros, tokens
 from minivectordb_spark.scoring import cosine_sim_cols
 
 DEFAULT_N_HASHES = 16
@@ -1205,11 +1205,10 @@ def dup_ngram_fraction(
             F.col(id_col),
             "n_windows",
             "n_repeated",
-            F.round(
-                F.col("n_repeated").cast("double")
-                / F.col("n_windows").cast("double"),
-                6,
-            ).alias("dup_fraction"),
+            # exact-rational 6dp rounding (text._exact_avg_micros): a float
+            # round(a/b, 6) flips between engines when the rational's 7th
+            # decimal digit is exactly 5 — integer micros have no boundary
+            _exact_avg_micros("n_repeated", "n_windows").alias("dup_fraction"),
         )
     )
 

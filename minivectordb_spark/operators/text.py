@@ -267,7 +267,11 @@ def source_report(
     per source — never the corpus.  Mean quality is summed as
     DECIMAL(18,6) over the per-doc 6-dp-rounded scores, so the aggregate
     is exact and engine-portable (float summation order never enters);
-    the final divisions are single IEEE ops on identical operands.
+    dup_rate and avg_quality are then rounded on the EXACT RATIONAL via
+    ``_exact_avg_micros`` — a float ``round(a/b, 6)`` legitimately flips
+    between engines whenever the rational's 7th decimal digit is exactly
+    5 (the bigram_lm r7 diagnosis), and a dataset-card number must be
+    reproducible at any corpus size.
     """
     agg = source_per_doc(df, text_col, source_col).groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -282,14 +286,10 @@ def source_report(
         "n_distinct_texts",
         "total_tokens",
         "total_chars",
-        F.round(
-            F.lit(1.0)
-            - F.col("n_distinct_texts").cast("double") / F.col("n_docs").cast("double"),
-            6,
-        ).alias("dup_rate"),
-        F.round(
-            F.col("__qsum").cast("double") / F.col("n_docs").cast("double"), 6
-        ).alias("avg_quality"),
+        _exact_avg_micros("(n_docs - n_distinct_texts)", "n_docs").alias(
+            "dup_rate"
+        ),
+        _exact_avg_micros("__qsum", "n_docs").alias("avg_quality"),
     )
 
 
@@ -415,15 +415,21 @@ def repetition_stats(
         F.col(id_col), F.explode("__g").alias("gram")
     )
     per_gram = ex.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
-    return per_gram.groupBy(id_col).agg(
+    agg = per_gram.groupBy(id_col).agg(
         F.sum("c").alias("n_ngrams"),
-        F.round(
-            F.lit(1.0) - F.count(F.lit(1)).cast("double") / F.sum("c").cast("double"),
-            6,
-        ).alias("dup_ngram_frac"),
-        F.round(F.max("c").cast("double") / F.sum("c").cast("double"), 6).alias(
-            "top_ngram_frac"
+        F.count(F.lit(1)).alias("__distinct"),
+        F.max("c").alias("__top"),
+    )
+    # exact-rational 6dp rounding (_exact_avg_micros): count ratios land
+    # on .5e-6 boundaries whenever the denominator divides the numerator
+    # into a trailing-5 seventh digit — integer micros have no boundary
+    return agg.select(
+        F.col(id_col),
+        "n_ngrams",
+        _exact_avg_micros("(n_ngrams - __distinct)", "n_ngrams").alias(
+            "dup_ngram_frac"
         ),
+        _exact_avg_micros("__top", "n_ngrams").alias("top_ngram_frac"),
     )
 
 

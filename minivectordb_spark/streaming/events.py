@@ -641,7 +641,12 @@ def read_source_stats(spark: SparkSession, stats_path: str) -> DataFrame:
     into the exact ``source_report`` schema: (source, n_docs,
     n_distinct_texts, total_tokens, total_chars, dup_rate, avg_quality).
     One |sources|-row aggregate over the partials log plus one count per
-    source over the hash store — cost scales with log size, not corpus."""
+    source over the hash store — cost scales with log size, not corpus.
+    dup_rate / avg_quality use the SAME exact-rational rounding as the
+    batch ``source_report`` (operators/text._exact_avg_micros), so batch
+    and stream cannot diverge on a .5e-6 boundary."""
+    from minivectordb_spark.operators.text import _exact_avg_micros
+
     partials = spark.read.parquet(f"{stats_path}/partials")
     hashes = spark.read.parquet(f"{stats_path}/hashes")
     totals = partials.groupBy("source").agg(
@@ -659,14 +664,10 @@ def read_source_stats(spark: SparkSession, stats_path: str) -> DataFrame:
         "n_distinct_texts",
         "total_tokens",
         "total_chars",
-        F.round(
-            F.lit(1.0)
-            - F.col("n_distinct_texts").cast("double") / F.col("n_docs").cast("double"),
-            6,
-        ).alias("dup_rate"),
-        F.round(
-            F.col("__qsum").cast("double") / F.col("n_docs").cast("double"), 6
-        ).alias("avg_quality"),
+        _exact_avg_micros("(n_docs - n_distinct_texts)", "n_docs").alias(
+            "dup_rate"
+        ),
+        _exact_avg_micros("__qsum", "n_docs").alias("avg_quality"),
     )
 
 
