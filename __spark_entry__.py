@@ -2076,6 +2076,10 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       seeded-coefficient oracle family; demoted r7 so
       events_salted_skew (the skew-resistant salted join, VERDICT r6
       item 5, salt fan-out plan-asserted) earns a driver row
+    - bpe_merges: BPE vocabulary induction (new r7, registry full) —
+      the iterative subword trainer replayed by an unrolled-CTE oracle
+      (the lloyd_kmeans_fit pattern); exact-matched against an
+      independent pure-Python reference in the unit suite
     - knn_batch: multi-query brute-force top-k via the matmul scorer —
       the graded knn_topk row pins the exact cosine top-k contract and
       the graded int8_search row now grades the same mapInPandas
@@ -2146,6 +2150,7 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "durable_cdc": q_durable_cdc,
         "minhash_signatures": q_minhash_signatures,
         "knn_batch": q_knn_batch,
+        "bpe_merges": q_bpe_merges,
     }
 
 
@@ -2666,6 +2671,61 @@ agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
 SELECT doc_id, n_bigrams,
        {_sql_exact_avg_micros('mi', 'n_bigrams')} AS avg_logp
 FROM agg
+""".strip()
+
+
+BPE_N_MERGES = 8
+
+
+def q_bpe_merges(spark, sf_dir):
+    """BPE vocabulary induction (operators/prep.bpe_merge_table,
+    Sennrich et al. 2016) — the subword-vocab trainer as a relational
+    program: ONE corpus pass for word counts, then vocab-bounded merge
+    iterations (pair-keyed aggregate + deterministic argmax + literal
+    string rewrite whose left-to-right non-overlapping semantics equal
+    BPE's and are identical in Spark and ANSI SQL).  The oracle unrolls
+    the SAME iterations as CTEs — the lloyd_kmeans_fit pattern for
+    iterative algorithms — so the green row covers the whole training
+    loop, not just one step.  Unit-pinned against an independent pure-
+    Python reference implementation (tests/test_operators.py)."""
+    from minivectordb_spark.operators.prep import bpe_merge_table
+
+    return bpe_merge_table(
+        _t(spark, sf_dir, "documents"), n_merges=BPE_N_MERGES
+    )
+
+
+def _oracle_bpe_merges(n_merges: int = BPE_N_MERGES) -> str:
+    """bpe_merges twin: the merge loop unrolled as CTEs.  chr(31) is
+    BPE_SEP; the double-separator wrap/unwrap mirrors prep._bpe_wrap
+    (suffix-collision-proof, shared-boundary-proof)."""
+    X = "chr(31)"
+    return f"""
+WITH w0 AS (
+  SELECT array_to_string(list_transform(range(1, length(word) + 1),
+           i -> substr(word, i::INT, 1)), {X}) || {X} || '</w>' AS seq, cnt
+  FROM (SELECT word, count(*)::BIGINT AS cnt
+        FROM (SELECT unnest({_SQL_TOKS}) AS word FROM documents)
+        WHERE NOT contains(word, {X})
+        GROUP BY word)
+),
+""" + ",\n".join(
+        f"""p{t} AS (SELECT s[i] AS l, s[i+1] AS r, sum(cnt)::BIGINT AS c
+       FROM (SELECT string_split(seq, {X}) AS s, cnt FROM w{t}),
+            unnest(range(1, len(s))) AS u(i)
+       GROUP BY s[i], s[i+1]),
+b{t} AS (SELECT {t} AS step, l, r, l || r AS merged, c AS pair_count
+         FROM p{t} ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+w{t + 1} AS (
+  SELECT replace(substr(m, 2, length(m) - 2), {X} || {X}, {X}) AS seq, cnt
+  FROM (SELECT replace({X} || replace(w.seq, {X}, {X} || {X}) || {X},
+                       {X} || b.l || {X} || {X} || b.r || {X},
+                       {X} || b.l || b.r || {X}) AS m, w.cnt
+        FROM w{t} w, b{t} b))"""
+        for t in range(n_merges)
+    ) + f"""
+SELECT step, l AS "left", r AS "right", merged, pair_count
+FROM ({" UNION ALL ".join(f"SELECT * FROM b{t}" for t in range(n_merges))})
 """.strip()
 
 
@@ -3449,6 +3509,7 @@ CROSS JOIN types t
 LEFT JOIN h ON h.hr = s.hr AND h.event_type = t.event_type
 """.strip(),
         "events_salted_skew": _oracle_events_salted_skew(),
+        "bpe_merges": _oracle_bpe_merges(),
         "int8_search": _oracle_int8_search(),
         "durable_cdc": _oracle_durable_cdc(),
         "events_cube": """

@@ -425,3 +425,163 @@ def gumbel_topk(
         .orderBy(F.col("gumbel_key").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# ---------------- BPE vocabulary induction ----------------
+
+BPE_SEP = "\x1f"  # unit separator: never appears in natural-language tokens
+BPE_EOW = "</w>"  # end-of-word marker symbol (Sennrich et al. 2016)
+
+
+def _bpe_seq_expr(word: Column) -> Column:
+    """Initial BPE symbol sequence for a word: its characters joined by
+    BPE_SEP with the end-of-word marker appended as a final symbol."""
+    chars = F.concat_ws(
+        BPE_SEP,
+        F.transform(
+            F.sequence(F.lit(1), F.length(word)),
+            lambda i: F.substring(word, i, F.lit(1)),
+        ),
+    )
+    return F.concat(chars, F.lit(BPE_SEP + BPE_EOW))
+
+
+def _bpe_wrap(s: Column) -> Column:
+    """Wrap every symbol in its own separators ('a','b' -> '␟a␟␟b␟') so a
+    literal pair replace can neither match a SUFFIX of a longer symbol
+    ('za␟b' vs pair (a,b)) nor consume the boundary a following
+    occurrence needs ('aaaa' with merge (a,a) must yield [aa, aa], which
+    single-separator encoding gets wrong — the first replace eats the
+    shared separator)."""
+    return F.concat(
+        F.lit(BPE_SEP), F.replace(s, F.lit(BPE_SEP), F.lit(BPE_SEP * 2)), F.lit(BPE_SEP)
+    )
+
+
+def _bpe_unwrap(s: Column) -> Column:
+    inner = F.substring(s, 2, F.length(s) - 2)
+    return F.replace(inner, F.lit(BPE_SEP * 2), F.lit(BPE_SEP))
+
+
+def _bpe_apply_merge(seq: Column, left: str, right: str) -> Column:
+    """Apply ONE merge left-to-right non-overlapping — exactly the
+    semantics of string replace on the wrapped encoding, identical in
+    Spark (UTF8String.replace) and ANSI SQL engines."""
+    pat = F.lit(BPE_SEP + left + BPE_SEP + BPE_SEP + right + BPE_SEP)
+    rep = F.lit(BPE_SEP + left + right + BPE_SEP)
+    return _bpe_unwrap(F.replace(_bpe_wrap(seq), pat, rep))
+
+
+def bpe_word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(seq, cnt): the distinct-WORD table with per-word corpus counts and
+    initial symbol sequences — the ONLY corpus-sized pass the BPE trainer
+    makes.  Words containing BPE_SEP are dropped (they cannot occur in
+    natural text; the guard keeps the encoding injective)."""
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(~F.col("word").contains(BPE_SEP))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return words.select(_bpe_seq_expr(F.col("word")).alias("seq"), "cnt")
+
+
+def bpe_merge_table(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """BPE vocabulary induction (Sennrich et al., arXiv:1508.07909) as a
+    relational program — the subword-vocab trainer a training-data
+    pipeline runs before tokenization.  Returns the learned merge table
+    ``(step, left, right, merged, pair_count)`` in merge order.
+
+    The classic trainer is "iterate: count adjacent symbol pairs, merge
+    the most frequent" — quadratic-looking, but industrial trainers run
+    it over the WORD table, not the corpus, and so does this one:
+
+    - ONE corpus pass builds (word, count) — after that, every iteration
+      touches only the vocab-bounded word table (Heaps' law: millions of
+      rows at any corpus size, orders of magnitude under the corpus).
+    - Per iteration: one pair-keyed combiner-reduced aggregate over the
+      word table, ONE driver-collected argmax row (count DESC, pair ASC —
+      deterministic), and a map-only string rewrite.  The rewrite is a
+      literal replace over a double-separator encoding (see
+      ``_bpe_wrap``), whose left-to-right non-overlapping semantics equal
+      BPE's and are IDENTICAL in Spark and ANSI SQL — so the whole
+      training loop is replayed by the DuckDB oracle as unrolled CTEs
+      (the lloyd_kmeans_fit pattern for iterative algorithms).
+    - Lineage is truncated every ``checkpoint_every`` merges (each merge
+      otherwise stacks three string ops onto the plan).
+
+    Ties and exhaustion: the argmax tiebreak is (count DESC, left ASC,
+    right ASC); training stops early if no pair remains (every word fused
+    to one symbol)."""
+    spark = df.sparkSession
+    cur = bpe_word_counts(df, text_col).localCheckpoint(eager=False)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(n_merges):
+        syms = F.split(F.col("seq"), BPE_SEP)
+        n = F.size(syms)
+        pairs = F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(syms, 1, n - 1),
+                F.slice(syms, 2, n - 1),
+                lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+            ),
+        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        best = (
+            cur.select(F.explode(pairs).alias("p"), F.col("cnt"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
+        merges.append((step, l, r, l + r, c))
+        cur = cur.select(_bpe_apply_merge(F.col("seq"), l, r).alias("seq"), "cnt")
+        if (step + 1) % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, merged string, pair_count long"
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned merge list to a corpus: (id, n_bpe_tokens,
+    bpe_tokens).  The merges compile into ONE chained-replace expression
+    evaluated over the DISTINCT word table (vocab-bounded — each word is
+    encoded once no matter how often it occurs), then per-doc tokens
+    join the encoded table map-side and re-assemble in position order."""
+    docs = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "word")
+    ).filter(~F.col("word").contains(BPE_SEP))
+    vocab = docs.select("word").distinct()
+    seq = _bpe_seq_expr(F.col("word"))
+    for l, r in merges:
+        seq = _bpe_apply_merge(seq, l, r)
+    encoded = vocab.select(F.col("word"), F.split(seq, BPE_SEP).alias("wtoks"))
+    return (
+        docs.join(F.broadcast(encoded), "word")
+        .select(F.col(id_col), "pos", "wtoks")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(F.array_sort(F.collect_list(F.struct("pos", "wtoks"))).wtoks)
+            .alias("bpe_tokens")
+        )
+        .select(
+            F.col(id_col),
+            F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            "bpe_tokens",
+        )
+    )

@@ -2000,3 +2000,114 @@ def test_ivf_assign_join_prestaged_is_explicit(spark, emb_df):
         for r in ivf_assign_join(emb_df.select("vec_id", "embedding"), fit_cents).collect()
     }
     assert a == b
+
+
+def _bpe_reference(word_counts: dict, n_merges: int):
+    """Pure-Python BPE trainer (Sennrich et al. 2016 pseudocode) as the
+    independent oracle for bpe_merge_table: same (count DESC, pair ASC)
+    tiebreak, same left-to-right non-overlapping merge application."""
+    vocab = {
+        tuple(list(w) + ["</w>"]): c for w, c in word_counts.items()
+    }
+    merges = []
+    for step in range(n_merges):
+        pairs: dict = {}
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        (l, r), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, l, r, l + r, c))
+        new_vocab = {}
+        for syms, cnt in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + cnt
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_merge_table_classic_example(spark):
+    """The Sennrich toy corpus: merges must follow the canonical
+    greedy order with the deterministic tiebreak."""
+    from minivectordb_spark.operators.prep import bpe_merge_table
+
+    rows = (
+        [("low",)] * 5 + [("lower",)] * 2 + [("newest",)] * 6 + [("widest",)] * 3
+    )
+    df = spark.createDataFrame(
+        [(i, " ".join(t for t, in rows))] if False else
+        [(i, t) for i, (t,) in enumerate(rows)],
+        ["doc_id", "text"],
+    )
+    got = [
+        (r["step"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_merge_table(df, n_merges=5).orderBy("step").collect()
+    ]
+    counts = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    want = _bpe_reference(counts, 5)
+    assert got == want
+    # the canonical first merges: (e,s) 9 then (es,t) 9 then (est,</w>) 9
+    assert got[0][1:] == ("e", "s", "es", 9)
+    assert got[1][1:] == ("es", "t", "est", 9)
+
+
+def test_bpe_merge_table_matches_reference_random(spark):
+    """Randomized corpus (seeded): the relational trainer must equal the
+    pure-Python reference exactly, merge for merge — including words
+    with repeated characters (the overlapping-pair case the wrapped
+    encoding exists for)."""
+    import random
+
+    from minivectordb_spark.operators.prep import bpe_merge_table
+
+    rng = random.Random(11)
+    words = ["aaa", "aaaa", "abab", "banana", "aa"] + [
+        "".join(rng.choices("abcd", k=rng.randrange(1, 7))) for _ in range(40)
+    ]
+    docs = [
+        (i, " ".join(rng.choices(words, k=rng.randrange(1, 12))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    counts: dict = {}
+    for _, t in docs:
+        for w in t.split(" "):
+            if w:
+                counts[w] = counts.get(w, 0) + 1
+    want = _bpe_reference(counts, 12)
+    got = [
+        (r["step"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_merge_table(df, n_merges=12).orderBy("step").collect()
+    ]
+    assert got == want
+
+
+def test_bpe_encode_roundtrip(spark):
+    """Encoding with the learned merges: concatenating a word's BPE
+    tokens (minus the marker) must reproduce the word, and fully-merged
+    frequent words collapse to few tokens."""
+    from minivectordb_spark.operators.prep import (
+        BPE_EOW,
+        bpe_encode,
+        bpe_merge_table,
+    )
+
+    rows = [(i, "low lower newest") for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_merge_table(df, n_merges=8).orderBy("step").collect()
+    ]
+    out = {r["doc_id"]: r for r in bpe_encode(df, merges).collect()}
+    toks = out[0]["bpe_tokens"]
+    text = "".join(t for t in toks).replace(BPE_EOW, " ").strip()
+    assert text == "low lower newest"
+    assert out[0]["n_bpe_tokens"] == len(toks) and len(toks) < len("low lower newest")
