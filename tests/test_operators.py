@@ -2111,3 +2111,41 @@ def test_bpe_encode_roundtrip(spark):
     text = "".join(t for t in toks).replace(BPE_EOW, " ").strip()
     assert text == "low lower newest"
     assert out[0]["n_bpe_tokens"] == len(toks) and len(toks) < len("low lower newest")
+
+
+def test_exact_avg_micros_boundary(spark):
+    """The .5e-6 boundary that flipped bigram_lm at sf0.1 (doc 913:
+    sum/n = -3.3974605 exactly): the integer-micro rounding must give
+    half-AWAY-from-zero on the exact rational — deterministically, with
+    no float quotient — for both signs and for count ratios."""
+    from pyspark.sql import functions as F
+
+    from minivectordb_spark.operators.text import _exact_avg_micros
+
+    rows = [
+        # (sum as decimal string, n, expected half-away 6dp avg)
+        ("-33.974605", 10, -3.397461),
+        ("33.974605", 10, 3.397461),
+        ("-33.974604", 10, -3.39746),
+        ("1.000005", 2, 0.500003),   # 0.5000025 -> away -> 0.500003
+        ("0.000000", 7, 0.0),
+    ]
+    df = spark.createDataFrame(
+        [(s, n, want) for s, n, want in rows], "s string, n long, want double"
+    ).select(
+        F.col("s").cast("decimal(18,6)").alias("__sum"),
+        F.col("n"),
+        "want",
+    )
+    got = df.select(
+        _exact_avg_micros("__sum", "n").alias("avg"), "want"
+    ).collect()
+    for r in got:
+        assert r["avg"] == r["want"], (r["avg"], r["want"])
+    # integer-numerator form (count ratios): 1/3 at 6dp = 0.333333
+    cr = spark.createDataFrame([(1, 3), (2, 3), (1, 2)], "a long, b long")
+    vals = [
+        r["v"]
+        for r in cr.select(_exact_avg_micros("a", "b").alias("v")).collect()
+    ]
+    assert vals == [0.333333, 0.666667, 0.5]
