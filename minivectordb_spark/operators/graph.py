@@ -1,0 +1,126 @@
+"""Link-graph analytics: PageRank as a DataFrame power iteration.
+
+The reference engine has no graph surface (its nearest neighbor is the
+duplicate-pair resolution this repo already generalizes in
+``operators/dedup.py:connected_components``); PageRank is the canonical
+*iterative* large-scale pipeline operator — domain authority for crawl
+prioritization / quality weighting (the original Brin & Page use, and the
+Common-Crawl-derived quality signal several LLM corpus pipelines use).
+
+Engine-exactness: ranks are carried as **integer micro-units** (a total
+mass of ``total_micros`` split across nodes) and every division is an
+integer division on nonnegative operands — no float ever carries a
+quotient, so a DuckDB twin that unrolls the same recurrence (see
+``__spark_entry__.py``) reproduces the ranks bit-for-bit at any scale.
+The float-division formulation would drift ulps per iteration and across
+libms; this one cannot.
+
+Scale design (100 TB / billions of edges):
+
+- Per iteration exactly TWO distributed steps: one equi-join of the edge
+  list with the current rank frame on ``src`` (edges are repartitioned by
+  ``src`` ONCE and cached, so every iteration's join reuses that layout
+  and only the tiny rank frame moves), and one ``groupBy(dst).sum`` whose
+  partial aggregation reduces each map partition to one row per distinct
+  ``dst`` before the exchange — a mega-hub destination (the skew case)
+  receives pre-combined partials, never the raw edge stream.
+- ``localCheckpoint`` truncates lineage every iteration so round N's plan
+  does not embed rounds 1..N-1 (the classic iterative-Spark trap; same
+  discipline as ``connected_components`` and the BPE loop).
+- The dangling-mass term is a single scalar aggregate per iteration
+  (constant-bounded driver transfer, same class as the BM25 stats
+  collect).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    total_micros: int = 1_000_000_000_000,
+    src: str = "src",
+    dst: str = "dst",
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge list; returns
+    ``(id, rank_micro)`` for every node that appears as a source or a
+    destination.
+
+    Recurrence (all integer, all operands nonnegative, ``div`` =
+    truncating integer division == floor here)::
+
+        base        = total_micros div N
+        contrib(u)  = rank(u) div outdeg(u)          -- u with outdeg > 0
+        D           = sum of rank(u) over dangling u  -- outdeg == 0
+        rank'(v)    = ((100 - damping_pct) * base) div 100
+                    + (damping_pct * (sum_{u->v} contrib(u) + D div N)) div 100
+
+    which is the standard damped PageRank with uniform teleport and
+    uniform dangling redistribution, carried in micro-units of a fixed
+    total mass.  Mass is not *exactly* conserved (each floor sheds < 1
+    micro per term) — the recurrence is deterministic, which is the
+    contract that matters for the oracle.
+
+    ``iterations`` is fixed rather than convergence-tested so the DuckDB
+    twin can unroll it; rank movement between the last two iterations is
+    the caller's convergence probe if one is needed.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .repartition("src")
+        .cache()
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .cache()
+    )
+    n = nodes.count()
+    if n == 0:
+        e.unpersist()
+        nodes.unpersist()
+        return edges.sparkSession.createDataFrame([], "id long, rank_micro long")
+    base = total_micros // n
+    teleport = ((100 - damping_pct) * base) // 100
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__odeg"))
+    # (src, dst, __odeg) is loop-invariant: join it once, keep it cached
+    # partitioned by src so each iteration only ships the rank frame.
+    ew = e.join(outdeg, "src").repartition("src").cache()
+    ranks = nodes.select("id", F.lit(base).cast("long").alias("rank_micro"))
+    for _ in range(iterations):
+        ranks = ranks.localCheckpoint(eager=True)
+        # dangling mass: nodes with no outgoing edge (includes pure sinks)
+        dang_row = (
+            ranks.join(outdeg, ranks["id"] == outdeg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank_micro"), F.lit(0)).alias("d"))
+            .collect()
+        )
+        d_over_n = int(dang_row[0]["d"]) // n
+        contribs = (
+            ew.join(ranks, ew["src"] == ranks["id"])
+            .select("dst", F.expr("rank_micro div __odeg").alias("__c"))
+            .groupBy("dst")
+            .agg(F.sum("__c").alias("__inb"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["id"] == contribs["dst"], "left")
+            .select(
+                "id",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"{damping_pct} * (coalesce(__inb, 0L) + {d_over_n}L) div 100"
+                    )
+                ).cast("long").alias("rank_micro"),
+            )
+        )
+    out = ranks.localCheckpoint(eager=True)
+    e.unpersist()
+    ew.unpersist()
+    nodes.unpersist()
+    return out

@@ -1,0 +1,222 @@
+"""Unit surface for the r7 additions: pagerank (operators/graph),
+blocked record linkage (operators/linkage), and the single-pass table
+profiler (operators/profile).
+
+pagerank gets the independent-oracle treatment the other iterative
+operators get (BPE vs a pure-Python trainer, k-means vs numpy): the
+integer-micro recurrence is compared against a float power iteration
+computed in plain Python on the same graph — ranks must agree to within
+the flooring error bound (< iterations * N micros of drift per node on
+these tiny graphs, checked much tighter below).
+"""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from minivectordb_spark.operators.graph import pagerank
+from minivectordb_spark.operators.linkage import (
+    blocked_best_match,
+    blocked_link_pairs,
+)
+from minivectordb_spark.operators.profile import profile_table
+
+TOTAL = 1_000_000_000_000
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _ranks(df):
+    return {r["id"]: r["rank_micro"] for r in df.collect()}
+
+
+# ---------------------------------------------------------------------------
+# pagerank
+# ---------------------------------------------------------------------------
+
+def test_pagerank_two_node_cycle_symmetric(spark):
+    r = _ranks(pagerank(_edges(spark, [(1, 2), (2, 1)]), iterations=4))
+    assert set(r) == {1, 2}
+    assert r[1] == r[2]
+    # symmetric 2-cycle is a fixpoint at uniform mass: rank stays ~N/2
+    assert abs(r[1] - TOTAL // 2) <= 4  # <= 1 micro floor loss per round
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    # 1 -> 2, 2 dangling.  Without the dangling term node 2's mass would
+    # leak out of the system each round; with it, total mass stays ~TOTAL.
+    out = pagerank(_edges(spark, [(1, 2)]), iterations=5)
+    r = _ranks(out)
+    total = sum(r.values())
+    assert abs(total - TOTAL) < 1_000  # floors shed < 1 micro per term per round
+    assert r[2] > r[1]  # 2 receives 1's full contribution plus teleport
+
+
+def test_pagerank_matches_float_power_iteration(spark):
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (4, 1), (5, 4)]
+    iters = 5
+    got = _ranks(pagerank(_edges(spark, edges), iterations=iters))
+
+    # independent float oracle: textbook damped PageRank, same fixed
+    # iteration count, uniform dangling redistribution
+    nodes = sorted({n for e in edges for n in e})
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {u: 1.0 / n for u in nodes}
+    for _ in range(iters):
+        dang = sum(rank[u] for u in nodes if u not in outdeg)
+        inb = {u: 0.0 for u in nodes}
+        for s, d in edges:
+            inb[d] += rank[s] / outdeg[s]
+        rank = {
+            u: 0.15 / n + 0.85 * (inb[u] + dang / n) for u in nodes
+        }
+    for u in nodes:
+        # integer recurrence floors at each of ~3 terms per round; on a
+        # 5-node graph drift stays far below 1e-6 of total mass per node
+        assert got[u] / TOTAL == pytest.approx(rank[u], abs=1e-6)
+    # ordering identical
+    assert sorted(nodes, key=lambda u: (got[u], u)) == sorted(
+        nodes, key=lambda u: (rank[u], u)
+    )
+
+
+def test_pagerank_deterministic_and_duplicate_edges_collapse(spark):
+    e1 = _edges(spark, [(1, 2), (2, 3), (3, 1)])
+    e2 = _edges(spark, [(1, 2), (1, 2), (2, 3), (3, 1), (3, 1)])
+    assert _ranks(pagerank(e1, iterations=3)) == _ranks(
+        pagerank(e2, iterations=3)
+    )
+
+
+def test_pagerank_empty_graph(spark):
+    out = pagerank(_edges(spark, []), iterations=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id", "rank_micro"]
+
+
+# ---------------------------------------------------------------------------
+# record linkage
+# ---------------------------------------------------------------------------
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, "smith-001"), (2, "smith-0x2"), (3, "zzzzz-003")],
+        "lid long, name string",
+    )
+    right = spark.createDataFrame(
+        [(10, "smith-001"), (11, "smith-002"), (12, "smith-999")],
+        "rid long, name string",
+    )
+    return left, right
+
+
+def test_linkage_pairs_blocking_and_threshold(spark):
+    left, right = _frames(spark)
+    pairs = blocked_link_pairs(
+        left, right, "lid", "rid", "name", "name", block_len=6, max_dist=2
+    )
+    got = {(r["lid"], r["rid"]): r["dist"] for r in pairs.collect()}
+    # lid=3 is in block 'zzzzz-' — no candidates at all, regardless of
+    # distance (blocking semantics: cross-block pairs are never compared)
+    assert all(l != 3 for l, _ in got)
+    # lid=1 exact-matches rid=10, dist-1 to rid=11, dist>2 to rid=12 pruned
+    assert got[(1, 10)] == 0 and got[(1, 11)] == 1 and (1, 12) not in got
+
+
+def test_linkage_best_match_tiebreak(spark):
+    left, right = _frames(spark)
+    best = {
+        r["lid"]: (r["rid"], r["dist"])
+        for r in blocked_best_match(
+            left, right, "lid", "rid", "name", "name", block_len=6, max_dist=2
+        ).collect()
+    }
+    assert best[1] == (10, 0)
+    # lid=2 'smith-0x2' is dist 1 from BOTH 'smith-001'(sub x->0? no: 0x2
+    # vs 001 is dist 2) — compute: vs 002 is one substitution -> dist 1,
+    # vs 001 is two -> the min is rid=11
+    assert best[2] == (11, 1)
+    assert 3 not in best
+
+
+def test_linkage_equidistant_ties_pick_min_right_id(spark):
+    left = spark.createDataFrame([(1, "aaa-1")], "lid long, name string")
+    right = spark.createDataFrame(
+        [(21, "aaa-2"), (20, "aaa-3")], "rid long, name string"
+    )
+    best = blocked_best_match(
+        left, right, "lid", "rid", "name", "name", block_len=4, max_dist=2
+    ).collect()
+    assert len(best) == 1 and best[0]["rid"] == 20  # both dist 1 -> min rid
+
+
+# ---------------------------------------------------------------------------
+# profiler
+# ---------------------------------------------------------------------------
+
+def test_profile_counts_nulls_distinct_minmax(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 2.5, "aa", datetime.datetime(2024, 1, 1)),
+            (2, None, "bbbb", datetime.datetime(2024, 1, 2)),
+            (None, -1.25, None, None),
+            (2, 2.5, "aa", datetime.datetime(2024, 1, 1)),
+        ],
+        "i long, x double, s string, t timestamp",
+    )
+    prof = {r["column"]: r.asDict() for r in profile_table(df).collect()}
+    assert set(prof) == {"i", "x", "s", "t"}
+    assert all(v["n_rows"] == 4 for v in prof.values())
+    assert prof["i"]["n_nonnull"] == 3 and prof["i"]["n_distinct"] == 2
+    assert prof["i"]["min_num"] == 1.0 and prof["i"]["max_num"] == 2.0
+    assert prof["x"]["min_num"] == -1.25 and prof["x"]["max_num"] == 2.5
+    assert prof["s"]["n_nonnull"] == 3 and prof["s"]["min_str"] == "aa"
+    assert prof["s"]["max_str"] == "bbbb"
+    # avg_len = (2 + 4 + 2) / 3 = 2.666667 (exact-rational half-away round)
+    assert prof["s"]["avg_len"] == 2.666667
+    assert prof["t"]["n_nonnull"] == 3
+    # epoch micros for 2024-01-01T00:00:00Z
+    assert prof["t"]["min_num"] == 1704067200.0 * 1e6
+    # numeric col has no string stats and vice versa
+    assert prof["i"]["min_str"] is None and prof["s"]["min_num"] is None
+
+
+def test_profile_all_null_string_column(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "i long, s string"
+    )
+    prof = {r["column"]: r.asDict() for r in profile_table(df).collect()}
+    s = prof["s"]
+    assert s["n_nonnull"] == 0 and s["n_distinct"] == 0
+    assert s["min_str"] is None and s["avg_len"] is None
+
+
+def test_profile_epoch_nano_longs_do_not_overflow(spark):
+    # the engine's events.ts contract is int64 epoch-nanos (~1.7e18);
+    # the earlier micro-scaled contract overflowed int64 here
+    df = spark.createDataFrame(
+        [(1_704_067_207_179_575_000,), (1_706_659_032_194_062_000,)],
+        "ts_ns long",
+    )
+    row = profile_table(df).collect()[0]
+    assert row["min_num"] == float(1_704_067_207_179_575_000)
+    assert row["max_num"] == float(1_706_659_032_194_062_000)
+
+
+def test_profile_approx_distinct_path(spark):
+    df = spark.createDataFrame([(i % 10,) for i in range(1000)], "i long")
+    row = profile_table(df, exact_distinct=False).collect()[0]
+    # HLL++ at default rsd is exact-ish at cardinality 10
+    assert row["n_distinct"] == 10
+
+
+def test_profile_selected_columns_only(spark):
+    df = spark.createDataFrame([(1, "a", 2.0)], "i long, s string, x double")
+    cols = [r["column"] for r in profile_table(df, columns=["s"]).collect()]
+    assert cols == ["s"]
