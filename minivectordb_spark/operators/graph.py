@@ -119,8 +119,11 @@ def pagerank(
                 ).cast("long").alias("rank_micro"),
             )
         )
-    out = ranks.localCheckpoint(eager=True)
-    e.unpersist()
-    ew.unpersist()
-    nodes.unpersist()
-    return out
+    # The final round is returned LAZY: its lineage reaches only round
+    # N-1's checkpoint plus the cached edge/node frames (which stay
+    # persisted as live dependencies of the returned plan — Spark's
+    # ContextCleaner reclaims them once the result goes out of scope).
+    # Keeping it lazy means the caller's sink executes the round inside
+    # its own measurement, and .explain shows the real per-iteration
+    # plan instead of a checkpoint scan.
+    return ranks
