@@ -2122,6 +2122,32 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
             "exec_wall": round(exec_wall, 3),
         }
 
+    def c_pagerank(spark: SparkSession, sf_dir: str) -> dict:
+        """Graph-shape counters: per-iteration cost is O(n_edges) join
+        rows + O(n_nodes) aggregate rows; max_in_degree is the skew
+        exposure the map-side partial aggregation absorbs."""
+        from minivectordb_spark.operators.graph import pagerank_diagnostics
+
+        ev = _t(spark, sf_dir, "events")
+        edges = ev.selectExpr(
+            "user_id AS src",
+            f"(user_id * 37 + event_id * 13) % {PR_MOD} AS dst",
+        ).filter("src != dst")
+        return pagerank_diagnostics(edges)
+
+    def c_record_linkage(spark: SparkSession, sf_dir: str) -> dict:
+        """Blocking counters: candidate_comparisons == sum over blocks of
+        |L_b| x |R_b|; the 100 TB claim is max_block_* staying bounded
+        (the name key frees only the last 2 chars) while n_joint_blocks
+        grows with the corpus — candidates then grow LINEARLY."""
+        from minivectordb_spark.operators.linkage import linkage_diagnostics
+
+        cust = _t(spark, sf_dir, "customer")
+        dirty = cust.selectExpr("c_custkey AS d_id", f"{_LINK_DIRTY} AS d_name")
+        d = linkage_diagnostics(dirty, cust, "d_name", "c_name", LINK_BLOCK_LEN)
+        d["output_rows"] = int(q_record_linkage(spark, sf_dir).count())
+        return d
+
     return {
         "neardup_lsh": c_neardup_lsh,
         "neardup_cosine": c_neardup_cosine,
@@ -2133,6 +2159,8 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
         "tpch_q1": c_tpch_q1,
         "bigram_lm": c_bigram_lm,
         "dsir_logweights": c_dsir_logweights,
+        "pagerank": c_pagerank,
+        "record_linkage": c_record_linkage,
     }
 
 

@@ -37,6 +37,44 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def pagerank_diagnostics(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> dict:
+    """Falsifiable scale counters for a pagerank input (the
+    scaling-counter discipline: record what the plan actually moved).
+    Constant-size result: five scalars."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .cache()
+    )
+    n_edges = e.count()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    deg = e.groupBy("src").count()
+    row = (
+        nodes.join(deg, nodes["id"] == deg["src"], "left")
+        .agg(
+            F.sum(F.when(F.col("count").isNull(), 1).otherwise(0)).alias("dang"),
+            F.max(F.coalesce(F.col("count"), F.lit(0))).alias("mx_out"),
+        )
+        .collect()[0]
+    )
+    mx_in = e.groupBy("dst").count().agg(F.max("count")).collect()[0][0]
+    e.unpersist()
+    return {
+        "n_nodes": int(n_nodes),
+        "n_edges": int(n_edges),
+        "n_dangling": int(row["dang"]),
+        "max_out_degree": int(row["mx_out"]),
+        "max_in_degree": int(mx_in or 0),
+    }
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 5,

@@ -15,10 +15,11 @@ import datetime
 import pytest
 from pyspark.sql import functions as F
 
-from minivectordb_spark.operators.graph import pagerank
+from minivectordb_spark.operators.graph import pagerank, pagerank_diagnostics
 from minivectordb_spark.operators.linkage import (
     blocked_best_match,
     blocked_link_pairs,
+    linkage_diagnostics,
 )
 from minivectordb_spark.operators.profile import profile_table
 
@@ -154,6 +155,30 @@ def test_linkage_equidistant_ties_pick_min_right_id(spark):
         left, right, "lid", "rid", "name", "name", block_len=4, max_dist=2
     ).collect()
     assert len(best) == 1 and best[0]["rid"] == 20  # both dist 1 -> min rid
+
+
+def test_pagerank_diagnostics_counters(spark):
+    # 1->2, 1->3, 3->1; 2 dangling; in-degree max at 1 (from 3) and 3? no:
+    # dst counts: 2<-1, 3<-1, 1<-1 — all in-degree 1; out: 1 has 2
+    d = pagerank_diagnostics(_edges(spark, [(1, 2), (1, 3), (3, 1), (1, 2)]))
+    assert d == {
+        "n_nodes": 3,
+        "n_edges": 3,  # duplicate (1,2) collapses
+        "n_dangling": 1,  # node 2
+        "max_out_degree": 2,  # node 1
+        "max_in_degree": 1,
+    }
+
+
+def test_linkage_diagnostics_counts_block_products(spark):
+    left, right = _frames(spark)
+    d = linkage_diagnostics(left, right, "name", "name", block_len=6)
+    # blocks: 'smith-' has L=2, R=3 -> 6 comparisons; 'zzzzz-' has no
+    # right-side rows so it contributes NO joint block
+    assert d["n_left"] == 3 and d["n_right"] == 3
+    assert d["n_joint_blocks"] == 1
+    assert d["candidate_comparisons"] == 6
+    assert d["max_block_l"] == 2 and d["max_block_r"] == 3
 
 
 # ---------------------------------------------------------------------------

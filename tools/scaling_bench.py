@@ -72,6 +72,12 @@ SCALED_QUERIES = [
     # aggregate + per-doc LEFT join, and the two-phase distinct rollup
     "dup_ngram_fraction",
     "source_report",
+    # late-r7 promotions: iterative graph loop (per-round join+agg
+    # counters) and blocked entity resolution (candidate-vs-block
+    # counters; customer replication preserves the name-generator
+    # invariant so block sizes stay bounded as the table grows)
+    "pagerank",
+    "record_linkage",
 ]
 
 
@@ -114,6 +120,18 @@ def build_scaled_dir(spark, sf_dir: str, out_dir: str, factor: int = 10) -> None
     ).withColumn("embedding", perturbed).drop("__rep").write.mode(
         "overwrite"
     ).parquet(f"{out_dir}/embeddings.parquet")
+
+    # customer: keep the generator invariant c_name == 'Customer#%09d'
+    # so the record_linkage blocking key behaves exactly as on a
+    # genuinely larger table (block sizes bounded by the freed suffix,
+    # NOT inflated by replication collisions)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust.crossJoin(rep).withColumn(
+        "c_custkey", F.col("c_custkey") * factor + F.col("__rep")
+    ).withColumn(
+        "c_name",
+        F.concat(F.lit("Customer#"), F.lpad(F.col("c_custkey").cast("string"), 9, "0")),
+    ).drop("__rep").write.mode("overwrite").parquet(f"{out_dir}/customer.parquet")
 
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
