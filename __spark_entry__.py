@@ -1752,6 +1752,47 @@ WHERE rn = 1
 """.strip()
 
 
+RANGE_BANDS = 30
+
+
+def q_range_join_bands(spark, sf_dir):
+    """Bucketed range join (operators/ranges, new r7): orders matched to
+    OVERLAPPING quadratic price bands [i^2*1000, (i+2)^2*1000) — interval
+    widths irregular by construction and every order matches up to two
+    bands, so the green row pins multi-match semantics.  The naive
+    spelling is a BroadcastNestedLoopJoin (or a cartesian when both
+    sides are large); the operator turns it into interval->bucket
+    explode + hash equi-join + residual filter — the 100 TB path.  The
+    oracle is the plain theta-join: result equality is independent of
+    the bucket decomposition."""
+    from minivectordb_spark.operators.ranges import bucketed_range_join
+
+    orders = _t(spark, sf_dir, "orders")
+    bands = spark.range(RANGE_BANDS).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * F.col("id") * 1000).cast("double").alias("lo"),
+        ((F.col("id") + 2) * (F.col("id") + 2) * 1000).cast("double").alias("hi"),
+    )
+    return bucketed_range_join(
+        orders,
+        bands,
+        "o_totalprice",
+        bucket_width=4000.0,
+        point_cols=["o_orderkey"],
+        interval_cols=["band_id"],
+    )
+
+
+def _oracle_range_join_bands() -> str:
+    return f"""
+WITH bands AS (SELECT i::BIGINT AS band_id, (i * i * 1000)::DOUBLE AS lo,
+                      ((i + 2) * (i + 2) * 1000)::DOUBLE AS hi
+               FROM unnest(range(0, {RANGE_BANDS})) AS t(i))
+SELECT o.o_orderkey, b.band_id
+FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+""".strip()
+
+
 def q_profile_events(spark, sf_dir):
     """Single-pass table profiler (operators/profile.profile_table, new
     r7) on events: per column the non-null count, exact distinct count,
@@ -2291,6 +2332,11 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       registry full) — one aggregate over one scan for per-column
       nonnull/distinct/min/max/avg-length; the graded source_report
       row prices the same one-pass observability shape
+    - range_join_bands: bucketed range join (new late-r7, registry
+      full) — interval->bucket explode + hash equi-join + residual
+      filter replaces the nested-loop theta-join; overlapping bands
+      pin multi-match; oracle is the plain theta-join (result equality
+      is bucket-decomposition-independent)
 
     Demoted in the r6 rotation (VERDICT r5 item 1: micro-rows whose
     behavior is fully unit-pinned, swapped for the five SQL shapes plus
@@ -2359,6 +2405,7 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "lang_id": q_lang_id,
         "profile_events": q_profile_events,
+        "range_join_bands": q_range_join_bands,
     }
 
 
@@ -3723,6 +3770,7 @@ LEFT JOIN h ON h.hr = s.hr AND h.event_type = t.event_type
         "pagerank": _oracle_pagerank(),
         "record_linkage": _oracle_record_linkage(),
         "profile_events": _oracle_profile_events(),
+        "range_join_bands": _oracle_range_join_bands(),
         "events_cube": """
 SELECT (epoch_ns(ts) // 86400000000000) * 86400 AS day_epoch,
        event_type, count(*)::BIGINT AS n,

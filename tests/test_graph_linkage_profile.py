@@ -22,6 +22,10 @@ from minivectordb_spark.operators.linkage import (
     linkage_diagnostics,
 )
 from minivectordb_spark.operators.profile import profile_table
+from minivectordb_spark.operators.ranges import (
+    bucketed_range_join,
+    range_join_diagnostics,
+)
 
 TOTAL = 1_000_000_000_000
 
@@ -245,3 +249,63 @@ def test_profile_selected_columns_only(spark):
     df = spark.createDataFrame([(1, "a", 2.0)], "i long, s string, x double")
     cols = [r["column"] for r in profile_table(df, columns=["s"]).collect()]
     assert cols == ["s"]
+
+
+# ---------------------------------------------------------------------------
+# bucketed range join
+# ---------------------------------------------------------------------------
+
+def _range_frames(spark):
+    pts = spark.createDataFrame(
+        [(1, 5.0), (2, 10.0), (3, 25.0), (4, 99.0)], "pid long, v double"
+    )
+    iv = spark.createDataFrame(
+        [(100, 0.0, 10.0), (200, 5.0, 30.0), (300, 30.0, 40.0)],
+        "band long, lo double, hi double",
+    )
+    return pts, iv
+
+
+def test_range_join_matches_and_multi_match(spark):
+    pts, iv = _range_frames(spark)
+    got = {
+        (r["pid"], r["band"])
+        for r in bucketed_range_join(
+            pts, iv, "v", bucket_width=7.0, point_cols=["pid"],
+            interval_cols=["band"],
+        ).collect()
+    }
+    # v=5 in [0,10) and [5,30) (multi-match); v=10 only [5,30) (hi
+    # exclusive); v=25 in [5,30); v=99 matches nothing
+    assert got == {(1, 100), (1, 200), (2, 200), (3, 200)}
+
+
+@pytest.mark.parametrize("w", [0.5, 3.0, 1000.0])
+def test_range_join_result_independent_of_bucket_width(spark, w):
+    pts, iv = _range_frames(spark)
+    got = {
+        (r["pid"], r["band"])
+        for r in bucketed_range_join(
+            pts, iv, "v", bucket_width=w, point_cols=["pid"],
+            interval_cols=["band"],
+        ).collect()
+    }
+    assert got == {(1, 100), (1, 200), (2, 200), (3, 200)}
+
+
+def test_range_join_rejects_nonpositive_width(spark):
+    pts, iv = _range_frames(spark)
+    with pytest.raises(ValueError):
+        bucketed_range_join(pts, iv, "v", bucket_width=0)
+
+
+def test_range_join_diagnostics(spark):
+    pts, iv = _range_frames(spark)
+    d = range_join_diagnostics(pts, iv, "v", bucket_width=10.0)
+    # buckets: [0,10) -> b0..b1, [5,30) -> b0..b3, [30,40) -> b3..b4
+    assert d["n_intervals"] == 3
+    assert d["exploded_interval_rows"] == 2 + 4 + 2
+    # points: b0 holds v=5, b1 holds v=10, b2 v=25, b9 v=99 (no interval)
+    assert d["max_points_per_bucket"] == 1
+    assert d["max_intervals_per_bucket"] == 2  # b0 and b1 and b3 hold 2
+    assert d["candidate_pairs"] == 2 + 2 + 1  # b0:1x2, b1:1x2, b2:1x1
