@@ -226,3 +226,49 @@ def test_source_report_two_phase_distinct(spark, sf):
     for line in plan.splitlines():
         if "Exchange" in line and "hashpartitioning" not in line:
             raise AssertionError(line)
+
+
+def test_record_linkage_blocked_equi_join_and_partial_window(spark, sf):
+    """The blocked link must plan as an EQUI-join on the block key
+    (BroadcastHashJoin here, SMJ at scale — never a nested-loop/theta
+    join) with the levenshtein verify inside the join, and the top-1
+    selection must forward at most one row per left id before the
+    exchange (Partial WindowGroupLimit)."""
+    df = _q("record_linkage", spark, sf)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+    assert "levenshtein" in plan, plan
+
+
+def test_range_join_no_nested_loop(spark, sf):
+    """The bucketed range join must be a hash equi-join on the bucket id —
+    the whole point is avoiding the BroadcastNestedLoopJoin/Cartesian a
+    theta-join would plan as."""
+    df = _q("range_join_bands", spark, sf)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_profile_single_scan(spark, sf):
+    """The profiler's contract is ONE pass: exactly one FileScan feeds the
+    whole per-column statistics tree (the Expand multiplies rows inside
+    the pass, it does not rescan)."""
+    df = _q("profile_events", spark, sf)
+    plan = physical_plan(df)
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_pagerank_lineage_truncated_to_last_round(spark, sf):
+    """The returned (lazy) final round must not embed rounds 0..N-1: its
+    plan reaches the previous round through a checkpoint scan
+    (ExistingRDD), and contains exactly the one groupBy(dst) aggregation
+    of the final round — the iterative-lineage trap guard."""
+    df = _q("pagerank", spark, sf)
+    plan = physical_plan(df)
+    assert "ExistingRDD" in plan, plan
+    # one final-round contribution aggregate, partial+final = 2 HashAggregate
+    # mentions keyed on dst; rounds 0..N-2 would multiply this
+    assert plan.count("hashpartitioning(dst") <= 1, plan
