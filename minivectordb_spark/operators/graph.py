@@ -26,10 +26,12 @@ Scale design (100 TB / billions of edges):
   receives pre-combined partials, never the raw edge stream.
 - ``localCheckpoint`` truncates lineage every iteration so round N's plan
   does not embed rounds 1..N-1 (the classic iterative-Spark trap; same
-  discipline as ``connected_components`` and the BPE loop).
-- The dangling-mass term is a single scalar aggregate per iteration
-  (constant-bounded driver transfer, same class as the BM25 stats
-  collect).
+  discipline as ``connected_components`` and the BPE loop).  Checkpoints
+  are LAZY: the caller's single action executes all rounds in sequence —
+  the loop itself launches no jobs.
+- The dangling-mass term is a one-row aggregate broadcast-crossed into
+  the rank update — it stays inside the plan; the only driver-side
+  scalar in the whole operator is the upfront node count.
 """
 
 from __future__ import annotations
@@ -131,14 +133,22 @@ def pagerank(
     ew = e.join(outdeg, "src").repartition("src").cache()
     ranks = nodes.select("id", F.lit(base).cast("long").alias("rank_micro"))
     for _ in range(iterations):
-        ranks = ranks.localCheckpoint(eager=True)
-        # dangling mass: nodes with no outgoing edge (includes pure sinks)
-        dang_row = (
+        # lazy checkpoint: the LOGICAL plan is truncated to a LogicalRDD
+        # immediately (so round N never embeds rounds 0..N-1 at analysis
+        # time), but nothing executes until the caller's action — the
+        # rounds then materialize in sequence inside that one job chain.
+        ranks = ranks.localCheckpoint(eager=False)
+        # dangling mass: nodes with no outgoing edge (pure sinks).  A
+        # one-row aggregate broadcast-crossed into the update keeps the
+        # whole round inside the plan — no driver round-trip per round.
+        dang = (
             ranks.join(outdeg, ranks["id"] == outdeg["src"], "left_anti")
-            .agg(F.coalesce(F.sum("rank_micro"), F.lit(0)).alias("d"))
-            .collect()
+            .agg(
+                F.expr(f"coalesce(sum(rank_micro), 0L) div {n}L").alias(
+                    "__d_over_n"
+                )
+            )
         )
-        d_over_n = int(dang_row[0]["d"]) // n
         contribs = (
             ew.join(ranks, ew["src"] == ranks["id"])
             .select("dst", F.expr("rank_micro div __odeg").alias("__c"))
@@ -147,12 +157,13 @@ def pagerank(
         )
         ranks = (
             nodes.join(contribs, nodes["id"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "id",
                 (
                     F.lit(teleport)
                     + F.expr(
-                        f"{damping_pct} * (coalesce(__inb, 0L) + {d_over_n}L) div 100"
+                        f"{damping_pct} * (coalesce(__inb, 0L) + __d_over_n) div 100"
                     )
                 ).cast("long").alias("rank_micro"),
             )
