@@ -1793,6 +1793,105 @@ FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
 """.strip()
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_events_funnel(spark, sf_dir):
+    """Conversion funnel (operators/funnel, new r7): users reaching
+    view -> click -> purchase with strictly increasing timestamps, each
+    step anchored at the user's FIRST qualifying occurrence of the
+    previous step.  One conditional aggregate per step + one equi-join
+    per transition — never a per-user event collect (hot users at 100 TB
+    would blow an executor) and never a cross join; step filters run
+    before each join so the shuffles carry only that step's events plus
+    a monotonically shrinking user frontier."""
+    from minivectordb_spark.operators.funnel import funnel_counts
+
+    return funnel_counts(_t(spark, sf_dir, "events"), list(FUNNEL_STEPS))
+
+
+def _oracle_events_funnel() -> str:
+    s1, s2, s3 = FUNNEL_STEPS
+    return f"""
+WITH u0 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = '{s1}' GROUP BY user_id),
+u1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN u0 USING (user_id)
+       WHERE e.event_type = '{s2}' AND e.ts > u0.t GROUP BY e.user_id),
+u2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN u1 USING (user_id)
+       WHERE e.event_type = '{s3}' AND e.ts > u1.t GROUP BY e.user_id)
+SELECT 0::BIGINT AS step_idx, '{s1}' AS step, count(*)::BIGINT AS n_users FROM u0
+UNION ALL
+SELECT 1::BIGINT, '{s2}', count(*)::BIGINT FROM u1
+UNION ALL
+SELECT 2::BIGINT, '{s3}', count(*)::BIGINT FROM u2
+""".strip()
+
+
+def q_events_json(spark, sf_dir):
+    """Semi-structured column analytics: events.props is a JSON string —
+    parse it ONCE with from_json (schema'd, codegen'd, no UDF) and
+    aggregate by the extracted field.  The engine family every pipeline
+    needs for raw event payloads; pushdown-friendly because the parse is
+    a per-row expression over one scan."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.from_json("props", "k INT").alias("__p"),
+            F.col("value"),
+        )
+        .groupBy(F.col("__p.k").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+    )
+
+
+def _oracle_events_json() -> str:
+    return """
+SELECT (props->>'k')::INT AS k, count(*)::BIGINT AS n,
+       round(CAST(sum(value::DECIMAL(18,4)) AS DOUBLE), 2) AS sum_value
+FROM events
+GROUP BY 1
+""".strip()
+
+
+def q_events_deciles(spark, sf_dir):
+    """NTILE window shape: per event type, assign each event to a value
+    decile (total order: value, event_id — engine-portable tie break)
+    and roll the deciles up.  Completes the window-function family
+    (frame aggregate, row_number top-N, lag/cumsum, percentiles, ntile)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+
+
+def _oracle_events_deciles() -> str:
+    return """
+SELECT event_type, decile, count(*)::BIGINT AS n,
+       min(value) AS lo, max(value) AS hi
+FROM (SELECT event_type, value,
+             ntile(10) OVER (PARTITION BY event_type
+                             ORDER BY value ASC, event_id ASC) AS decile
+      FROM events)
+GROUP BY event_type, decile
+""".strip()
+
+
 def q_profile_events(spark, sf_dir):
     """Single-pass table profiler (operators/profile.profile_table, new
     r7) on events: per column the non-null count, exact distinct count,
@@ -2337,6 +2436,14 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       filter replaces the nested-loop theta-join; overlapping bands
       pin multi-match; oracle is the plain theta-join (result equality
       is bucket-decomposition-independent)
+    - events_funnel: first-touch conversion funnel (new late-r7,
+      registry full) — per-step conditional aggregate + per-transition
+      equi-join cascade, hot-user safe (no event collect); strict
+      ordering and first-occurrence anchoring unit-pinned
+    - events_json: semi-structured props analytics via from_json (new
+      late-r7, registry full) — the JSON payload family; ->> twin
+    - events_deciles: NTILE window rollup (new late-r7, registry
+      full) — completes the window-function family
 
     Demoted in the r6 rotation (VERDICT r5 item 1: micro-rows whose
     behavior is fully unit-pinned, swapped for the five SQL shapes plus
@@ -2406,6 +2513,9 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "profile_events": q_profile_events,
         "range_join_bands": q_range_join_bands,
+        "events_funnel": q_events_funnel,
+        "events_json": q_events_json,
+        "events_deciles": q_events_deciles,
     }
 
 
@@ -3771,6 +3881,9 @@ LEFT JOIN h ON h.hr = s.hr AND h.event_type = t.event_type
         "record_linkage": _oracle_record_linkage(),
         "profile_events": _oracle_profile_events(),
         "range_join_bands": _oracle_range_join_bands(),
+        "events_funnel": _oracle_events_funnel(),
+        "events_json": _oracle_events_json(),
+        "events_deciles": _oracle_events_deciles(),
         "events_cube": """
 SELECT (epoch_ns(ts) // 86400000000000) * 86400 AS day_epoch,
        event_type, count(*)::BIGINT AS n,
