@@ -2288,6 +2288,30 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
         d["output_rows"] = int(q_record_linkage(spark, sf_dir).count())
         return d
 
+    def c_range_join(spark: SparkSession, sf_dir: str) -> dict:
+        """Fan-out / occupancy counters: exploded_interval_rows is the
+        build-side cost of the bucket decomposition; candidate_pairs is
+        what the residual filter actually sees (vs |points| x |bands|
+        for the nested-loop plan the operator replaces)."""
+        from minivectordb_spark.operators.ranges import range_join_diagnostics
+
+        orders = _t(spark, sf_dir, "orders")
+        bands = spark.range(RANGE_BANDS).select(
+            F.col("id").alias("band_id"),
+            (F.col("id") * F.col("id") * 1000).cast("double").alias("lo"),
+            ((F.col("id") + 2) * (F.col("id") + 2) * 1000).cast("double").alias("hi"),
+        )
+        d = range_join_diagnostics(orders, bands, "o_totalprice", bucket_width=4000.0)
+        d["nested_loop_pairs_avoided"] = int(orders.count()) * RANGE_BANDS
+        return d
+
+    def c_events_funnel(spark: SparkSession, sf_dir: str) -> dict:
+        """The funnel's own step counts ARE its scale counters: the
+        frontier must shrink monotonically, and each transition's join
+        carries only that step's events."""
+        rows = q_events_funnel(spark, sf_dir).collect()
+        return {f"step{r['step_idx']}_{r['step']}": int(r["n_users"]) for r in rows}
+
     return {
         "neardup_lsh": c_neardup_lsh,
         "neardup_cosine": c_neardup_cosine,
@@ -2301,6 +2325,8 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
         "dsir_logweights": c_dsir_logweights,
         "pagerank": c_pagerank,
         "record_linkage": c_record_linkage,
+        "range_join_bands": c_range_join,
+        "events_funnel": c_events_funnel,
     }
 
 

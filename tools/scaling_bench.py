@@ -78,6 +78,12 @@ SCALED_QUERIES = [
     # invariant so block sizes stay bounded as the table grows)
     "pagerank",
     "record_linkage",
+    # late-r7 second wave: bucketed range join (fan-out/occupancy
+    # counters), single-pass profiler, funnel cascade, JSON aggregate
+    "range_join_bands",
+    "profile_events",
+    "events_funnel",
+    "events_json",
 ]
 
 
