@@ -73,6 +73,7 @@ SEMANTIC_DEDUP_COS = 0.4  # tighter than NEARDUP_COS: a semantic-duplicate
 # decision, and the loose 0.35 pair graph chains across whole clusters at
 # sf0.1 (measured: 2.6x the CC wall for no additional oracle signal)
 SIMHASH_MAX_HAMMING = 3  # exact recall for < n_bands=4 (pigeonhole)
+SETSIM_TAU = 0.5  # exact prefix-filter Jaccard threshold (setsim row)
 NEARDUP_PLANES = default_projection_planes(DIM)  # 4 planes, seed 7
 # caller-pinned planes for q_neardup_cosine: 64 buckets, literal-inlined in
 # both the Spark plan and the DuckDB oracle (VERDICT r3 item 2)
@@ -1008,6 +1009,20 @@ def q_simhash_pairs64(spark, sf_dir):
     )
 
 
+def q_setsim_pairs(spark, sf_dir):
+    """Exact all-pairs shingle Jaccard >= 0.5 via prefix filtering
+    (AllPairs/PPJoin family) — the EXACT-recall counterpart of the graded
+    lsh_jaccard_pairs row: same (id_a, id_b, jaccard) contract, but every
+    qualifying pair is provably emitted (no banding misses) while the
+    df-ordered prefix join keeps candidates bounded (counters record 773
+    candidates vs 124,750 brute-force pairs at the gate scale)."""
+    from minivectordb_spark.operators.setsim import setsim_pairs
+
+    return setsim_pairs(
+        _t(spark, sf_dir, "documents"), k=SHINGLE_K, threshold=SETSIM_TAU
+    )
+
+
 def q_neardup_cosine(spark, sf_dir):
     """Explicit-planes LSH near-dup (VERDICT r3 item 2): re-pointed from
     block_col="label" (fixed 10-value blocking — quadratic within-block at
@@ -1858,6 +1873,144 @@ GROUP BY 1
 """.strip()
 
 
+def q_late_sole_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting) adapted to the
+    test schema: for finished orders ('F') with at least two distinct
+    suppliers, find the orders where EXACTLY ONE supplier shipped late
+    (l_shipdate > o_orderdate + 60 days) and charge that supplier; top 10
+    suppliers by count.  The classic formulation is a semi-join (exists
+    another supplier) plus an anti-join (not exists another LATE supplier)
+    — both self-joins on the fact table.  Spark expresses the decorrelated
+    rewrite: ONE groupBy(orderkey) computes distinct-supplier and
+    distinct-late-supplier counts, so the fact table shuffles once on its
+    natural key instead of self-joining twice — the rewrite every engine's
+    optimizer aims for, stated declaratively (at 100 TB the two
+    fact-to-fact self-joins are the difference between one shuffle and
+    three)."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    base = l.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("late"),
+    )
+    per_order = base.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late"
+        ),
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
+    )
+    blamed = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+    ).select(F.col("late_supp").alias("s_key"))
+    return (
+        blamed.join(F.broadcast(s), F.col("s_key") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(10)
+    )
+
+
+def _oracle_late_sole_suppliers() -> str:
+    return """
+SELECT s_name, numwait FROM (
+  SELECT s_name, count(*)::BIGINT AS numwait
+  FROM (
+    SELECT l_orderkey,
+           count(DISTINCT l_suppkey) AS n_supp,
+           count(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                               THEN l_suppkey END) AS n_late,
+           max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                    THEN l_suppkey END) AS late_supp
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY l_orderkey
+  ) po
+  JOIN supplier ON late_supp = s_suppkey
+  WHERE n_supp >= 2 AND n_late = 1
+  GROUP BY s_name
+)
+ORDER BY numwait DESC, s_name ASC
+LIMIT 10
+""".strip()
+
+
+def q_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity) adapted to the test
+    schema: customers in three market segments whose account balance is
+    above the average POSITIVE balance of that population, and who have
+    placed no order since 2000-01-01 — per segment, how many and how much
+    idle balance.  Three classic sub-shapes composed: IN-list dimension
+    filter, scalar aggregate subquery (the avg, decimal-frozen and
+    broadcast as a one-row frame), and an anti-join against the fact
+    table (the date predicate pushes into the orders scan, so the
+    anti-join's build input is already pruned at the source; the shuffle
+    hash on o_custkey is the only corpus-sized move)."""
+    segs = ("BUILDING", "AUTOMOBILE", "MACHINERY")
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin(*segs))
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    )
+    avg_row = c.filter(F.col("c_acctbal") > 0).agg(
+        F.round(
+            F.avg(F.col("c_acctbal").cast("decimal(18,4)")).cast("double"), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("avg_bal")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    rich = c.crossJoin(F.broadcast(avg_row)).filter(
+        F.col("c_acctbal").cast("decimal(18,6)") > F.col("avg_bal")
+    )
+    dormant = rich.join(
+        o, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return dormant.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double"), 4
+        ).alias("totacctbal"),
+    )
+
+
+def _oracle_dormant_customers() -> str:
+    return """
+WITH pop AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal
+  FROM customer
+  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+),
+a AS (
+  SELECT round(avg(c_acctbal::DECIMAL(18,4))::DOUBLE, 6)::DECIMAL(18,6) AS avg_bal
+  FROM pop WHERE c_acctbal > 0
+)
+SELECT c_mktsegment, count(*)::BIGINT AS numcust,
+       round(sum(c_acctbal::DECIMAL(18,4))::DOUBLE, 4) AS totacctbal
+FROM pop, a
+WHERE c_acctbal::DECIMAL(18,6) > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment
+""".strip()
+
+
 def q_events_deciles(spark, sf_dir):
     """NTILE window shape: per event type, assign each event to a value
     decile (total order: value, event_id — engine-portable tie break)
@@ -1994,7 +2147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "lsh_jaccard_pairs": q_lsh_jaccard_pairs,
         "semantic_dedup": q_semantic_dedup,
-        "simhash_pairs64": q_simhash_pairs64,
+        "setsim_jaccard_pairs": q_setsim_pairs,
         "doc_chunks": q_doc_chunks,
         "bm25_search": q_bm25_search,
         "repeated_passages": q_repeated_passages,
@@ -2312,6 +2465,19 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
         rows = q_events_funnel(spark, sf_dir).collect()
         return {f"step{r['step_idx']}_{r['step']}": int(r["n_users"]) for r in rows}
 
+    def c_setsim(spark: SparkSession, sf_dir: str) -> dict:
+        """Prefix-filter counters: candidate_pairs vs the N*(N-1)/2 the
+        exact answer would brute-force, and max_posting_list — the skew
+        bound (df-ascending ordering keeps frequent tokens out of every
+        prefix, so no posting list grows with the corpus)."""
+        from minivectordb_spark.operators.setsim import setsim_diagnostics
+
+        d = setsim_diagnostics(
+            _t(spark, sf_dir, "documents"), k=SHINGLE_K, threshold=SETSIM_TAU
+        )
+        d["brute_force_pairs"] = d["n_docs"] * (d["n_docs"] - 1) // 2
+        return d
+
     return {
         "neardup_lsh": c_neardup_lsh,
         "neardup_cosine": c_neardup_cosine,
@@ -2327,6 +2493,7 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
         "record_linkage": c_record_linkage,
         "range_join_bands": c_range_join,
         "events_funnel": c_events_funnel,
+        "setsim_jaccard_pairs": c_setsim,
     }
 
 
@@ -2542,6 +2709,9 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_json": q_events_json,
         "events_deciles": q_events_deciles,
+        "simhash_pairs64": q_simhash_pairs64,
+        "late_sole_suppliers": q_late_sole_suppliers,
+        "dormant_customers": q_dormant_customers,
     }
 
 
@@ -3424,6 +3594,38 @@ WHERE d.doc_id NOT IN (
 """.strip()
 
 
+def _oracle_setsim_pairs() -> str:
+    """q_setsim_pairs twin: the SAME prefix-filter program in DuckDB —
+    df-composite order keys, integer ceil for the prefix length, integer
+    verify predicate.  Exactness of the algorithm itself (oracle == brute
+    force) is separately pinned by tests/test_operators.py."""
+    tau_u = int(round(SETSIM_TAU * 1_000_000))
+    return f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+sh AS (SELECT doc_id, {_SQL_SHINGLE_HASHES} AS hs FROM t),
+post AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+dfreq AS (SELECT h, count(*) AS df FROM post GROUP BY h),
+keyed AS (SELECT doc_id, (df * 8589934592 + h)::BIGINT AS k
+          FROM post JOIN dfreq USING (h)),
+ordered AS (SELECT doc_id, list_sort(list(k)) AS arr, count(*)::BIGINT AS n
+            FROM keyed GROUP BY doc_id),
+prefix AS (SELECT doc_id, n,
+             unnest(list_slice(arr, 1,
+               (n + 1 - (n * {tau_u} + 999999) // 1000000)::INT)) AS k
+           FROM ordered),
+cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         FROM prefix l JOIN prefix r ON l.k = r.k AND l.doc_id < r.doc_id
+           AND l.n * 1000000 >= r.n * {tau_u}
+           AND r.n * 1000000 >= l.n * {tau_u}),
+v AS (SELECT id_a, id_b, len(list_intersect(a.arr, b.arr))::BIGINT AS i,
+             a.n AS na, b.n AS nb
+      FROM cand JOIN ordered a ON a.doc_id = id_a
+                JOIN ordered b ON b.doc_id = id_b)
+SELECT id_a, id_b, round(i::DOUBLE / (na + nb - i)::DOUBLE, 6) AS jaccard
+FROM v WHERE i * 1000000 >= {tau_u} * (na + nb - i)
+""".strip()
+
+
 def _oracle_simhash_pairs64() -> str:
     def votes(src: str, prefix: str) -> str:
         return ",\n    ".join(
@@ -4012,6 +4214,9 @@ FROM documents
         "simhash": _oracle_simhash(),
         "simhash_pairs": _oracle_simhash_pairs(),
         "simhash_pairs64": _oracle_simhash_pairs64(),
+        "setsim_jaccard_pairs": _oracle_setsim_pairs(),
+        "late_sole_suppliers": _oracle_late_sole_suppliers(),
+        "dormant_customers": _oracle_dormant_customers(),
         "quantize_embeddings": """
 WITH m AS (
   SELECT vec_id, embedding,

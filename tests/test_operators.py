@@ -2149,3 +2149,108 @@ def test_exact_avg_micros_boundary(spark):
         for r in cr.select(_exact_avg_micros("a", "b").alias("v")).collect()
     ]
     assert vals == [0.333333, 0.666667, 0.5]
+
+
+# ---------------- exact set-similarity join (prefix filtering) ----------------
+
+
+def _py_shingle_sets(rows, k=3):
+    """Independent pure-Python oracle for the shingle-hash sets: whitespace
+    tokens, word k-gram shingles (whole-doc fallback under k tokens),
+    md5-prefix 32-bit hashes — mirrors hashing.md5i32 by construction."""
+    import hashlib
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    out = {}
+    for doc_id, text in rows:
+        toks = text.split(" ") if text else []
+        if len(toks) >= k:
+            sh = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+        else:
+            sh = {" ".join(toks)}
+        out[doc_id] = {h32(s) for s in sh}
+    return out
+
+
+def _py_bruteforce_pairs(rows, tau, k=3):
+    sets = _py_shingle_sets(rows, k)
+    ids = sorted(sets)
+    got = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            if union and inter * 1_000_000 >= int(round(tau * 1e6)) * union:
+                got.add((a, b))
+    return got
+
+
+@pytest.mark.parametrize("tau", [0.3, 0.5, 0.8])
+def test_setsim_pairs_exact_vs_bruteforce(spark, tau):
+    """Prefix filtering is EXACT: output == brute-force all-pairs at every
+    threshold — the recall guarantee LSH only approximates."""
+    from minivectordb_spark.operators.setsim import setsim_pairs
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different content about spark engines"),
+        (4, "a b"),
+        (5, "a b"),
+        (6, "the quick brown fox leaps over the lazy dog today"),
+        (7, "spark engines about content different completely extra"),
+        (8, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in setsim_pairs(df, threshold=tau).collect()
+    }
+    assert got == _py_bruteforce_pairs(rows, tau)
+
+
+def test_setsim_pairs_gate_table_vs_bruteforce(spark):
+    """Exactness on the real gate table (sf0.001 documents): the operator's
+    output equals the pure-Python brute force over all N*(N-1)/2 pairs."""
+    from minivectordb_spark.operators.setsim import setsim_pairs
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = [(r["doc_id"], r["text"]) for r in df.select("doc_id", "text").collect()]
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in setsim_pairs(df, threshold=0.5).collect()
+    }
+    assert got == _py_bruteforce_pairs(rows, 0.5)
+
+
+def test_setsim_jaccard_values(spark):
+    """Reported jaccard equals the exact set ratio rounded to 6dp."""
+    from minivectordb_spark.operators.setsim import setsim_pairs
+
+    rows = [
+        (0, "w x y z a b c d"),
+        (1, "w x y z a b c e"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sets = _py_shingle_sets(rows)
+    inter = len(sets[0] & sets[1])
+    union = len(sets[0] | sets[1])
+    out = setsim_pairs(df, threshold=0.3).collect()
+    assert len(out) == 1
+    assert out[0]["jaccard"] == round(inter / union, 6)
+
+
+def test_setsim_diagnostics_candidates_bounded(spark):
+    """The counters the bench records: candidates must sit between the true
+    output and brute force, and the posting-list bound must hold."""
+    from minivectordb_spark.operators.setsim import setsim_diagnostics
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d = setsim_diagnostics(df, threshold=0.5)
+    brute = d["n_docs"] * (d["n_docs"] - 1) // 2
+    assert d["output_pairs"] <= d["candidate_pairs"] <= brute
+    assert d["candidate_pairs"] < brute  # the filter actually prunes
+    assert d["max_posting_list"] <= d["n_docs"]

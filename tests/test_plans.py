@@ -272,3 +272,16 @@ def test_pagerank_lineage_truncated_to_last_round(spark, sf):
     # one final-round contribution aggregate, partial+final = 2 HashAggregate
     # mentions keyed on dst; rounds 0..N-2 would multiply this
     assert plan.count("hashpartitioning(dst") <= 1, plan
+
+
+def test_setsim_prefix_equi_join_no_cartesian(spark, sf):
+    """The exact set-similarity join must plan as hash equi-joins on the
+    prefix order key — prefix filtering replaces the all-pairs cross join,
+    so neither candidate generation nor verification may plan a
+    CartesianProduct / BroadcastNestedLoopJoin."""
+    df = _q("setsim_jaccard_pairs", spark, sf)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # candidate generation joins postings on the composite order key
+    assert "__k" in plan, plan
