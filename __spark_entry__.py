@@ -2011,6 +2011,69 @@ GROUP BY c_mktsegment
 """.strip()
 
 
+MMR_K = 5
+MMR_LAMBDA = 0.7
+MMR_POOL = 50
+
+
+def q_mmr_rerank(spark, sf_dir):
+    """MMR diversified top-k (operators/mmr.py): exact-cosine top-50 pool
+    (distributed TakeOrdered — the only corpus-scale stage) then the
+    k-step greedy argmax over integer-micro relevance/pairwise-similarity
+    tables (constant-bounded at pool^2, collected like the kNN driver
+    merge).  The oracle unrolls the same greedy as a k-step CTE chain —
+    the bpe_merges pattern — so selection order is replayed bit-exactly."""
+    from minivectordb_spark.operators.mmr import mmr_rerank
+
+    return mmr_rerank(
+        _t(spark, sf_dir, "embeddings"),
+        QVEC,
+        k=MMR_K,
+        lam=MMR_LAMBDA,
+        pool=MMR_POOL,
+        emb_col="embedding",
+        id_col="vec_id",
+    )
+
+
+def _oracle_mmr() -> str:
+    """q_mmr_rerank twin: unrolled k-step greedy (one CTE pair per pick)."""
+    lam_u = int(round(MMR_LAMBDA * 1_000_000))
+    inv_u = 1_000_000 - lam_u
+    cos = _sql_cos_lit("embedding", QVEC, QNORM)
+    pcos = _sql_cos_cols("a.embedding", "b.embedding")
+    ctes = [
+        f"""pool AS (
+  SELECT vec_id AS id, embedding, round({cos}, 6) AS rel,
+         CAST(round(round({cos}, 6) * 1000000, 0) AS BIGINT) AS rel_u
+  FROM embeddings ORDER BY {cos} DESC, vec_id ASC LIMIT {MMR_POOL})""",
+        f"""pm AS (
+  SELECT a.id AS ia, b.id AS ib,
+         CAST(round(round({pcos}, 6) * 1000000, 0) AS BIGINT) AS pm
+  FROM pool a, pool b WHERE a.id != b.id)""",
+        f"""s1 AS (
+  SELECT 1 AS rank, id, rel, {lam_u} * rel_u AS mmr_micro
+  FROM pool ORDER BY {lam_u} * rel_u DESC, id ASC LIMIT 1)""",
+    ]
+    for t in range(2, MMR_K + 1):
+        sel = " UNION ALL ".join(f"SELECT id FROM s{i}" for i in range(1, t))
+        ctes.append(
+            f"""s{t} AS (
+  SELECT {t} AS rank, p.id, p.rel,
+         {lam_u} * p.rel_u - {inv_u} * (
+           SELECT max(pm) FROM pm WHERE pm.ia = p.id AND pm.ib IN ({sel})
+         ) AS mmr_micro
+  FROM pool p WHERE p.id NOT IN ({sel})
+  ORDER BY mmr_micro DESC, p.id ASC LIMIT 1)"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, MMR_K + 1))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT rank, id, rel AS relevance, mmr_micro FROM ({union})"
+    )
+
+
 def q_events_deciles(spark, sf_dir):
     """NTILE window shape: per event type, assign each event to a value
     decile (total order: value, event_id — engine-portable tie break)
@@ -2712,6 +2775,7 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs64": q_simhash_pairs64,
         "late_sole_suppliers": q_late_sole_suppliers,
         "dormant_customers": q_dormant_customers,
+        "mmr_rerank": q_mmr_rerank,
     }
 
 
@@ -4217,6 +4281,7 @@ FROM documents
         "setsim_jaccard_pairs": _oracle_setsim_pairs(),
         "late_sole_suppliers": _oracle_late_sole_suppliers(),
         "dormant_customers": _oracle_dormant_customers(),
+        "mmr_rerank": _oracle_mmr(),
         "quantize_embeddings": """
 WITH m AS (
   SELECT vec_id, embedding,

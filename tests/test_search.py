@@ -404,3 +404,91 @@ def test_maxsim_topk_plan_is_map_only_take_ordered(spark):
     out = maxsim_topk(df, [[1.0, 0.0], [0.0, 1.0]], k=2)
     assert_plan_contains(out, "TakeOrderedAndProject")
     assert_no_shuffle(out)
+
+
+# ---------------- MMR diversified rerank ----------------
+
+
+def test_mmr_skips_near_duplicate(spark):
+    """The point of MMR: with two near-identical top docs, the second pick
+    must NOT be the duplicate of the first (plain top-k would return it)."""
+    from minivectordb_spark.operators.mmr import mmr_rerank
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    rows = [
+        (0, [1.0, 0.3, 0.0, 0.0]),    # rel ~0.958 (first pick, id tiebreak)
+        (1, [1.0, 0.301, 0.0, 0.0]),  # near-dup of 0: sim(1,0) ~ 1.0
+        (2, [1.0, -0.3, 0.0, 0.0]),   # same relevance, diverse: sim(2,0) ~ 0.835
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = mmr_rerank(df, q, k=2, lam=0.5, pool=3).collect()
+    order = [r["id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert order[0] == 0                 # tie on relevance -> id asc
+    assert order[1] == 2                 # diversity beats the near-dup
+
+
+def test_mmr_lambda_one_equals_topk(spark):
+    """lam=1 disables the diversity term: selection order must equal plain
+    cosine top-k order (rel desc, id asc)."""
+    from minivectordb_spark.operators.mmr import mmr_rerank
+    from minivectordb_spark.scoring import knn
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    import __spark_entry__ as e
+
+    out = mmr_rerank(df, e.QVEC, k=5, lam=1.0, pool=20).collect()
+    got = [r["id"] for r in sorted(out, key=lambda r: r["rank"])]
+    want = [
+        r["vec_id"]
+        for r in knn(df, e.QVEC, k=5, emb_col="embedding", id_col="vec_id").collect()
+    ]
+    assert got == want
+
+
+def test_mmr_matches_independent_python(spark):
+    """Full greedy replayed by an independent numpy implementation over the
+    same pool (float64 left-assoc dot, round-6 micro freeze)."""
+    import math
+
+    from minivectordb_spark.operators.mmr import mmr_rerank
+
+    q = [0.3, -0.2, 0.9, 0.1]
+    rows = [(i, [math.sin(i * 7.1 + j) for j in range(4)]) for i in range(12)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    import numpy as np
+
+    def micro_cos(a, b):
+        a = np.asarray(a, dtype=np.float32).astype(np.float64)
+        b = np.asarray(b, dtype=np.float32).astype(np.float64)
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        na = math.sqrt(sum(float(x) * float(x) for x in a))
+        nb = math.sqrt(sum(float(x) * float(x) for x in b))
+        return int(round(round(dot / (na * nb), 6) * 1e6))
+
+    lam_u, k = 700000, 4
+    rel = {i: micro_cos(v, np.asarray(q, dtype=np.float64)) for i, v in rows}
+    # query is float64 on both sides; embedding goes through float32 storage
+    vecs = dict(rows)
+    cand, sel, want = dict(rel), [], []
+    for _ in range(k):
+        best = None
+        for c, r in cand.items():
+            if sel:
+                pen = max(micro_cos(vecs[c], vecs[s0]) for s0 in sel)
+                score = lam_u * r - (1_000_000 - lam_u) * pen
+            else:
+                score = lam_u * r
+            if best is None or (-score, c) < best[0]:
+                best = ((-score, c), c)
+        want.append(best[1])
+        sel.append(best[1])
+        del cand[best[1]]
+
+    out = mmr_rerank(df, q, k=k, lam=0.7, pool=12).collect()
+    got = [r["id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert got == want
