@@ -84,6 +84,11 @@ SCALED_QUERIES = [
     "profile_events",
     "events_funnel",
     "events_json",
+    # late-r7 third wave: exact prefix-filter set-similarity join — the
+    # replicated 10-cliques multiply true pairs quadratically (like the
+    # LSH row), so grade the candidate counters (candidates must track
+    # the ANSWER, max_posting_list must stay bounded), not the raw ratio
+    "setsim_jaccard_pairs",
 ]
 
 
