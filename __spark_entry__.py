@@ -2011,6 +2011,49 @@ GROUP BY c_mktsegment
 """.strip()
 
 
+# incremental-rollup batch boundaries (epoch-nanos): 2024-01-20 / 2024-01-25
+ROLLUP_SPLITS_NS = (1705708800 * 10**9, 1706140800 * 10**9)
+
+
+def q_rollup_incremental(spark, sf_dir):
+    """Incremental aggregate-view maintenance (operators/incremental.py):
+    events split into three disjoint time batches, each reduced to
+    algebraic partial state (count, DECIMAL sum, min, max), states merged
+    by the monoid ⊕, derived avg computed at read time from exact
+    partials.  The oracle is a PLAIN full aggregate over all events — the
+    row being green IS the maintained-view == full-recompute identity.
+    At scale only the newest batch shuffles; the merge moves one row per
+    live key per state frame."""
+    from minivectordb_spark.operators.incremental import incremental_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    c1, c2 = ROLLUP_SPLITS_NS
+    batches = [
+        ev.filter(F.col("ts") < F.lit(c1)),
+        ev.filter((F.col("ts") >= F.lit(c1)) & (F.col("ts") < F.lit(c2))),
+        ev.filter(F.col("ts") >= F.lit(c2)),
+    ]
+    day = (F.expr("ts div 86400000000000") * F.lit(86400)).alias("day_epoch")
+    return incremental_rollup(
+        batches, [day, F.col("event_type")], ["day_epoch", "event_type"], "value"
+    )
+
+
+def _oracle_rollup_incremental() -> str:
+    """q_rollup_incremental twin: the DIRECT full aggregate (no batching)
+    — green means the incremental maintenance is lossless."""
+    mi = "CAST(sum(value::DECIMAL(18,6)) * 1000000 AS BIGINT)"
+    return f"""
+SELECT epoch(date_trunc('day', ts))::BIGINT AS day_epoch, event_type,
+       count(*)::BIGINT AS n,
+       round(sum(value::DECIMAL(18,6))::DOUBLE, 6) AS sum_value,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       {_sql_exact_avg_micros(mi, "count(*)")} AS avg_value
+FROM events GROUP BY 1, 2
+""".strip()
+
+
 MMR_K = 5
 MMR_LAMBDA = 0.7
 MMR_POOL = 50
@@ -2776,6 +2819,7 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_sole_suppliers": q_late_sole_suppliers,
         "dormant_customers": q_dormant_customers,
         "mmr_rerank": q_mmr_rerank,
+        "rollup_incremental": q_rollup_incremental,
     }
 
 
@@ -4282,6 +4326,7 @@ FROM documents
         "late_sole_suppliers": _oracle_late_sole_suppliers(),
         "dormant_customers": _oracle_dormant_customers(),
         "mmr_rerank": _oracle_mmr(),
+        "rollup_incremental": _oracle_rollup_incremental(),
         "quantize_embeddings": """
 WITH m AS (
   SELECT vec_id, embedding,

@@ -73,3 +73,62 @@ def test_asof_join_tolerance(spark):
     }
     assert outer[(2, 500)] == (None, None)
     assert outer[(1, 100)] == ("a", 95) and outer[(1, 200)] == ("b", 120)
+
+
+# ---------------- incremental rollup maintenance ----------------
+
+
+def test_incremental_rollup_monoid_law(spark):
+    """state(A ∪ B ∪ C) == state(A) ⊕ state(B) ⊕ state(C) for an
+    arbitrary (hash-based, uneven) partition of the input — including
+    keys absent from some batches."""
+    from minivectordb_spark.operators.incremental import (
+        finalize_rollup,
+        incremental_rollup,
+        rollup_state,
+    )
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    # uneven 3-way split on a hash nobody aligned with the grouping key
+    part = F.abs(F.hash("event_id")) % 7
+    batches = [
+        ev.filter(part < 4),
+        ev.filter(part == 4),
+        ev.filter(part > 4),
+    ]
+    inc = incremental_rollup(
+        batches, [F.col("event_type")], ["event_type"], "value"
+    ).toPandas()
+    full = finalize_rollup(
+        rollup_state(ev, [F.col("event_type")], "value"), ["event_type"]
+    ).toPandas()
+    a = inc.sort_values("event_type").reset_index(drop=True)
+    b = full.sort_values("event_type").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_incremental_rollup_empty_batch(spark):
+    """An empty delta batch is the monoid identity: merging it changes
+    nothing (the streaming no-new-data micro-batch case)."""
+    from pyspark.sql import functions as F
+
+    from minivectordb_spark.operators.incremental import (
+        finalize_rollup,
+        incremental_rollup,
+        rollup_state,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    empty = ev.filter(F.lit(False))
+    inc = incremental_rollup(
+        [ev, empty], [F.col("event_type")], ["event_type"], "value"
+    ).toPandas()
+    full = finalize_rollup(
+        rollup_state(ev, [F.col("event_type")], "value"), ["event_type"]
+    ).toPandas()
+    assert inc.sort_values("event_type").reset_index(drop=True).equals(
+        full.sort_values("event_type").reset_index(drop=True)
+    )
