@@ -309,3 +309,46 @@ def test_range_join_diagnostics(spark):
     assert d["max_points_per_bucket"] == 1
     assert d["max_intervals_per_bucket"] == 2  # b0 and b1 and b3 hold 2
     assert d["candidate_pairs"] == 2 + 2 + 1  # b0:1x2, b1:1x2, b2:1x1
+
+
+# ---------------- triangle counting ----------------
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 plus a pendant: K4 has C(4,3)=4 triangles, each K4 node sits in
+    exactly 3 of them; the pendant node sits in none (absent from output)."""
+    from minivectordb_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(k4 + [(3, 9)], "src long, dst long")
+    got = {r["node"]: r["n_tri"] for r in triangle_counts(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_counts_direction_and_dup_insensitive(spark):
+    """The input is treated as undirected with multiplicity collapsed:
+    reversed and duplicated edges change nothing."""
+    from minivectordb_spark.operators.graph import triangle_counts
+
+    base = [(0, 1), (1, 2), (0, 2)]
+    noisy = base + [(b, a) for a, b in base] + base
+    e1 = spark.createDataFrame(base, "src long, dst long")
+    e2 = spark.createDataFrame(noisy, "src long, dst long")
+    g1 = sorted(map(tuple, triangle_counts(e1).collect()))
+    g2 = sorted(map(tuple, triangle_counts(e2).collect()))
+    assert g1 == g2 == [(0, 1), (1, 1), (2, 1)]
+
+
+def test_triangle_orientation_bounds_hub(spark):
+    """A star hub (degree 40) plus one rim edge: the hub's ORIENTED
+    out-degree must be O(sqrt(m)), not its raw degree — the counter the
+    bench records, asserted on the adversarial shape."""
+    from minivectordb_spark.operators.graph import triangle_diagnostics
+
+    star = [(100, i) for i in range(40)]  # hub 100
+    edges = spark.createDataFrame(star + [(0, 1)], "src long, dst long")
+    d = triangle_diagnostics(edges)
+    assert d["max_degree"] == 40
+    # the hub's edges all point INTO it (rim nodes have smaller degree)
+    assert d["max_out_degree_oriented"] <= 2
+    assert d["triangles"] == 1  # (hub, 0, 1)

@@ -285,3 +285,13 @@ def test_setsim_prefix_equi_join_no_cartesian(spark, sf):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     # candidate generation joins postings on the composite order key
     assert "__k" in plan, plan
+
+
+def test_triangle_counts_all_equi_joins(spark, sf):
+    """Wedge generation, closure, and the two degree joins must all plan
+    as hash equi-joins — no cartesian/nested-loop anywhere in the
+    triangle pipeline."""
+    df = _q("triangle_counts", spark, sf)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -89,6 +89,9 @@ SCALED_QUERIES = [
     # LSH row), so grade the candidate counters (candidates must track
     # the ANSWER, max_posting_list must stay bounded), not the raw ratio
     "setsim_jaccard_pairs",
+    # degree-ordered triangle counting: raw hub degree grows with the
+    # event multiplier but oriented out-degree must stay O(sqrt(m))
+    "triangle_counts",
 ]
 
 
