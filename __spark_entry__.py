@@ -2011,6 +2011,104 @@ GROUP BY c_mktsegment
 """.strip()
 
 
+def q_nation_balance(spark, sf_dir):
+    """FULL OUTER join shape — the one outer-join variant no other row
+    exercises: per-nation supplier balance vs per-nation customer
+    balance, nations present on either side retained with explicit
+    nulls coalesced.  Both inputs are pre-aggregated to nation
+    cardinality before the join, so the outer join itself moves only
+    dimension-sized rows (the 100 TB shape: aggregate first, join
+    small)."""
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(
+            F.round(F.sum(F.col("s_acctbal").cast("decimal(18,4)")).cast("double"), 4).alias("supp_bal")
+        )
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk_c"))
+        .agg(
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double"), 4).alias("cust_bal")
+        )
+    )
+    j = s.join(c, F.col("nk_s") == F.col("nk_c"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("nk_s"), F.col("nk_c")).alias("nationkey"),
+        F.coalesce(F.col("supp_bal"), F.lit(0.0)).alias("supp_bal"),
+        F.coalesce(F.col("cust_bal"), F.lit(0.0)).alias("cust_bal"),
+        (F.col("nk_s").isNotNull() & F.col("nk_c").isNotNull()).alias("both_sides"),
+    )
+
+
+def _oracle_nation_balance() -> str:
+    return """
+SELECT coalesce(s.nk, c.nk) AS nationkey,
+       coalesce(supp_bal, 0.0) AS supp_bal,
+       coalesce(cust_bal, 0.0) AS cust_bal,
+       (s.nk IS NOT NULL AND c.nk IS NOT NULL) AS both_sides
+FROM (SELECT s_nationkey AS nk,
+             round(sum(s_acctbal::DECIMAL(18,4))::DOUBLE, 4) AS supp_bal
+      FROM supplier GROUP BY 1) s
+FULL OUTER JOIN
+     (SELECT c_nationkey AS nk,
+             round(sum(c_acctbal::DECIMAL(18,4))::DOUBLE, 4) AS cust_bal
+      FROM customer GROUP BY 1) c
+ON s.nk = c.nk
+""".strip()
+
+
+# user-churn window boundaries (epoch-nanos): 6-hour activity windows one
+# week apart — narrow enough that all three cohorts are non-empty at both
+# gate scales (sf0.01: 25 retained / 35 churned / 39 new)
+CHURN_W1_NS = (1704672000 * 10**9, 1704693600 * 10**9)  # 01-08 00:00..06:00
+CHURN_W2_NS = (1705276800 * 10**9, 1705298400 * 10**9)  # 01-15 00:00..06:00
+
+
+def q_user_churn(spark, sf_dir):
+    """Set-operation shapes (INTERSECT / EXCEPT) — not exercised by any
+    other row: users active in week 1 vs week 2 classified as retained
+    (INTERSECT), churned (w1 EXCEPT w2), and new (w2 EXCEPT w1).  Spark
+    plans each set op as an aggregate/anti-join over the distinct user
+    sets — dimension-sized inputs, the corpus is touched once per week
+    filter with the time predicate pushed to the scan."""
+    ev = _t(spark, sf_dir, "events")
+    w1 = ev.filter(
+        (F.col("ts") >= F.lit(CHURN_W1_NS[0])) & (F.col("ts") < F.lit(CHURN_W1_NS[1]))
+    ).select("user_id").distinct()
+    w2 = ev.filter(
+        (F.col("ts") >= F.lit(CHURN_W2_NS[0])) & (F.col("ts") < F.lit(CHURN_W2_NS[1]))
+    ).select("user_id").distinct()
+    retained = w1.intersect(w2).select(F.lit("retained").alias("cohort"), "user_id")
+    churned = w1.exceptAll(w2).select(F.lit("churned").alias("cohort"), "user_id")
+    new = w2.exceptAll(w1).select(F.lit("new").alias("cohort"), "user_id")
+    return (
+        retained.unionByName(churned)
+        .unionByName(new)
+        .groupBy("cohort")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def _oracle_user_churn() -> str:
+    w1a, w1b = CHURN_W1_NS
+    w2a, w2b = CHURN_W2_NS
+    w1 = f"SELECT DISTINCT user_id FROM events WHERE epoch_ns(ts) >= {w1a} AND epoch_ns(ts) < {w1b}"
+    w2 = f"SELECT DISTINCT user_id FROM events WHERE epoch_ns(ts) >= {w2a} AND epoch_ns(ts) < {w2b}"
+    return f"""
+WITH w1 AS ({w1}), w2 AS ({w2}),
+cohorts AS (
+  SELECT 'retained' AS cohort, user_id FROM (SELECT user_id FROM w1 INTERSECT SELECT user_id FROM w2)
+  UNION ALL
+  SELECT 'churned', user_id FROM (SELECT user_id FROM w1 EXCEPT SELECT user_id FROM w2)
+  UNION ALL
+  SELECT 'new', user_id FROM (SELECT user_id FROM w2 EXCEPT SELECT user_id FROM w1)
+)
+SELECT cohort, count(*)::BIGINT AS n_users FROM cohorts GROUP BY cohort
+""".strip()
+
+
 def q_triangle_counts(spark, sf_dir):
     """Per-node triangle counts (operators/graph.triangle_counts) over the
     same derived event graph as pagerank.  Degree-ordered orientation
@@ -2874,6 +2972,8 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": q_mmr_rerank,
         "rollup_incremental": q_rollup_incremental,
         "triangle_counts": q_triangle_counts,
+        "nation_balance": q_nation_balance,
+        "user_churn": q_user_churn,
     }
 
 
@@ -4382,6 +4482,8 @@ FROM documents
         "mmr_rerank": _oracle_mmr(),
         "rollup_incremental": _oracle_rollup_incremental(),
         "triangle_counts": _oracle_triangle_counts(),
+        "nation_balance": _oracle_nation_balance(),
+        "user_churn": _oracle_user_churn(),
         "quantize_embeddings": """
 WITH m AS (
   SELECT vec_id, embedding,
