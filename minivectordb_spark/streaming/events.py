@@ -774,3 +774,70 @@ def read_heavy_hitters(
             (F.col("cnt_lower") >= F.lit(thr)).alias("certain"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental aggregate-view maintenance
+# ---------------------------------------------------------------------------
+
+
+def stream_rollup_ingest(
+    stream_df: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    keys: list[str],
+    value_col: str = "value",
+):
+    """Streaming side of operators/incremental.py: every micro-batch is
+    reduced to its algebraic partial state (count, DECIMAL sum, min, max
+    per key — ``rollup_state``) and written to a ``batch={id}``-keyed
+    partition with overwrite semantics, so an at-least-once foreachBatch
+    replay of the same epoch OVERWRITES rather than double-counts (the
+    source_stats / heavy_hitters idempotence contract).  Per-trigger
+    cost: one partial-aggregated shuffle of the BATCH — the accumulated
+    state is never read on the write path.
+
+    ``read_rollup`` folds the state log by the monoid ⊕ and equals a
+    batch full recompute bit-exactly (the decimal sum is associative and
+    order-independent) — pinned by the batch==stream equivalence test."""
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _rollup_write_batch(batch_df, batch_id, store_path, keys, value_col)
+
+    return (
+        stream_df.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
+def _rollup_write_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    keys: list[str],
+    value_col: str,
+) -> None:
+    """One epoch, idempotent per ``batch_id`` (module-level so the replay
+    contract is directly unit-testable)."""
+    from minivectordb_spark.operators.incremental import rollup_state
+
+    rollup_state(batch_df, keys, value_col).write.mode("overwrite").parquet(
+        f"{store_path}/state/batch={batch_id}"
+    )
+
+
+def read_rollup(
+    spark: SparkSession, store_path: str, key_names: list[str]
+) -> DataFrame:
+    """Fold the state log into the finalized view: one groupBy over
+    state-sized rows (one row per key per batch — cost scales with the
+    log, never the ingested corpus), derived avg from the exact decimal
+    partials at read time."""
+    from minivectordb_spark.operators.incremental import (
+        finalize_rollup,
+        merge_states,
+    )
+
+    state = spark.read.parquet(f"{store_path}/state").drop("batch")
+    return finalize_rollup(merge_states([state], key_names), key_names)

@@ -888,3 +888,82 @@ def test_stream_heavy_hitters_replay_idempotent(spark, tmp_path):
     for item, (cnt, _c) in got.items():
         assert cnt <= true_counts[item], (item, cnt, true_counts[item])
     assert got["hot"][0] == true_counts["hot"] and got["hot"][1]
+
+
+def test_stream_rollup_matches_batch_recompute(spark, tmp_path):
+    """Batch==stream equivalence for incremental aggregate maintenance:
+    after streaming events in two waves, read_rollup equals the direct
+    full-recompute rollup bit-exactly (the monoid law across
+    micro-batch boundaries)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from minivectordb_spark.operators.incremental import (
+        finalize_rollup,
+        rollup_state,
+    )
+    from minivectordb_spark.streaming import read_rollup, stream_rollup_ingest
+
+    rng = random.Random(23)
+    rows = [
+        (i, f"type{i % 4}", round(rng.uniform(-50, 50), 4)) for i in range(40)
+    ]
+    wave2 = [(100 + i, f"type{i % 5}", round(rng.uniform(-50, 50), 4)) for i in range(25)]
+
+    src = str(tmp_path / "ev_in")
+    store = str(tmp_path / "rollup")
+    ck = str(tmp_path / "ck_rollup")
+    cols = ["event_id", "event_type", "value"]
+    spark.createDataFrame(rows, cols).write.parquet(src)
+    stream = spark.readStream.schema(
+        "event_id long, event_type string, value double"
+    ).parquet(src)
+    q = stream_rollup_ingest(stream, store, ck, ["event_type"]).start()
+    q.awaitTermination(120)
+    spark.createDataFrame(wave2, cols).write.mode("append").parquet(src)
+    q = stream_rollup_ingest(stream, store, ck, ["event_type"]).start()
+    q.awaitTermination(120)
+
+    full = spark.createDataFrame(rows + wave2, cols)
+    want = {
+        r["event_type"]: r.asDict()
+        for r in finalize_rollup(
+            rollup_state(full, ["event_type"]), ["event_type"]
+        ).collect()
+    }
+    got = {
+        r["event_type"]: r.asDict()
+        for r in read_rollup(spark, store, ["event_type"]).collect()
+    }
+    assert got == want
+    assert len(want) == 5  # type4 appears only in wave 2
+
+
+def test_stream_rollup_replay_idempotent(spark, tmp_path):
+    """Replaying the same batch_id must OVERWRITE, not double-count —
+    the at-least-once foreachBatch contract."""
+    from minivectordb_spark.operators.incremental import (
+        finalize_rollup,
+        rollup_state,
+    )
+    from minivectordb_spark.streaming import read_rollup
+    from minivectordb_spark.streaming.events import _rollup_write_batch
+
+    rows = [(i, f"t{i % 2}", float(i)) for i in range(10)]
+    cols = ["event_id", "event_type", "value"]
+    df = spark.createDataFrame(rows, cols)
+    store = str(tmp_path / "rollup2")
+    _rollup_write_batch(df, 0, store, ["event_type"], "value")
+    _rollup_write_batch(df, 0, store, ["event_type"], "value")  # replay
+    got = {
+        r["event_type"]: r.asDict()
+        for r in read_rollup(spark, store, ["event_type"]).collect()
+    }
+    want = {
+        r["event_type"]: r.asDict()
+        for r in finalize_rollup(
+            rollup_state(df, ["event_type"]), ["event_type"]
+        ).collect()
+    }
+    assert got == want
