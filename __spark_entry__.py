@@ -2011,6 +2011,64 @@ GROUP BY c_mktsegment
 """.strip()
 
 
+SETSIM_AGAINST_MOD = 7
+
+
+def q_setsim_against(spark, sf_dir):
+    """Cross-corpus EXACT dedup (operators/setsim.setsim_against): the
+    exact-recall twin of the approximate dedup_against row — docs with
+    doc_id % {mod} == 0 play the reference set, the rest the incoming
+    crawl, survivors = crawl minus any doc whose exact shingle Jaccard
+    reaches SETSIM_TAU against some reference doc.  One global (df,
+    hash) order over the COMBINED corpus (the prefix theorem needs a
+    single total order); candidates come from a new-prefix x ref-prefix
+    equi-join — never a within-side join."""
+    from minivectordb_spark.operators.setsim import setsim_against
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % SETSIM_AGAINST_MOD == 0)
+    new = docs.filter(F.col("doc_id") % SETSIM_AGAINST_MOD != 0)
+    return setsim_against(
+        new, ref, k=SHINGLE_K, threshold=SETSIM_TAU
+    ).select("doc_id", "lang")
+
+
+def _oracle_setsim_against() -> str:
+    """q_setsim_against twin: same prefix-filter program over the combined
+    order, cross-side candidates only, anti-join survivors."""
+    tau_u = int(round(SETSIM_TAU * 1_000_000))
+    m = SETSIM_AGAINST_MOD
+    return f"""
+WITH t AS (SELECT doc_id, (doc_id % {m} = 0) AS is_ref, {_SQL_TOKS} AS tk FROM documents),
+sh AS (SELECT doc_id, is_ref, {_SQL_SHINGLE_HASHES} AS hs FROM t),
+post AS (SELECT doc_id, is_ref, unnest(hs) AS h FROM sh),
+dfreq AS (SELECT h, count(*) AS df FROM post GROUP BY h),
+keyed AS (SELECT doc_id, is_ref, (df * 8589934592 + h)::BIGINT AS k
+          FROM post JOIN dfreq USING (h)),
+ordered AS (SELECT doc_id, any_value(is_ref) AS is_ref,
+                   list_sort(list(k)) AS arr, count(*)::BIGINT AS n
+            FROM keyed GROUP BY doc_id),
+prefix AS (SELECT doc_id, is_ref, n,
+             unnest(list_slice(arr, 1,
+               (n + 1 - (n * {tau_u} + 999999) // 1000000)::INT)) AS k
+           FROM ordered),
+cand AS (SELECT DISTINCT l.doc_id AS id_n, r.doc_id AS id_r
+         FROM prefix l JOIN prefix r ON l.k = r.k
+           AND NOT l.is_ref AND r.is_ref
+           AND l.n * 1000000 >= r.n * {tau_u}
+           AND r.n * 1000000 >= l.n * {tau_u}),
+flagged AS (SELECT DISTINCT id_n
+  FROM (SELECT c.id_n, len(list_intersect(a.arr, b.arr))::BIGINT AS i,
+               a.n AS nn, b.n AS nr
+        FROM cand c JOIN ordered a ON a.doc_id = c.id_n
+                    JOIN ordered b ON b.doc_id = c.id_r)
+  WHERE i * 1000000 >= {tau_u} * (nn + nr - i))
+SELECT doc_id, lang FROM documents
+WHERE doc_id % {m} != 0
+  AND doc_id NOT IN (SELECT id_n FROM flagged)
+""".strip()
+
+
 def q_nation_balance(spark, sf_dir):
     """FULL OUTER join shape — the one outer-join variant no other row
     exercises: per-nation supplier balance vs per-nation customer
@@ -2974,6 +3032,7 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": q_triangle_counts,
         "nation_balance": q_nation_balance,
         "user_churn": q_user_churn,
+        "setsim_against": q_setsim_against,
     }
 
 
@@ -4484,6 +4543,7 @@ FROM documents
         "triangle_counts": _oracle_triangle_counts(),
         "nation_balance": _oracle_nation_balance(),
         "user_churn": _oracle_user_churn(),
+        "setsim_against": _oracle_setsim_against(),
         "quantize_embeddings": """
 WITH m AS (
   SELECT vec_id, embedding,

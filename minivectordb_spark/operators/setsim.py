@@ -49,27 +49,37 @@ MICRO = 1_000_000
 _KEY_BASE = 1 << 33
 
 
-def _ordered_set_frame(sets_df: DataFrame, id_col: str) -> DataFrame:
-    """(id, arr, n): each row's element-hash set as an array of composite
-    order keys sorted by (global document frequency asc, hash asc).
+def _ordered_set_frame(
+    sets_df: DataFrame, id_col: str, side_col: str | None = None
+) -> DataFrame:
+    """(id[, side], arr, n): each row's element-hash set as an array of
+    composite order keys sorted by (global document frequency asc, hash
+    asc).
 
     ``sets_df`` is (id, sh: array<long>) with DISTINCT element hashes.
     One explode feeds both the df aggregate and the re-group; the join on
     h is a plain hash equi-join (broadcast when the vocabulary is small,
-    shuffle otherwise — AQE's call, not ours).
+    shuffle otherwise — AQE's call, not ours).  ``side_col`` (for the
+    cross-corpus variant) is carried through via first() — ids must be
+    unique across sides.
     """
+    carry = [side_col] if side_col else []
     posting = sets_df.select(
-        F.col(id_col), F.explode("sh").alias("__h")
+        F.col(id_col), *carry, F.explode("sh").alias("__h")
     )
     df_tbl = posting.groupBy("__h").agg(F.count("*").alias("__df"))
     keyed = posting.join(df_tbl, "__h").select(
         id_col,
+        *carry,
         (F.col("__df") * F.lit(_KEY_BASE) + F.col("__h")).alias("__k"),
     )
-    return keyed.groupBy(id_col).agg(
+    aggs = [
         F.sort_array(F.collect_list("__k")).alias("arr"),
         F.count("*").alias("n"),
-    )
+    ]
+    if side_col:
+        aggs.append(F.first(side_col).alias(side_col))
+    return keyed.groupBy(id_col).agg(*aggs)
 
 
 def _prefix_frame(ordered: DataFrame, id_col: str, tau_micro: int) -> DataFrame:
@@ -81,9 +91,11 @@ def _prefix_frame(ordered: DataFrame, id_col: str, tau_micro: int) -> DataFrame:
     p = F.expr(
         f"CAST(n + 1 - (n * {tau_micro}L + {MICRO - 1}) DIV {MICRO} AS INT)"
     )
+    carry = [c for c in ordered.columns if c not in (id_col, "arr", "n")]
     return ordered.select(
         F.col(id_col),
         F.col("n"),
+        *carry,
         F.explode(F.slice("arr", 1, p)).alias("__k"),
     )
 
@@ -213,3 +225,68 @@ def setsim_diagnostics(
         "candidate_pairs": int(cand),
         "output_pairs": int(out),
     }
+
+
+def setsim_against(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-corpus EXACT dedup: rows of ``new_df`` minus every row whose
+    exact shingle Jaccard against ANY ``ref_df`` row reaches
+    ``threshold`` — the exact-recall twin of ``dedup.dedup_against``
+    (which uses approximate MinHash banding).
+
+    One global (df, hash) order is computed over the COMBINED corpus
+    (required by the prefix theorem: both prefixes must come from the
+    same total order), then candidate generation is a new-prefix x
+    ref-prefix hash equi-join — never new x new or ref x ref, and at
+    real scale the reference side's ordered/prefix frames are computed
+    once and persisted.  Ids must be unique across the two frames."""
+    tau_micro = int(round(threshold * MICRO))
+    sets_n = _shingle_frame(new_df, text_col, id_col, k).withColumn(
+        "__side", F.lit("n")
+    )
+    sets_r = _shingle_frame(ref_df, text_col, id_col, k).withColumn(
+        "__side", F.lit("r")
+    )
+    ordered = _reused(
+        _ordered_set_frame(sets_n.unionByName(sets_r), id_col, "__side")
+    )
+    prefix = _prefix_frame(ordered, id_col, tau_micro)
+    pn = prefix.where(F.col("__side") == "n").select(
+        F.col(id_col).alias("id_n"), F.col("n").alias("n_n"), "__k"
+    )
+    pr = prefix.where(F.col("__side") == "r").select(
+        F.col(id_col).alias("id_r"), F.col("n").alias("n_r"), "__k"
+    )
+    cand = (
+        pn.join(pr, "__k")
+        .where(
+            (F.col("n_n") * F.lit(MICRO) >= F.col("n_r") * F.lit(tau_micro))
+            & (F.col("n_r") * F.lit(MICRO) >= F.col("n_n") * F.lit(tau_micro))
+        )
+        .select("id_n", "id_r")
+        .distinct()
+    )
+    arr_n = ordered.select(
+        F.col(id_col).alias("id_n"), F.col("arr").alias("__an"), F.col("n").alias("n_n")
+    )
+    arr_r = ordered.select(
+        F.col(id_col).alias("id_r"), F.col("arr").alias("__ar"), F.col("n").alias("n_r")
+    )
+    flagged = (
+        cand.join(arr_n, "id_n")
+        .join(arr_r, "id_r")
+        .withColumn("__i", F.size(F.array_intersect("__an", "__ar")))
+        .where(
+            F.col("__i") * F.lit(MICRO)
+            >= F.lit(tau_micro) * (F.col("n_n") + F.col("n_r") - F.col("__i"))
+        )
+        .select(F.col("id_n").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(flagged, id_col, "left_anti")

@@ -2254,3 +2254,27 @@ def test_setsim_diagnostics_candidates_bounded(spark):
     assert d["output_pairs"] <= d["candidate_pairs"] <= brute
     assert d["candidate_pairs"] < brute  # the filter actually prunes
     assert d["max_posting_list"] <= d["n_docs"]
+
+
+def test_setsim_against_matches_pairset_reconstruction(spark):
+    """Cross-corpus exact dedup == full pair set restricted to cross-side
+    pairs: survivors are exactly the new docs with no >=tau pair into the
+    reference side (reconstructed independently from setsim_pairs, whose
+    own exactness is brute-force-pinned above)."""
+    from minivectordb_spark.operators.setsim import setsim_against, setsim_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ref = docs.filter(F.col("doc_id") % 7 == 0)
+    new = docs.filter(F.col("doc_id") % 7 != 0)
+    survivors = {
+        r["doc_id"] for r in setsim_against(new, ref, threshold=0.5).collect()
+    }
+    newids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    flagged = set()
+    for p in setsim_pairs(docs, threshold=0.5).collect():
+        a, b = p["id_a"], p["id_b"]
+        if a in newids and b not in newids:
+            flagged.add(a)
+        if b in newids and a not in newids:
+            flagged.add(b)
+    assert survivors == newids - flagged
