@@ -129,6 +129,7 @@ def mmr_rerank(
         selected.append(cid)
         del cand[cid]
 
+    id_type = dict(pool_df.dtypes)["id"]
     return spark.createDataFrame(
-        picked, "rank int, id long, relevance double, mmr_micro long"
+        picked, f"rank int, id {id_type}, relevance double, mmr_micro long"
     )
