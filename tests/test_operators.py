@@ -2278,3 +2278,36 @@ def test_setsim_against_matches_pairset_reconstruction(spark):
         if b in newids and a not in newids:
             flagged.add(b)
     assert survivors == newids - flagged
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+            min_size=0,
+            max_size=10,
+        ).map(" ".join),
+        min_size=2,
+        max_size=12,
+    ),
+    tau=st.sampled_from([0.2, 0.4, 0.6, 0.9]),
+)
+def test_setsim_pairs_property_exact(spark, texts, tau):
+    """Prefix filtering is exact for ARBITRARY corpora and thresholds:
+    random small-alphabet texts (dense shingle collisions — the worst
+    case for candidate pruning, the best case for finding recall bugs)
+    always reproduce the brute-force pair set."""
+    from minivectordb_spark.operators.setsim import setsim_pairs
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in setsim_pairs(df, threshold=tau).collect()
+    }
+    assert got == _py_bruteforce_pairs(rows, tau)
