@@ -147,6 +147,16 @@ def build_scaled_dir(spark, sf_dir: str, out_dir: str, factor: int = 10) -> None
         F.concat(F.lit("Customer#"), F.lpad(F.col("c_custkey").cast("string"), 9, "0")),
     ).drop("__rep").write.mode("overwrite").parquet(f"{out_dir}/customer.parquet")
 
+    # orders: needed by range_join_bands (o_totalprice bands).  Remap the
+    # keys consistently with the customer remap so FK relationships keep
+    # holding on the scaled dir.
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.crossJoin(rep).withColumn(
+        "o_orderkey", F.col("o_orderkey") * factor + F.col("__rep")
+    ).withColumn("o_custkey", F.col("o_custkey") * factor + F.col("__rep")).drop(
+        "__rep"
+    ).write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
+
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
