@@ -100,6 +100,74 @@ def _prefix_frame(ordered: DataFrame, id_col: str, tau_micro: int) -> DataFrame:
     )
 
 
+def _canonical_groups(ordered: DataFrame, id_col: str) -> DataFrame:
+    """Collapse IDENTICAL element sets to one representative:
+    (gid = min id, arr, n, members sorted asc).
+
+    Real corpora — and the 10x replication harness even more so — carry
+    exact-duplicate cliques; without this step every base-level candidate
+    pair multiplies by |clique|^2 in the join (measured at the second
+    decade: 31.2M candidates for 250.6k output pairs).  Grouping by the
+    set itself makes the join operate on DISTINCT sets only; member
+    expansion afterwards is generate-only and answer-sized.  Exact
+    Jaccard between identical sets is 1.0 by definition, so intra-group
+    pairs skip verification entirely."""
+    return ordered.groupBy("arr", "n").agg(
+        F.min(id_col).alias("gid"),
+        F.sort_array(F.collect_list(id_col)).alias("members"),
+    )
+
+
+def _group_pairs(groups: DataFrame, tau_micro: int) -> DataFrame:
+    """(ga, gb, jaccard): verified pairs between DISTINCT sets — the
+    prefix-filter join from the module doc, run on group representatives."""
+    rep = groups.select("gid", "arr", "n")
+    prefix = _prefix_frame(rep, "gid", tau_micro)
+    left = prefix.select(F.col("gid").alias("ga"), F.col("n").alias("n_a"), "__k")
+    right = prefix.select(F.col("gid").alias("gb"), F.col("n").alias("n_b"), "__k")
+    cand = (
+        left.join(right, "__k")
+        .where(
+            (F.col("ga") < F.col("gb"))
+            # J >= tau  =>  min(n_a,n_b) >= tau * max(n_a,n_b); both
+            # directions as one symmetric integer predicate
+            & (F.col("n_a") * F.lit(MICRO) >= F.col("n_b") * F.lit(tau_micro))
+            & (F.col("n_b") * F.lit(MICRO) >= F.col("n_a") * F.lit(tau_micro))
+        )
+        .select("ga", "gb")
+        .distinct()
+    )
+    arr_a = groups.select(
+        F.col("gid").alias("ga"), F.col("arr").alias("__aa"), F.col("n").alias("n_a")
+    )
+    arr_b = groups.select(
+        F.col("gid").alias("gb"), F.col("arr").alias("__ab"), F.col("n").alias("n_b")
+    )
+    return (
+        cand.join(arr_a, "ga")
+        .join(arr_b, "gb")
+        .withColumn("__i", F.size(F.array_intersect("__aa", "__ab")))
+        .where(
+            F.col("__i") * F.lit(MICRO)
+            >= F.lit(tau_micro) * (F.col("n_a") + F.col("n_b") - F.col("__i"))
+        )
+        .select(
+            "ga",
+            "gb",
+            F.round(
+                F.col("__i") / (F.col("n_a") + F.col("n_b") - F.col("__i")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+# all C(m,2) ordered pairs from the sorted members array, plan-side
+_INTRA_PAIRS_EXPR = (
+    "flatten(transform(members, (x, i) -> "
+    "transform(slice(members, i + 2, size(members)), y -> struct(x AS a, y AS b))))"
+)
+
+
 def setsim_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -115,54 +183,40 @@ def setsim_pairs(
     collisions.  ``threshold`` is frozen to integer micro-units so the
     prefix length, the size filter, and the verify predicate are all
     integer arithmetic — bit-identical across engines.
-    """
+
+    Identical sets are canonicalized before the join
+    (``_canonical_groups``): the pair join runs on distinct sets only,
+    intra-group pairs are emitted directly with jaccard 1.0 (true by
+    definition), and cross-group member expansion is generate-only."""
     tau_micro = int(round(threshold * MICRO))
     sets = _reused(_shingle_frame(df, text_col, id_col, k))
     ordered = _reused(_ordered_set_frame(sets, id_col))
-    prefix = _prefix_frame(ordered, id_col, tau_micro)
+    groups = _reused(_canonical_groups(ordered, id_col))
+    gp = _group_pairs(groups, tau_micro)
 
-    left = prefix.select(
-        F.col(id_col).alias("id_a"), F.col("n").alias("n_a"), "__k"
-    )
-    right = prefix.select(
-        F.col(id_col).alias("id_b"), F.col("n").alias("n_b"), "__k"
-    )
-    cand = (
-        left.join(right, "__k")
-        .where(
-            (F.col("id_a") < F.col("id_b"))
-            # J >= tau  =>  min(n_a,n_b) >= tau * max(n_a,n_b); both
-            # directions as one symmetric integer predicate
-            & (F.col("n_a") * F.lit(MICRO) >= F.col("n_b") * F.lit(tau_micro))
-            & (F.col("n_b") * F.lit(MICRO) >= F.col("n_a") * F.lit(tau_micro))
-        )
-        .select("id_a", "id_b")
-        .distinct()
-    )
-
-    arr_a = ordered.select(
-        F.col(id_col).alias("id_a"), F.col("arr").alias("__aa"), F.col("n").alias("n_a")
-    )
-    arr_b = ordered.select(
-        F.col(id_col).alias("id_b"), F.col("arr").alias("__ab"), F.col("n").alias("n_b")
-    )
-    verified = (
-        cand.join(arr_a, "id_a")
-        .join(arr_b, "id_b")
-        .withColumn("__i", F.size(F.array_intersect("__aa", "__ab")))
-        .where(
-            F.col("__i") * F.lit(MICRO)
-            >= F.lit(tau_micro) * (F.col("n_a") + F.col("n_b") - F.col("__i"))
-        )
+    ma = groups.select(F.col("gid").alias("ga"), F.col("members").alias("__ma"))
+    mb = groups.select(F.col("gid").alias("gb"), F.col("members").alias("__mb"))
+    cross = (
+        gp.join(ma, "ga")
+        .join(mb, "gb")
+        .select(F.explode("__ma").alias("__ia"), "__mb", "jaccard")
+        .select("__ia", F.explode("__mb").alias("__ib"), "jaccard")
         .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("__i") / (F.col("n_a") + F.col("n_b") - F.col("__i")), 6
-            ).alias("jaccard"),
+            F.least("__ia", "__ib").alias("id_a"),
+            F.greatest("__ia", "__ib").alias("id_b"),
+            "jaccard",
         )
     )
-    return verified
+    intra = (
+        groups.where(F.size("members") >= 2)
+        .select(F.explode(F.expr(_INTRA_PAIRS_EXPR)).alias("__p"))
+        .select(
+            F.col("__p.a").alias("id_a"),
+            F.col("__p.b").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def setsim_diagnostics(
@@ -173,53 +227,41 @@ def setsim_diagnostics(
     threshold: float = 0.5,
 ) -> dict[str, int]:
     """Falsifiable scale counters for the prefix filter: corpus size,
-    prefix-posting volume, candidate pairs (post size-filter, pre-verify),
-    output pairs, and the largest prefix-posting list (the skew bound —
-    at any scale this must stay << n_docs for the 100 TB claim to hold).
-    Mirrors ``range_join_diagnostics`` / linkage counters in bench."""
+    DISTINCT set count (the join's real input after canonicalization),
+    prefix-posting volume and largest posting list on the rep frame (the
+    skew bound), candidate pairs between distinct sets (the work the
+    verify stage actually does), and output pairs (the answer the
+    expansion generates).  Mirrors ``range_join_diagnostics`` / linkage
+    counters in bench."""
     tau_micro = int(round(threshold * MICRO))
     sets = _reused(_shingle_frame(df, text_col, id_col, k))
     ordered = _reused(_ordered_set_frame(sets, id_col))
-    prefix = ordered.select(
-        F.col(id_col),
-        F.col("n"),
-        F.explode(
-            F.slice(
-                "arr",
-                1,
-                (
-                    F.col("n")
-                    - F.floor(
-                        (F.col("n") * F.lit(tau_micro) + F.lit(MICRO - 1))
-                        / F.lit(MICRO)
-                    )
-                    + F.lit(1)
-                ).cast("int"),
-            )
-        ).alias("__k"),
-    )
-    prefix = _reused(prefix)
+    groups = _reused(_canonical_groups(ordered, id_col))
+    rep = groups.select("gid", "arr", "n")
+    prefix = _reused(_prefix_frame(rep, "gid", tau_micro))
     n_docs = ordered.count()
+    n_sets = groups.count()
     postings = prefix.count()
     max_posting = (
         prefix.groupBy("__k").count().agg(F.max("count")).collect()[0][0]
     )
-    left = prefix.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"), "__k")
-    right = prefix.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"), "__k")
+    left = prefix.select(F.col("gid").alias("ga"), F.col("n").alias("n_a"), "__k")
+    right = prefix.select(F.col("gid").alias("gb"), F.col("n").alias("n_b"), "__k")
     cand = (
         left.join(right, "__k")
         .where(
-            (F.col("id_a") < F.col("id_b"))
+            (F.col("ga") < F.col("gb"))
             & (F.col("n_a") * F.lit(MICRO) >= F.col("n_b") * F.lit(tau_micro))
             & (F.col("n_b") * F.lit(MICRO) >= F.col("n_a") * F.lit(tau_micro))
         )
-        .select("id_a", "id_b")
+        .select("ga", "gb")
         .distinct()
         .count()
     )
     out = setsim_pairs(df, text_col, id_col, k, threshold).count()
     return {
         "n_docs": int(n_docs),
+        "distinct_sets": int(n_sets),
         "prefix_postings": int(postings),
         "max_posting_list": int(max_posting or 0),
         "candidate_pairs": int(cand),
@@ -245,7 +287,11 @@ def setsim_against(
     same total order), then candidate generation is a new-prefix x
     ref-prefix hash equi-join — never new x new or ref x ref, and at
     real scale the reference side's ordered/prefix frames are computed
-    once and persisted.  Ids must be unique across the two frames."""
+    once and persisted.  Ids must be unique across the two frames.
+
+    Identical sets canonicalize per side (grouped on (arr, side)): the
+    cross-side join runs on distinct sets, and a flagged NEW group
+    expands to all its member ids — generate-only."""
     tau_micro = int(round(threshold * MICRO))
     sets_n = _shingle_frame(new_df, text_col, id_col, k).withColumn(
         "__side", F.lit("n")
@@ -256,12 +302,20 @@ def setsim_against(
     ordered = _reused(
         _ordered_set_frame(sets_n.unionByName(sets_r), id_col, "__side")
     )
-    prefix = _prefix_frame(ordered, id_col, tau_micro)
+    groups = _reused(
+        ordered.groupBy("arr", "n", "__side").agg(
+            F.min(id_col).alias("gid"),
+            F.collect_list(id_col).alias("members"),
+        )
+    )
+    prefix = _prefix_frame(
+        groups.select("gid", "arr", "n", "__side"), "gid", tau_micro
+    )
     pn = prefix.where(F.col("__side") == "n").select(
-        F.col(id_col).alias("id_n"), F.col("n").alias("n_n"), "__k"
+        F.col("gid").alias("gn"), F.col("n").alias("n_n"), "__k"
     )
     pr = prefix.where(F.col("__side") == "r").select(
-        F.col(id_col).alias("id_r"), F.col("n").alias("n_r"), "__k"
+        F.col("gid").alias("gr"), F.col("n").alias("n_r"), "__k"
     )
     cand = (
         pn.join(pr, "__k")
@@ -269,24 +323,27 @@ def setsim_against(
             (F.col("n_n") * F.lit(MICRO) >= F.col("n_r") * F.lit(tau_micro))
             & (F.col("n_r") * F.lit(MICRO) >= F.col("n_n") * F.lit(tau_micro))
         )
-        .select("id_n", "id_r")
+        .select("gn", "gr")
         .distinct()
     )
-    arr_n = ordered.select(
-        F.col(id_col).alias("id_n"), F.col("arr").alias("__an"), F.col("n").alias("n_n")
+    arr_n = groups.where(F.col("__side") == "n").select(
+        F.col("gid").alias("gn"), F.col("arr").alias("__an"), F.col("n").alias("n_n")
     )
-    arr_r = ordered.select(
-        F.col(id_col).alias("id_r"), F.col("arr").alias("__ar"), F.col("n").alias("n_r")
+    arr_r = groups.where(F.col("__side") == "r").select(
+        F.col("gid").alias("gr"), F.col("arr").alias("__ar"), F.col("n").alias("n_r")
     )
-    flagged = (
-        cand.join(arr_n, "id_n")
-        .join(arr_r, "id_r")
+    flagged_groups = (
+        cand.join(arr_n, "gn")
+        .join(arr_r, "gr")
         .withColumn("__i", F.size(F.array_intersect("__an", "__ar")))
         .where(
             F.col("__i") * F.lit(MICRO)
             >= F.lit(tau_micro) * (F.col("n_n") + F.col("n_r") - F.col("__i"))
         )
-        .select(F.col("id_n").alias(id_col))
+        .select(F.col("gn").alias("gid"))
         .distinct()
     )
+    flagged = flagged_groups.join(
+        groups.where(F.col("__side") == "n").select("gid", "members"), "gid"
+    ).select(F.explode("members").alias(id_col))
     return new_df.join(flagged, id_col, "left_anti")
