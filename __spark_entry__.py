@@ -2069,6 +2069,39 @@ WHERE doc_id % {m} != 0
 """.strip()
 
 
+def q_leakage_free_split(spark, sf_dir):
+    """Leakage-free train/val/test split (operators/prep.leakage_free_split):
+    split key = near-dup component representative (CC over the graded LSH
+    pair set), singletons key on their own id, assignment = engine-
+    portable salted md5 bucket — by construction no duplicate component
+    straddles a split (Lee et al., arXiv:2107.06499 motivation).  The
+    corpus shuffles zero times: CC runs on the answer-sized pair set and
+    the join attaches an answer-sized membership table."""
+    from minivectordb_spark.operators.prep import leakage_free_split
+
+    return leakage_free_split(
+        _t(spark, sf_dir, "documents"), q_lsh_jaccard_pairs(spark, sf_dir)
+    )
+
+
+def _oracle_leakage_free_split() -> str:
+    """q_leakage_free_split twin: the recursive-CTE closure (the
+    dedup_groups oracle) LEFT-joined onto documents, then the identical
+    salted md5 bucket arithmetic."""
+    comp = _oracle_dedup_components()
+    return f"""
+WITH comp AS ({comp}),
+j AS (SELECT d.doc_id, c.component
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+b AS (SELECT doc_id,
+        {_sql_hash("'split:' || coalesce(component, doc_id)::VARCHAR")} % 10 AS bk
+      FROM j)
+SELECT doc_id,
+       CASE WHEN bk < 8 THEN 'train' WHEN bk < 9 THEN 'val' ELSE 'test' END AS split
+FROM b
+""".strip()
+
+
 def q_nation_balance(spark, sf_dir):
     """FULL OUTER join shape — the one outer-join variant no other row
     exercises: per-nation supplier balance vs per-nation customer
@@ -3033,6 +3066,7 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_balance": q_nation_balance,
         "user_churn": q_user_churn,
         "setsim_against": q_setsim_against,
+        "leakage_free_split": q_leakage_free_split,
     }
 
 
@@ -4544,6 +4578,7 @@ FROM documents
         "nation_balance": _oracle_nation_balance(),
         "user_churn": _oracle_user_churn(),
         "setsim_against": _oracle_setsim_against(),
+        "leakage_free_split": _oracle_leakage_free_split(),
         "quantize_embeddings": """
 WITH m AS (
   SELECT vec_id, embedding,

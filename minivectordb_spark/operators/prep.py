@@ -585,3 +585,51 @@ def bpe_encode(
             "bpe_tokens",
         )
     )
+
+
+def leakage_free_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[int, int, int] = (8, 1, 1),
+    salt: str = "split",
+) -> DataFrame:
+    """Group-aware train/val/test assignment: every member of a duplicate /
+    near-duplicate component lands in the SAME split.
+
+    A naive per-document hash split leaks training data into eval — the
+    documented failure mode behind inflated benchmark numbers (the
+    motivation of Lee et al., arXiv:2107.06499: near-dups straddling the
+    split boundary).  Here the split key is the duplicate-component
+    representative (min reachable id via ``connected_components`` over
+    ``pairs``); singletons key on their own id.  The assignment is the
+    engine-portable md5 bucket of the salted key string, so the DuckDB
+    twin reproduces it literal-for-literal, and by construction no
+    component can span two splits.
+
+    Cost at scale: the CC of the (answer-sized) pair set + one LEFT join
+    of the corpus against the (answer-sized) membership table + a
+    map-only hash — the corpus itself shuffles zero times.
+
+    Returns ``df``'s rows as (id, split) with split in
+    {'train', 'val', 'test'} weighted by ``weights`` (out of their sum).
+    """
+    from minivectordb_spark.operators.dedup import connected_components
+
+    total = sum(weights)
+    comp = connected_components(pairs).select(
+        F.col("id").alias("__cid"), F.col("component").alias("__comp")
+    )
+    joined = df.select(F.col(id_col)).join(
+        comp, F.col(id_col) == F.col("__cid"), "left"
+    )
+    group_key = F.coalesce(F.col("__comp"), F.col(id_col))
+    bucket = md5i32(
+        F.concat(F.lit(salt + ":"), group_key.cast("string"))
+    ) % total
+    split = (
+        F.when(bucket < F.lit(weights[0]), "train")
+        .when(bucket < F.lit(weights[0] + weights[1]), "val")
+        .otherwise("test")
+    )
+    return joined.select(F.col(id_col), split.alias("split"))

@@ -2311,3 +2311,48 @@ def test_setsim_pairs_property_exact(spark, texts, tau):
         for r in setsim_pairs(df, threshold=tau).collect()
     }
     assert got == _py_bruteforce_pairs(rows, tau)
+
+
+def test_leakage_free_split_no_component_straddles(spark):
+    """The guarantee the operator exists for: every duplicate component's
+    members land in ONE split — checked on the real gate table against
+    the same pair set the graded dedup rows use."""
+    import __spark_entry__ as e
+    from minivectordb_spark.operators.dedup import connected_components
+    from minivectordb_spark.operators.prep import leakage_free_split
+
+    d = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    pairs = e.q_lsh_jaccard_pairs(spark, d)
+    split = leakage_free_split(docs, pairs)
+    comp = connected_components(pairs)
+    straddlers = (
+        comp.join(split, comp["id"] == split["doc_id"])
+        .groupBy("component")
+        .agg(F.count_distinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    assert straddlers == 0
+    # and the split is total + deterministic
+    rows = {r["doc_id"]: r["split"] for r in split.collect()}
+    rows2 = {r["doc_id"]: r["split"] for r in leakage_free_split(docs, pairs).collect()}
+    assert rows == rows2 and len(rows) == docs.count()
+
+
+def test_leakage_free_split_weights(spark):
+    """Weights steer the bucket arithmetic: (1,0,9)-ish extremes behave,
+    and a planted clique follows its representative's bucket."""
+    from minivectordb_spark.operators.prep import leakage_free_split
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(200)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], ["id_a", "id_b"]
+    )
+    out = {r["doc_id"]: r["split"] for r in
+           leakage_free_split(docs, pairs, weights=(1, 1, 2)).collect()}
+    assert out[0] == out[1] == out[2]
+    assert out[10] == out[11]
+    assert set(out.values()) <= {"train", "val", "test"}
