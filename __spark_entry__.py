@@ -2102,6 +2102,37 @@ FROM b
 """.strip()
 
 
+def q_events_attribution(spark, sf_dir):
+    """Batch side of the stream-stream attribution join
+    (streaming/events.attribution_join): click→purchase pairs per user
+    within 60 minutes, range predicate in integer epoch-nanos (the
+    engine's ts contract).  The SAME function runs as a watermarked
+    StreamingSymmetricHashJoin on a stream — batch==stream equivalence
+    is test-pinned; this row grades the batch semantics."""
+    from minivectordb_spark.streaming.events import attribution_join
+
+    return attribution_join(
+        _t(spark, sf_dir, "events"), within_nanos=3_600_000_000_000
+    ).select(
+        "user",
+        "trigger_id",
+        "outcome_id",
+        (F.col("outcome_ts") - F.col("trigger_ts")).alias("lag_ns"),
+    )
+
+
+def _oracle_events_attribution() -> str:
+    return """
+SELECT t.user_id AS user, t.event_id AS trigger_id, o.event_id AS outcome_id,
+       (epoch_ns(o.ts) - epoch_ns(t.ts))::BIGINT AS lag_ns
+FROM events t JOIN events o
+  ON o.user_id = t.user_id
+ AND epoch_ns(o.ts) > epoch_ns(t.ts)
+ AND epoch_ns(o.ts) <= epoch_ns(t.ts) + 3600000000000
+WHERE t.event_type = 'click' AND o.event_type = 'purchase'
+""".strip()
+
+
 def q_nation_balance(spark, sf_dir):
     """FULL OUTER join shape — the one outer-join variant no other row
     exercises: per-nation supplier balance vs per-nation customer
@@ -3067,6 +3098,7 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_churn": q_user_churn,
         "setsim_against": q_setsim_against,
         "leakage_free_split": q_leakage_free_split,
+        "events_attribution": q_events_attribution,
     }
 
 
@@ -4579,6 +4611,7 @@ FROM documents
         "user_churn": _oracle_user_churn(),
         "setsim_against": _oracle_setsim_against(),
         "leakage_free_split": _oracle_leakage_free_split(),
+        "events_attribution": _oracle_events_attribution(),
         "quantize_embeddings": """
 WITH m AS (
   SELECT vec_id, embedding,

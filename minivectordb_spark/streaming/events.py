@@ -841,3 +841,73 @@ def read_rollup(
 
     state = spark.read.parquet(f"{store_path}/state").drop("batch")
     return finalize_rollup(merge_states([state], key_names), key_names)
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream attribution join
+# ---------------------------------------------------------------------------
+
+
+def attribution_join(
+    events: DataFrame,
+    trigger_type: str = "click",
+    outcome_type: str = "purchase",
+    within: str = "60 minutes",
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    watermark: str | None = None,
+    within_nanos: int | None = None,
+) -> DataFrame:
+    """Trigger→outcome attribution: every (trigger, outcome) pair for the
+    same user where the outcome lands inside ``(trigger_ts, trigger_ts +
+    within]``.  ``within_nanos`` switches the range predicate to integer
+    arithmetic for the engine's int64 epoch-nanos ts contract (the batch
+    oracle row) — timestamps use the ``within`` interval string.  Works identically on a batch frame and on a stream — on a
+    stream this is Spark's watermarked STREAM-STREAM interval join: both
+    sides keep keyed state bounded by the watermark + interval (state for
+    a trigger is dropped once no qualifying outcome can still arrive), so
+    the join never holds an unbounded history.  The batch==stream
+    equivalence is test-pinned; the one semantic knob is ``watermark`` —
+    it must cover the event-time disorder of the source or late pairs are
+    dropped (the documented streaming trade, not a bug).
+
+    Equi-join on the user key + a range predicate on event time: Spark
+    plans the batch side as a hash equi-join with the range as a residual
+    condition — never a cartesian — and the streaming side as
+    StreamingSymmetricHashJoin keyed on the user column.
+
+    Output: (user, trigger_id, outcome_id, trigger_ts, outcome_ts).
+    """
+    trig = events.where(F.col(type_col) == trigger_type).select(
+        F.col(user_col).alias("__u"),
+        F.col(id_col).alias("trigger_id"),
+        F.col(ts_col).alias("trigger_ts"),
+    )
+    outc = events.where(F.col(type_col) == outcome_type).select(
+        F.col(user_col).alias("__u2"),
+        F.col(id_col).alias("outcome_id"),
+        F.col(ts_col).alias("outcome_ts"),
+    )
+    if watermark and events.isStreaming:
+        trig = trig.withWatermark("trigger_ts", watermark)
+        outc = outc.withWatermark("outcome_ts", watermark)
+    bound = (
+        f"trigger_ts + {int(within_nanos)}L"
+        if within_nanos is not None
+        else f"trigger_ts + INTERVAL {within}"
+    )
+    joined = trig.join(
+        outc,
+        F.expr(
+            f"__u = __u2 AND outcome_ts > trigger_ts AND outcome_ts <= {bound}"
+        ),
+    )
+    return joined.select(
+        F.col("__u").alias("user"),
+        "trigger_id",
+        "outcome_id",
+        "trigger_ts",
+        "outcome_ts",
+    )

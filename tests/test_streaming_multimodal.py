@@ -967,3 +967,57 @@ def test_stream_rollup_replay_idempotent(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_stream_attribution_join_matches_batch(spark, tmp_path):
+    """Batch==stream equivalence for the watermarked STREAM-STREAM
+    interval join: the same (trigger, outcome) pair set whether the
+    events arrive as one batch frame or as a file stream processed with
+    availableNow (watermark wide enough to cover the fixture's
+    disorder)."""
+    import datetime as dt
+
+    from minivectordb_spark.streaming.events import attribution_join
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    def ev(i, typ, user, minutes):
+        return (i, typ, user, base + dt.timedelta(minutes=minutes))
+
+    rows = [
+        ev(1, "click", 7, 0),
+        ev(2, "purchase", 7, 30),     # attributed to click 1
+        ev(3, "purchase", 7, 61),     # outside 60min of click 1
+        ev(4, "click", 7, 45),        # purchase 3 attributes here (16min)
+        ev(5, "click", 8, 10),
+        ev(6, "purchase", 9, 20),     # other user, no pair
+        ev(7, "purchase", 8, 10),     # same ts as click 5 -> excluded (>)
+        ev(8, "purchase", 8, 11),     # attributed to click 5
+    ]
+    cols = "event_id long, event_type string, user_id long, ts timestamp"
+    batch = spark.createDataFrame(rows, cols)
+    want = sorted(
+        (r["user"], r["trigger_id"], r["outcome_id"])
+        for r in attribution_join(batch).collect()
+    )
+    assert want == [(7, 1, 2), (7, 4, 3), (8, 5, 8)]
+
+    src = str(tmp_path / "attr_in")
+    ck = str(tmp_path / "attr_ck")
+    out = str(tmp_path / "attr_out")
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(cols).parquet(src)
+    q = (
+        attribution_join(stream, watermark="4 hours")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["user"], r["trigger_id"], r["outcome_id"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == want
