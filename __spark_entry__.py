@@ -2102,6 +2102,92 @@ FROM b
 """.strip()
 
 
+def q_top_revenue_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier via revenue view): per-supplier
+    revenue aggregate, scalar MAX over the aggregate, equality join back
+    — the classic view + scalar-subquery-on-the-view composition.  The
+    revenue is decimal-frozen so the MAX and the equality compare
+    identically on both engines; ties (none in the data, but the shape
+    allows them) are all returned, exactly like the spec query."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            (
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+            ).cast("decimal(18,6)")
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "supplier_no",
+            "s_name",
+            F.round(F.col("total_revenue").cast("double"), 4).alias("total_revenue"),
+        )
+    )
+
+
+def _oracle_top_revenue_supplier() -> str:
+    return """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         sum((l_extendedprice::DECIMAL(18,4)
+              * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4)))::DECIMAL(18,6))
+           AS total_revenue
+  FROM lineitem GROUP BY 1)
+SELECT supplier_no, s_name,
+       round(total_revenue::DOUBLE, 4) AS total_revenue
+FROM rev JOIN supplier ON supplier_no = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+""".strip()
+
+
+def q_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    lineitem quantity clears a threshold (HAVING over the fact
+    aggregate), semi-joined back through orders to the customer — the
+    IN-(grouped-HAVING-subquery) composition.  The qualifying order set
+    is aggregate-output-sized, so the semi-join's build side is small by
+    construction at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("sum_qty"))
+        .where(F.col("sum_qty") > F.lit(180).cast("decimal(18,4)"))
+    )
+    return (
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round(F.col("o_totalprice"), 4).alias("o_totalprice"),
+            F.round(F.col("sum_qty").cast("double"), 4).alias("sum_qty"),
+        )
+    )
+
+
+def _oracle_large_volume_customers() -> str:
+    return """
+SELECT c_custkey, c_name, o_orderkey,
+       round(o_totalprice, 4) AS o_totalprice,
+       round(sum_qty::DOUBLE, 4) AS sum_qty
+FROM orders
+JOIN (SELECT l_orderkey, sum(l_quantity::DECIMAL(18,4)) AS sum_qty
+      FROM lineitem GROUP BY 1
+      HAVING sum(l_quantity::DECIMAL(18,4)) > 180::DECIMAL(18,4)) big
+  ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+""".strip()
+
+
 def q_events_attribution(spark, sf_dir):
     """Batch side of the stream-stream attribution join
     (streaming/events.attribution_join): click→purchase pairs per user
@@ -3099,6 +3185,8 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setsim_against": q_setsim_against,
         "leakage_free_split": q_leakage_free_split,
         "events_attribution": q_events_attribution,
+        "top_revenue_supplier": q_top_revenue_supplier,
+        "large_volume_customers": q_large_volume_customers,
     }
 
 
@@ -4612,6 +4700,8 @@ FROM documents
         "setsim_against": _oracle_setsim_against(),
         "leakage_free_split": _oracle_leakage_free_split(),
         "events_attribution": _oracle_events_attribution(),
+        "top_revenue_supplier": _oracle_top_revenue_supplier(),
+        "large_volume_customers": _oracle_large_volume_customers(),
         "quantize_embeddings": """
 WITH m AS (
   SELECT vec_id, embedding,
