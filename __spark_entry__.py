@@ -2102,6 +2102,115 @@ FROM b
 """.strip()
 
 
+def q_retention_cohorts(spark, sf_dir):
+    """Retention cohort matrix — the canonical product-analytics shape:
+    cohort = each user's FIRST activity week (a per-user min aggregate,
+    i.e. a self-derived dimension), then distinct active users per
+    (cohort_week, week_offset).  Two aggregates + one join; the join's
+    build side is |users|-sized (the cohort table), the second aggregate
+    is partial-combined.  Weeks are integer epoch-week numbers (ts div
+    7-day nanos) — no calendar/timezone dependence, identical on both
+    engines."""
+    ev = _t(spark, sf_dir, "events")
+    wk = F.expr("ts div 604800000000000")
+    acts = ev.select(F.col("user_id"), wk.alias("week")).distinct()
+    cohort = acts.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        acts.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+def _oracle_retention_cohorts() -> str:
+    return """
+WITH acts AS (SELECT DISTINCT user_id,
+                     epoch_ns(ts) // 604800000000000 AS week
+              FROM events),
+cohort AS (SELECT user_id, min(week) AS cohort_week FROM acts GROUP BY 1)
+SELECT cohort_week, (week - cohort_week)::BIGINT AS week_offset,
+       count(DISTINCT a.user_id)::BIGINT AS n_users
+FROM acts a JOIN cohort USING (user_id)
+GROUP BY 1, 2
+""".strip()
+
+
+def q_events_twap(spark, sf_dir):
+    """Time-weighted average value per (user, day) — the TWAP shape:
+    each observation holds until the next one (lead window), weight =
+    holding interval in nanos, day-boundary clipped by the partition.
+    One window pass + one aggregate; the division is the exact integer
+    rational — value frozen to micros, weights in WHOLE SECONDS (nanos
+    div 1e9; sub-second gaps carry zero weight — the documented
+    resolution contract that keeps every operand inside int64, where
+    integer DIV is portable; DECIMAL division is not: Spark DIV wraps
+    and DuckDB // goes float on DECIMAL(38,0), both measured).  Events
+    with no successor in the day carry zero weight; groups with zero
+    total weight drop out."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("ts div 86400000000000")
+    w = Window.partitionBy("user_id", "__day").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    base = ev.select(
+        "user_id", "event_id", "ts", day.alias("__day"),
+        F.round(F.col("value"), 6).alias("__v"),
+    ).withColumn("__next_ts", F.lead("ts").over(w))
+    weighted = base.where(F.col("__next_ts").isNotNull()).select(
+        "user_id",
+        "__day",
+        F.expr("(__next_ts - ts) div 1000000000").alias("__w"),
+        (
+            F.round(F.col("__v") * F.lit(1_000_000), 0).cast("long")
+            * F.expr("(__next_ts - ts) div 1000000000")
+        ).alias("__vw"),
+    )
+    return (
+        weighted.groupBy("user_id", F.col("__day").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("__w").alias("__sw"),
+            F.expr(
+                "CAST(CASE WHEN sum(__vw) >= 0 "
+                "THEN (sum(__vw) * 2 + sum(__w)) DIV (sum(__w) * 2) "
+                "ELSE -(((-sum(__vw)) * 2 + sum(__w)) DIV (sum(__w) * 2)) END "
+                "AS DOUBLE) / 1000000.0"
+            ).alias("twap"),
+        )
+        .where(F.col("__sw") > 0)
+        .drop("__sw")
+    )
+
+
+def _oracle_events_twap() -> str:
+    return """
+WITH base AS (
+  SELECT user_id, event_id, epoch_ns(ts) AS tns,
+         epoch_ns(ts) // 86400000000000 AS day,
+         round(value, 6) AS v,
+         lead(epoch_ns(ts)) OVER (PARTITION BY user_id, epoch_ns(ts) // 86400000000000
+                                  ORDER BY epoch_ns(ts) ASC, event_id ASC) AS next_tns
+  FROM base0),
+weighted AS (
+  SELECT user_id, day, (next_tns - tns) // 1000000000 AS w,
+         round(v * 1000000, 0)::BIGINT * ((next_tns - tns) // 1000000000) AS vw
+  FROM base WHERE next_tns IS NOT NULL)
+SELECT user_id, day, count(*)::BIGINT AS n_intervals,
+       (CASE WHEN sum(vw) >= 0
+             THEN (sum(vw) * 2 + sum(w)) // (sum(w) * 2)
+             ELSE -(((-sum(vw)) * 2 + sum(w)) // (sum(w) * 2)) END)::DOUBLE
+         / 1000000.0 AS twap
+FROM weighted
+GROUP BY user_id, day
+HAVING sum(w) > 0
+""".strip().replace("FROM base0", "FROM events")
+
+
 def q_top_revenue_supplier(spark, sf_dir):
     """TPC-H Q15 shape (top supplier via revenue view): per-supplier
     revenue aggregate, scalar MAX over the aggregate, equality join back
@@ -3195,6 +3304,8 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution": q_events_attribution,
         "top_revenue_supplier": q_top_revenue_supplier,
         "large_volume_customers": q_large_volume_customers,
+        "retention_cohorts": q_retention_cohorts,
+        "events_twap": q_events_twap,
     }
 
 
@@ -4710,6 +4821,8 @@ FROM documents
         "events_attribution": _oracle_events_attribution(),
         "top_revenue_supplier": _oracle_top_revenue_supplier(),
         "large_volume_customers": _oracle_large_volume_customers(),
+        "retention_cohorts": _oracle_retention_cohorts(),
+        "events_twap": _oracle_events_twap(),
         "quantize_embeddings": """
 WITH m AS (
   SELECT vec_id, embedding,
