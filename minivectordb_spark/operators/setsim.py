@@ -14,7 +14,7 @@ ordered set and never enter a prefix, so no posting list is corpus-sized.
 That is the 100 TB story — candidate volume is driven by rare-token
 co-occurrence (near-dups), not by N^2 and not by stop-token skew.
 
-Pipeline (all declarative, three shuffles total):
+Pipeline (all declarative):
 
   1. postings:   explode distinct per-doc element hashes  ->  (id, h)
   2. df:         groupBy(h).count  (partial-aggregated)   ->  (h, df)
@@ -22,14 +22,22 @@ Pipeline (all declarative, three shuffles total):
                  with hash tiebreak gives one global total order both
                  engines reproduce bit-exactly
   4. ordered set: groupBy(id) sort_array(collect_list(k)); n = |set|
-  5. prefix:     p = n - ceil(tau*n) + 1 (exact integer arithmetic on
-                 micro-units); explode slice(arr, 1, p)
-  6. candidates: prefix self-join on k with id_a < id_b and the symmetric
-                 size filter tau*n_a <= n_b (J >= tau  =>  min/max >= tau),
-                 DISTINCT pairs
-  7. verify:     join the full ordered arrays back, exact intersection;
+  5. canonicalize: group IDENTICAL sets to one representative (min id)
+                 with a sorted member list — the join below runs on
+                 DISTINCT sets only, so exact-dup cliques add ZERO join
+                 work (candidates measured identical across a 10x
+                 replication decade)
+  6. prefix:     p = n - ceil(tau*n) + 1 (exact integer arithmetic on
+                 micro-units); explode slice(arr, 1, p) of each rep
+  7. candidates: prefix self-join on k with rep_a < rep_b and the
+                 symmetric size filter tau*n_a <= n_b (J >= tau  =>
+                 min/max >= tau), DISTINCT pairs
+  8. verify:     join the full ordered arrays back, exact intersection;
                  keep inter * 1e6 >= tau_micro * (n_a + n_b - inter)
-                 — an integer predicate, identical on any engine.
+                 — an integer predicate, identical on any engine
+  9. expand:     cross-group member pairs inherit the verified jaccard;
+                 intra-group pairs emit directly with jaccard 1.0 (true
+                 by definition) — both generate-only, answer-sized.
 
 Reference analogue: none (the reference's only dedup surface is
 brute-force cosine, `vector_database.py:466-536`); this extends the
