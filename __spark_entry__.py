@@ -3080,8 +3080,9 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     directly because the graded window was full (mmr_rerank,
     rollup_incremental, triangle_counts, nation_balance, user_churn,
     setsim_against, leakage_free_split, events_attribution,
-    top_revenue_supplier, large_volume_customers, the Q21/Q22 shapes,
-    profile_events, range_join_bands, events_funnel/json/deciles).
+    top_revenue_supplier, large_volume_customers, retention_cohorts,
+    events_twap, the Q21/Q22 shapes, profile_events, range_join_bands,
+    events_funnel/json/deciles).
     Rotation rationale for class (a):
 
     - knn_matmul: alternative physical strategy for knn_batch (same oracle)
