@@ -3038,6 +3038,28 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
         ).filter("src != dst")
         return triangle_diagnostics(edges)
 
+    def c_events_attribution(spark: SparkSession, sf_dir: str) -> dict:
+        """Interval self-join counters: output pairs vs the |clicks| x
+        |purchases| bound a time-unconstrained join would face, and the
+        max per-user click/purchase counts (the per-key fan-out bound —
+        the join state a streaming deployment must hold per user)."""
+        ev = _t(spark, sf_dir, "events")
+        clicks = ev.where(F.col("event_type") == "click")
+        buys = ev.where(F.col("event_type") == "purchase")
+        per_user = (
+            ev.where(F.col("event_type").isin("click", "purchase"))
+            .groupBy("user_id", "event_type")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        return {
+            "clicks": int(clicks.count()),
+            "purchases": int(buys.count()),
+            "output_pairs": int(q_events_attribution(spark, sf_dir).count()),
+            "max_per_user_side": int(per_user or 0),
+        }
+
     def c_setsim(spark: SparkSession, sf_dir: str) -> dict:
         """Prefix-filter counters: candidate_pairs vs the N*(N-1)/2 the
         exact answer would brute-force, and max_posting_list — the skew
@@ -3068,6 +3090,7 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
         "events_funnel": c_events_funnel,
         "setsim_jaccard_pairs": c_setsim,
         "triangle_counts": c_triangles,
+        "events_attribution": c_events_attribution,
     }
 
 

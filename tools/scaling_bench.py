@@ -92,6 +92,9 @@ SCALED_QUERIES = [
     # degree-ordered triangle counting: raw hub degree grows with the
     # event multiplier but oriented out-degree must stay O(sqrt(m))
     "triangle_counts",
+    # watermarked-join batch twin: per-user interval self-join — output
+    # and per-key fan-out counters, never |clicks| x |purchases|
+    "events_attribution",
 ]
 
 
