@@ -1387,6 +1387,58 @@ def q_ivf_assign_kmeans(spark, sf_dir):
     return ivf_assign_join(staged, cents, prestaged=True)
 
 
+def q_cluster_digest(spark, sf_dir):
+    """Cluster inspection digest over the FITTED assignment (the
+    SemDeDup/IVF companion a data curator actually reads): per cluster,
+    member count, the representative member (max centroid cosine, ties
+    by vec_id — computed on the round-6 cosine the assign row already
+    hash-matches, so the argmax is engine-portable), and the exact
+    integer-micro mean cohesion.  One window pass + one aggregate over
+    the assignment — no extra corpus scan."""
+    from pyspark.sql import Window
+
+    assign = q_ivf_assign_kmeans(spark, sf_dir)
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.col("centroid_cos").desc(), F.col("vec_id").asc()
+    )
+    ranked = assign.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__cu", F.round(F.col("centroid_cos") * F.lit(1_000_000), 0).cast("long")
+    )
+    return ranked.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min(F.when(F.col("__rn") == 1, F.col("vec_id"))).alias("rep_vec_id"),
+        F.min(F.when(F.col("__rn") == 1, F.col("centroid_cos"))).alias("rep_cos"),
+        F.expr(
+            "CAST(CASE WHEN sum(__cu) >= 0 "
+            "THEN (sum(__cu) * 2 + count(1)) DIV (count(1) * 2) "
+            "ELSE -(((-sum(__cu)) * 2 + count(1)) DIV (count(1) * 2)) END "
+            "AS DOUBLE) / 1000000.0"
+        ).alias("mean_cos"),
+    )
+
+
+def _oracle_cluster_digest() -> str:
+    assign = _oracle_ivf_assign_kmeans()
+    return f"""
+WITH assign AS ({assign}),
+ranked AS (
+  SELECT centroid_id, vec_id, centroid_cos,
+         round(centroid_cos * 1000000, 0)::BIGINT AS cu,
+         row_number() OVER (PARTITION BY centroid_id
+                            ORDER BY centroid_cos DESC, vec_id ASC) AS rn
+  FROM assign)
+SELECT centroid_id, count(*)::BIGINT AS n_members,
+       min(CASE WHEN rn = 1 THEN vec_id END) AS rep_vec_id,
+       min(CASE WHEN rn = 1 THEN centroid_cos END) AS rep_cos,
+       (CASE WHEN sum(cu) >= 0
+             THEN (sum(cu) * 2 + count(*)) // (count(*) * 2)
+             ELSE -(((-sum(cu)) * 2 + count(*)) // (count(*) * 2)) END)::DOUBLE
+         / 1000000.0 AS mean_cos
+FROM ranked
+GROUP BY centroid_id
+""".strip()
+
+
 def q_ivf_search(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return ivf_search(e, seed_centroids(e, N_CENTROIDS), QVEC, k=10, nprobe=NPROBE)
@@ -3330,6 +3382,7 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_volume_customers": q_large_volume_customers,
         "retention_cohorts": q_retention_cohorts,
         "events_twap": q_events_twap,
+        "cluster_digest": q_cluster_digest,
     }
 
 
@@ -4847,6 +4900,7 @@ FROM documents
         "large_volume_customers": _oracle_large_volume_customers(),
         "retention_cohorts": _oracle_retention_cohorts(),
         "events_twap": _oracle_events_twap(),
+        "cluster_digest": _oracle_cluster_digest(),
         "quantize_embeddings": """
 WITH m AS (
   SELECT vec_id, embedding,
