@@ -2154,6 +2154,41 @@ FROM b
 """.strip()
 
 
+EWMA_ALPHA = 0.3
+
+
+def q_events_ewma(spark, sf_dir):
+    """Per-user EWMA (operators/temporal.ewma): the ordered-fold
+    recurrence a window aggregate cannot express, run as a higher-order
+    array fold on exact integer micros with sign-split truncating
+    division — bit-identical on both engines at every step.  The DuckDB
+    twin folds the same ordered list with list_reduce (first element as
+    init, matching the Spark slice/init form)."""
+    from minivectordb_spark.operators.temporal import ewma
+
+    return ewma(_t(spark, sf_dir, "events"), alpha=EWMA_ALPHA)
+
+
+def _oracle_events_ewma() -> str:
+    a_u = int(round(EWMA_ALPHA * 1_000_000))
+    b_u = 1_000_000 - a_u
+    step = (
+        f"CASE WHEN ({a_u} * x + {b_u} * s) >= 0 "
+        f"THEN ({a_u} * x + {b_u} * s) // 1000000 "
+        f"ELSE -((-({a_u} * x + {b_u} * s)) // 1000000) END"
+    )
+    return f"""
+WITH seq AS (
+  SELECT user_id,
+         list(round(round(value, 6) * 1000000, 0)::BIGINT
+              ORDER BY epoch_ns(ts) ASC, event_id ASC) AS xs
+  FROM events GROUP BY user_id)
+SELECT user_id, len(xs)::BIGINT AS n_events,
+       list_reduce(xs, (s, x) -> {step})::DOUBLE / 1000000.0 AS ewma
+FROM seq
+""".strip()
+
+
 def q_retention_cohorts(spark, sf_dir):
     """Retention cohort matrix — the canonical product-analytics shape:
     cohort = each user's FIRST activity week (a per-user min aggregate,
@@ -3383,6 +3418,7 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": q_retention_cohorts,
         "events_twap": q_events_twap,
         "cluster_digest": q_cluster_digest,
+        "events_ewma": q_events_ewma,
     }
 
 
@@ -4901,6 +4937,7 @@ FROM documents
         "retention_cohorts": _oracle_retention_cohorts(),
         "events_twap": _oracle_events_twap(),
         "cluster_digest": _oracle_cluster_digest(),
+        "events_ewma": _oracle_events_ewma(),
         "quantize_embeddings": """
 WITH m AS (
   SELECT vec_id, embedding,

@@ -95,3 +95,67 @@ def asof_join(
         proj += [F.col(f"__c_{c}").alias(f"r_{c}") for c in right_cols]
         proj.append(F.col("__c_ts").alias("r_ts"))
     return out.select(*proj)
+
+
+def ewma(
+    df: DataFrame,
+    alpha: float = 0.3,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key exponentially weighted moving average — the ordered-fold
+    RECURRENCE s_t = a*x_t + (1-a)*s_{t-1} (s_0 = first observation)
+    that a window aggregate cannot express (each step depends on the
+    previous step's OUTPUT, not on a frame of inputs).
+
+    Expressed as a higher-order array fold (the MinHash pattern): one
+    groupBy collects each key's (ts, tiebreak, value-micro) structs,
+    ``sort_array`` pins the event order, ``aggregate`` folds the exact
+    integer recurrence
+
+        s' = trunc_div(a_u * x_u + (1e6 - a_u) * s, 1e6)
+
+    with truncation-toward-zero made EXPLICIT via a sign split (Spark
+    ``DIV`` truncates; DuckDB ``//`` floors on negatives — the CASE keeps
+    both engines on nonnegative operands, where they agree), so the
+    whole series is bit-identical on any engine.  At scale this is one
+    shuffle on the key and a per-row fold — state per key is one long.
+
+    Output: (key, n_events, ewma) with ewma = s_final / 1e6.
+    """
+    a_u = int(round(alpha * 1_000_000))
+    b_u = 1_000_000 - a_u
+    arr = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("t"),
+                F.col(tiebreak_col).alias("i"),
+                F.round(F.round(F.col(value_col), 6) * 1_000_000, 0)
+                .cast("long")
+                .alias("x"),
+            )
+        )
+    )
+    step = (
+        f"CASE WHEN ({a_u}L * e.x + {b_u}L * s) >= 0 "
+        f"THEN ({a_u}L * e.x + {b_u}L * s) DIV 1000000 "
+        f"ELSE -((-({a_u}L * e.x + {b_u}L * s)) DIV 1000000) END"
+    )
+    # element_at is 1-based like slice; bracket indexing would be 0-based
+    # (Spark's one inconsistency here) and silently seed the fold with the
+    # SECOND observation
+    fold = F.expr(
+        f"aggregate(slice(__arr, 2, size(__arr) - 1), "
+        f"element_at(__arr, 1).x, (s, e) -> {step})"
+    )
+    return (
+        df.groupBy(key_col)
+        .agg(arr.alias("__arr"))
+        .select(
+            key_col,
+            F.size("__arr").alias("n_events"),
+            (fold.cast("double") / F.lit(1_000_000.0)).alias("ewma"),
+        )
+    )

@@ -132,3 +132,48 @@ def test_incremental_rollup_empty_batch(spark):
     assert inc.sort_values("event_type").reset_index(drop=True).equals(
         full.sort_values("event_type").reset_index(drop=True)
     )
+
+
+def test_ewma_matches_python_recurrence(spark):
+    """The fold replays the exact integer recurrence — independent
+    pure-Python oracle, including negative values (sign-split truncating
+    division) and single-event keys (ewma == the one observation)."""
+    from pyspark.sql import functions as F
+
+    from minivectordb_spark.operators.temporal import ewma
+
+    rows = [
+        (1, 1, 10.0), (1, 2, -5.0), (1, 3, 3.333333),
+        (2, 4, -7.5),                      # single event
+        (3, 5, 0.000001), (3, 6, -0.000001),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, value double")
+    df = df.withColumn("ts", F.col("event_id") * 1_000_000_000)
+
+    def py(xs, a_u=300000):
+        s = xs[0]
+        for x in xs[1:]:
+            v = a_u * x + (1_000_000 - a_u) * s
+            s = v // 1_000_000 if v >= 0 else -((-v) // 1_000_000)
+        return s / 1e6
+
+    series = {1: [10_000_000, -5_000_000, 3_333_333], 2: [-7_500_000],
+              3: [1, -1]}
+    want = {k: py(v) for k, v in series.items()}
+    got = {r["user_id"]: r["ewma"] for r in ewma(df, alpha=0.3).collect()}
+    assert got == want
+
+
+def test_ewma_order_pinned_by_tiebreak(spark):
+    """Same timestamp, different event ids: the tiebreak pins the fold
+    order (the recurrence is order-sensitive, so this matters)."""
+    from pyspark.sql import functions as F
+
+    from minivectordb_spark.operators.temporal import ewma
+
+    rows = [(1, 2, 100.0), (1, 1, 0.0)]  # same ts, ids reversed
+    df = spark.createDataFrame(rows, "user_id long, event_id long, value double")
+    df = df.withColumn("ts", F.lit(5_000_000_000))
+    out = ewma(df, alpha=0.5).collect()[0]
+    # order by (ts, event_id): x = [0, 100] -> s = 0 then 50
+    assert out["ewma"] == 50.0
