@@ -2189,6 +2189,102 @@ FROM seq
 """.strip()
 
 
+def q_tfidf_keywords(spark, sf_dir):
+    """Per-source TF-IDF keywords (operators/text.tfidf_keywords): top-10
+    tokens per source by tf x idf, with idf frozen to DECIMAL(18,6) once
+    per vocab entry (the lm_score engine-parity trick) so the integer x
+    decimal score — and therefore the ranking — is bit-identical across
+    engines.  Two combiner-reduced token groupBys + a broadcast idf
+    probe + a WindowGroupLimit top-n over the vocab-sized type table."""
+    from minivectordb_spark.operators.text import tfidf_keywords
+
+    return tfidf_keywords(_t(spark, sf_dir, "documents"), top_n=10)
+
+
+def _oracle_tfidf_keywords() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, source, {_SQL_TOKS} AS tk FROM documents),
+ex AS (SELECT source, unnest(tk) AS token FROM t),
+dex AS (SELECT doc_id, unnest(list_distinct(tk)) AS token FROM t),
+dfq AS (SELECT token, count(*)::BIGINT AS df FROM dex GROUP BY token),
+nd AS (SELECT count(*)::BIGINT AS N FROM documents),
+idf AS (SELECT token, round(ln(N::DOUBLE / df::DOUBLE), 6)::DECIMAL(18,6) AS idf
+        FROM dfq, nd),
+tf AS (SELECT source, token, count(*)::BIGINT AS tf FROM ex GROUP BY source, token),
+sc AS (SELECT source, tf.token AS token, tf.tf AS tf,
+              (tf.tf * idf.idf)::DECIMAL(28,6)::DOUBLE AS tfidf
+       FROM tf JOIN idf USING (token)),
+rk AS (SELECT *, row_number() OVER (PARTITION BY source
+                                    ORDER BY tfidf DESC, token ASC) AS rank
+       FROM sc)
+SELECT source, token, tf, tfidf, rank::BIGINT AS rank
+FROM rk WHERE rank <= 10
+""".strip()
+
+
+def q_events_anomaly(spark, sf_dir):
+    """Per-type z-score outliers (operators/anomaly.zscore_outliers):
+    |x - mu| > 2 sigma cleared to the all-integer test
+    (n*x - S)^2 > 4*(n*Q - S^2) over floor(value*100) cents — no float
+    is ever formed, so the flag set is exact on both engines.  One
+    combiner-reduced stats groupBy (|types| rows, broadcast back) + a
+    map-only flagging pass."""
+    from minivectordb_spark.operators.anomaly import zscore_outliers
+
+    return zscore_outliers(
+        _t(spark, sf_dir, "events"),
+        value_col="value",
+        key_col="event_type",
+        id_cols=["event_id"],
+        z=2,
+        min_n=5,
+        scale=100,
+    )
+
+
+def _oracle_events_anomaly() -> str:
+    return """
+WITH b AS (SELECT event_id, event_type, floor(value * 100)::BIGINT AS v
+           FROM events),
+st AS (SELECT event_type, count(*)::BIGINT AS n,
+              sum(v::HUGEINT)::HUGEINT AS s,
+              sum(v::HUGEINT * v)::HUGEINT AS q
+       FROM b GROUP BY event_type)
+SELECT b.event_id, b.event_type, b.v AS value_scaled,
+       CASE WHEN st.n::HUGEINT * b.v - st.s > 0 THEN 'high' ELSE 'low' END AS side
+FROM b JOIN st USING (event_type)
+WHERE st.n >= 5
+  AND (st.n::HUGEINT * b.v - st.s) * (st.n::HUGEINT * b.v - st.s)
+      > 4 * (st.n::HUGEINT * st.q - st.s * st.s)
+""".strip()
+
+
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix (operators/funnel.
+    transition_counts): per-user consecutive event-type pairs via a
+    (ts, event_id)-ordered lag window, counted into the |types|^2
+    matrix with per-row totals.  One user-keyed exchange (the window)
+    + one combiner-reduced groupBy; probabilities stay exact integers
+    (n, n_from)."""
+    from minivectordb_spark.operators.funnel import transition_counts
+
+    return transition_counts(_t(spark, sf_dir, "events"))
+
+
+def _oracle_event_transitions() -> str:
+    return """
+WITH p AS (SELECT event_type AS next_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts ASC, event_id ASC) AS prev_type
+           FROM events),
+c AS (SELECT prev_type, next_type, count(*)::BIGINT AS n
+      FROM p WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type)
+SELECT prev_type, next_type, n,
+       sum(n) OVER (PARTITION BY prev_type)::BIGINT AS n_from
+FROM c
+""".strip()
+
+
 def q_retention_cohorts(spark, sf_dir):
     """Retention cohort matrix — the canonical product-analytics shape:
     cohort = each user's FIRST activity week (a per-user min aggregate,
@@ -3419,6 +3515,9 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_twap": q_events_twap,
         "cluster_digest": q_cluster_digest,
         "events_ewma": q_events_ewma,
+        "tfidf_keywords": q_tfidf_keywords,
+        "events_anomaly": q_events_anomaly,
+        "event_transitions": q_event_transitions,
     }
 
 
@@ -4938,6 +5037,9 @@ FROM documents
         "events_twap": _oracle_events_twap(),
         "cluster_digest": _oracle_cluster_digest(),
         "events_ewma": _oracle_events_ewma(),
+        "tfidf_keywords": _oracle_tfidf_keywords(),
+        "events_anomaly": _oracle_events_anomaly(),
+        "event_transitions": _oracle_event_transitions(),
         "quantize_embeddings": """
 WITH m AS (
   SELECT vec_id, embedding,

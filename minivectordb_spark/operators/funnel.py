@@ -112,3 +112,52 @@ def funnel_users(
             "left",
         ).select("__u", F.greatest("__d", F.coalesce("__d2", F.lit(0))).alias("__d"))
     return depth.select(F.col("__u").alias(user_col), F.col("__d").alias("max_step_idx"))
+
+
+def transition_counts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences —
+    the session-flow complement to the fixed-path funnel: for every
+    ordered pair of consecutive events a user emits, count the
+    ``(prev_type, next_type)`` transition.  Returns ``(prev_type,
+    next_type, n, n_from)`` where ``n_from`` is the row total of the
+    ``prev_type`` row of the matrix (so ``n / n_from`` is the empirical
+    transition probability — left as exact integers; divide downstream).
+
+    Ordering is ``(ts, id_col)`` — the id tiebreak makes the lag
+    deterministic under equal timestamps on every engine.
+
+    Plan: one hash exchange on the user (the lag window), then a
+    combiner-reduced groupBy to the |types|^2-sized matrix, then a
+    window row-total over that tiny table.  At 100 TB the only
+    data-sized shuffle is the per-user exchange; a hot user costs one
+    partition's sort, never a cross join, and the matrix itself is
+    constant-size.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    pairs = (
+        events.select(
+            F.col(type_col).alias("next_type"),
+            F.lag(F.col(type_col)).over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+    )
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wt = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.sum("n").over(wt).alias("n_from"),
+    )

@@ -737,3 +737,78 @@ def quality_mix(
         .filter(F.pmod(md5i32(key), F.lit(SAMPLE_BUCKETS)) < F.col("__thr"))
         .select(F.col(id_col), F.col("band"), F.col("score"))
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 10,
+) -> DataFrame:
+    """Per-group TF-IDF keyword extraction — the dataset-card "what is this
+    slice about?" rollup: for every ``group_col`` value (source, domain,
+    language shard), the ``top_n`` tokens ranked by term-frequency x
+    inverse-document-frequency.  Returns ``(group_col, token, tf, tfidf,
+    rank)``; rank is dense 1..top_n by tfidf desc, token asc.
+
+    Numerics (engine-exact): ``idf = round(ln(N / df), 6)`` is frozen to
+    DECIMAL(18,6) once per VOCAB ENTRY — the lm_score trick — and the
+    score ``tf * idf`` is an exact integer-x-decimal product, so ranking
+    and output are bit-identical across engines at any scale.
+
+    Plan: two token-keyed combiner-reduced groupBys (tf keyed on
+    (group, token), df on token over per-doc-distinct tokens), a 1-row
+    doc-count broadcast, a broadcast probe of the vocab-sized idf table,
+    and a per-group top-n window.  The window input is vocab-sized (one
+    row per (group, token) TYPE, Heaps'-law bounded), never the corpus;
+    WindowGroupLimit forwards at most top_n rows per group per partition
+    before the final exchange.  At 100 TB: cost = two scans of the token
+    stream with map-side partial aggregation; no shuffle carries more
+    than the (group x vocab) type table.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(group_col).alias("__grp"),
+        tokens(F.col(text_col)).alias("__tk"),
+    )
+    ex = base.select("__grp", F.explode("__tk").alias("token"))
+    dex = base.select("__id", F.explode(F.array_distinct("__tk")).alias("token"))
+    dfreq = dex.groupBy("token").agg(F.count(F.lit(1)).alias("__df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("__N"))
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "token",
+        F.round(
+            F.log(F.col("__N").cast("double") / F.col("__df").cast("double")), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("__idf"),
+    )
+    tf = ex.groupBy("__grp", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # exact integer x decimal product; micros stay far under 2^53, so the
+    # final decimal->double cast is exact on every engine (the tpch_q1 trick)
+    scored = tf.join(F.broadcast(idf), "token").select(
+        "__grp",
+        "token",
+        "tf",
+        (F.col("tf") * F.col("__idf"))
+        .cast("decimal(28,6)")
+        .cast("double")
+        .alias("tfidf"),
+    )
+    w = Window.partitionBy("__grp").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= top_n)
+        .select(
+            F.col("__grp").alias(group_col),
+            "token",
+            "tf",
+            "tfidf",
+            F.col("__rk").cast("long").alias("rank"),
+        )
+    )

@@ -1,0 +1,165 @@
+"""Semantic pins for the r7 analytics additions: TF-IDF keyword
+extraction (operators/text.tfidf_keywords), exact-integer z-score
+outliers (operators/anomaly.zscore_outliers), and the Markov transition
+matrix (operators/funnel.transition_counts).  Each also has a DuckDB
+oracle row (demoted registry) — these tests pin the hand-checkable
+contracts the oracle compare can't localize."""
+
+import math
+
+import numpy as np
+import pytest
+
+from minivectordb_spark.operators.anomaly import zscore_outliers
+from minivectordb_spark.operators.funnel import transition_counts
+from minivectordb_spark.operators.text import tfidf_keywords
+
+
+# ---------------------------------------------------------------- tfidf
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+
+
+def test_tfidf_ubiquitous_token_scores_zero(spark):
+    # "the" appears in every doc -> idf = round(ln(1), 6) = 0 -> tfidf 0,
+    # so it can never outrank a token with any positive idf.
+    docs = _docs(spark, [
+        (1, "the cat", "a"),
+        (2, "the dog", "a"),
+        (3, "the the fish", "b"),
+        (4, "the bird", "b"),
+    ])
+    out = tfidf_keywords(docs, top_n=10).collect()
+    scores = {(r["source"], r["token"]): r["tfidf"] for r in out}
+    assert scores[("a", "the")] == 0.0
+    assert scores[("b", "the")] == 0.0
+    # every source ranks some positive-idf token first
+    top = {r["source"]: r["token"] for r in out if r["rank"] == 1}
+    assert top["a"] != "the" and top["b"] != "the"
+
+
+def test_tfidf_exact_score_and_rank(spark):
+    # token "fish" occurs twice in one of 4 docs:
+    # tf=2, idf=round(ln(4/1),6)=1.386294 -> tfidf exactly 2.772588
+    docs = _docs(spark, [
+        (1, "fish fish cat", "a"),
+        (2, "cat dog", "a"),
+        (3, "dog bird", "a"),
+        (4, "bird cat", "a"),
+    ])
+    out = {r["token"]: r for r in tfidf_keywords(docs, top_n=10).collect()}
+    assert out["fish"]["tf"] == 2
+    assert out["fish"]["tfidf"] == 2 * round(math.log(4.0), 6)
+    assert out["fish"]["rank"] == 1  # highest tf x idf in the corpus
+
+
+def test_tfidf_top_n_and_rank_contract(spark):
+    docs = _docs(spark, [
+        (i, " ".join(f"t{j}" for j in range(i % 7 + 1)), f"s{i % 3}")
+        for i in range(30)
+    ])
+    out = tfidf_keywords(docs, top_n=3).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["rank"])
+    for src, ranks in by_src.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3
+
+
+# -------------------------------------------------------------- anomaly
+
+
+def _vals(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+
+
+def test_zscore_flags_match_numpy_population_test(spark):
+    rng = np.random.default_rng(7)
+    vals = [float(v) for v in rng.normal(50, 10, size=200)] + [500.0, -400.0]
+    rows = [(i, "k", v) for i, v in enumerate(vals)]
+    out = zscore_outliers(
+        _vals(spark, rows), "value", "event_type", ["event_id"], z=2
+    ).collect()
+    got = {r["event_id"]: r["side"] for r in out}
+    # independent numpy oracle on the same cents contract
+    cents = np.floor(np.array(vals) * 100).astype(np.int64)
+    mu, sig = cents.mean(), cents.std()  # population
+    expect = {
+        i: ("high" if c > mu else "low")
+        for i, c in enumerate(cents)
+        if abs(c - mu) > 2 * sig
+    }
+    assert got == expect
+    assert got[200] == "high" and got[201] == "low"
+
+
+def test_zscore_min_n_gate_and_strict_inequality(spark):
+    # 4 rows in key "tiny": extreme value NOT flagged (min_n=5).
+    rows = [(1, "tiny", 1.0), (2, "tiny", 1.0), (3, "tiny", 1.0),
+            (4, "tiny", 1000.0)]
+    assert zscore_outliers(
+        _vals(spark, rows), "value", "event_type", ["event_id"], min_n=5
+    ).count() == 0
+    # constant key: variance 0, strict > never fires even at n >= min_n
+    rows = [(i, "c", 5.0) for i in range(10)]
+    assert zscore_outliers(
+        _vals(spark, rows), "value", "event_type", ["event_id"]
+    ).count() == 0
+
+
+def test_zscore_floor_scaling_is_floor_not_cast(spark):
+    # -1.005 * 100 floors to -101 (a DOUBLE->BIGINT *cast* would round or
+    # truncate differently per engine — the operator must floor).
+    rows = [(1, "k", -1.005)] + [(i, "k", 0.0) for i in range(2, 30)]
+    out = zscore_outliers(
+        _vals(spark, rows), "value", "event_type", ["event_id"], z=2
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["value_scaled"] == -101 and out[0]["side"] == "low"
+
+
+# ---------------------------------------------------------- transitions
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts long"
+    )
+
+
+def test_transitions_per_user_ordered_pairs(spark):
+    ev = _ev(spark, [
+        (1, 1, "view", 10), (2, 1, "click", 20), (3, 1, "buy", 30),
+        (4, 2, "view", 10), (5, 2, "view", 20),
+    ])
+    out = {(r["prev_type"], r["next_type"]): (r["n"], r["n_from"])
+           for r in transition_counts(ev).collect()}
+    assert out == {
+        ("view", "click"): (1, 2),   # n_from: view ->click and view->view
+        ("view", "view"): (1, 2),
+        ("click", "buy"): (1, 1),
+    }
+
+
+def test_transitions_ts_tie_broken_by_event_id(spark):
+    # equal ts: event_id orders the pair deterministically
+    ev = _ev(spark, [
+        (2, 1, "b", 10), (1, 1, "a", 10), (3, 1, "c", 10),
+    ])
+    out = {(r["prev_type"], r["next_type"]) for r in
+           transition_counts(ev).collect()}
+    assert out == {("a", "b"), ("b", "c")}
+
+
+def test_transitions_never_cross_users(spark):
+    ev = _ev(spark, [
+        (1, 1, "a", 10), (2, 2, "b", 20),
+    ])
+    assert transition_counts(ev).count() == 0

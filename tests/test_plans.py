@@ -295,3 +295,33 @@ def test_triangle_counts_all_equi_joins(spark, sf):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_tfidf_partial_window_limit_over_type_table(spark, sf):
+    """The per-group top-n must run WindowGroupLimit (partial limit before
+    the exchange) and the idf probe must be a broadcast join — the window
+    input is the (group x token) TYPE table, never the corpus."""
+    df = _q("tfidf_keywords", spark, sf)
+    plan = physical_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_zscore_outliers_broadcast_stats_map_only_flagging(spark, sf):
+    """The per-key stats table joins back via broadcast (|keys| rows) —
+    the flagging pass must not shuffle the event stream."""
+    df = _q("events_anomaly", spark, sf)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    # only the stats aggregation exchanges; the probe side scans straight
+    # into the join (no hash exchange keyed on the event stream itself)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_transitions_single_user_exchange(spark, sf):
+    """The lag window is the only data-sized exchange; the matrix groupBy
+    and its row-total window run over the |types|^2 table."""
+    df = _q("event_transitions", spark, sf)
+    plan = physical_plan(df)
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+    assert "CartesianProduct" not in plan, plan
