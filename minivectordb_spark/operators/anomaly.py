@@ -63,23 +63,97 @@ def zscore_outliers(
         F.sum((F.col("__v").cast(_D) * F.col("__v").cast(_D))).alias("__q"),
     )
     j = base.join(F.broadcast(stats), "__key")
+    is_out, side = _outlier_exprs(z, min_n)
+    return (
+        j.filter(is_out)
+        .select(
+            *[F.col(c) for c in id_cols],
+            F.col("__key").alias(key_col),
+            F.col("__v").alias("value_scaled"),
+            side.alias("side"),
+        )
+    )
+
+
+def _outlier_exprs(z: int, min_n: int):
+    """The shared flag decision over the canonical (__v, __n, __s, __q)
+    columns — one definition for the self-fit batch pass AND the
+    frozen-stats deployment path (zscore_flag / the streaming gate), so
+    the two can never drift."""
     n_ = F.col("__n").cast(_D)
     s_ = F.col("__s").cast(_D)
     q_ = F.col("__q").cast(_D)
     x_ = F.col("__v").cast(_D)
     dev = n_ * x_ - s_
-    lhs = dev * dev
     rhs = F.lit(z * z).cast(_D) * (n_ * q_ - s_ * s_)
-    return (
-        j.filter((F.col("__n") >= F.lit(min_n)) & (lhs > rhs))
-        .select(
-            *[F.col(c) for c in id_cols],
-            F.col("__key").alias(key_col),
-            F.col("__v").alias("value_scaled"),
-            F.when(dev > F.lit(0), F.lit("high"))
-            .otherwise(F.lit("low"))
-            .alias("side"),
+    is_out = (F.col("__n") >= F.lit(min_n)) & (dev * dev > rhs)
+    side = F.when(dev > F.lit(0), F.lit("high")).otherwise(F.lit("low"))
+    return is_out, side
+
+
+def frozen_key_stats(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    scale: int = 100,
+) -> list[tuple]:
+    """Fit the per-key ``(key, n, S, Q)`` stats table and collect it —
+    |keys| rows, the deployable "model" a streaming anomaly gate freezes
+    at wiring time (the quality gate's frozen-classifier pattern).  The
+    collect is key-cardinality-bounded, never the row stream."""
+    v = F.floor(F.col(value_col) * F.lit(scale)).cast("long")
+    rows = (
+        df.select(F.col(key_col).alias("__key"), v.alias("__v"))
+        .groupBy("__key")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col("__v").cast(_D)).alias("__s"),
+            F.sum(F.col("__v").cast(_D) * F.col("__v").cast(_D)).alias("__q"),
         )
+        .collect()
+    )
+    return [
+        (r["__key"], int(r["__n"]), int(r["__s"]), int(r["__q"])) for r in rows
+    ]
+
+
+def zscore_flag(
+    df: DataFrame,
+    stats: list[tuple],
+    value_col: str,
+    key_col: str,
+    z: int = 2,
+    min_n: int = 5,
+    scale: int = 100,
+) -> DataFrame:
+    """Flag every row against a FROZEN stats table (from
+    ``frozen_key_stats``): returns the input columns plus
+    ``(value_scaled, is_outlier, side)``.  Keys absent from the frozen
+    table are never flagged (left join; unseen-key rows pass).  Shares
+    ``_outlier_exprs`` with the self-fit batch pass — the decision
+    cannot drift between deployment modes.  Map-only: the stats frame is
+    |keys| rows, broadcast."""
+    from decimal import Decimal
+
+    spark = df.sparkSession
+    stats_df = spark.createDataFrame(
+        [(k, n, Decimal(s), Decimal(q)) for k, n, s, q in stats],
+        "__key string, __n long, __s decimal(38,0), __q decimal(38,0)",
+    )
+    v = F.floor(F.col(value_col) * F.lit(scale)).cast("long")
+    base = df.withColumn("__v", v).withColumn(
+        "__key", F.col(key_col).cast("string")
+    )
+    j = base.join(F.broadcast(stats_df), "__key", "left")
+    is_out, side = _outlier_exprs(z, min_n)
+    flagged = F.coalesce(is_out, F.lit(False))
+    return (
+        j.withColumn("is_outlier", flagged)
+        .withColumn(
+            "side", F.when(flagged, side).otherwise(F.lit(None).cast("string"))
+        )
+        .withColumnRenamed("__v", "value_scaled")
+        .drop("__key", "__n", "__s", "__q")
     )
 
 

@@ -911,3 +911,72 @@ def attribution_join(
         "trigger_ts",
         "outcome_ts",
     )
+
+
+def stream_anomaly_ingest(
+    stream_df: DataFrame,
+    stats: list[tuple],
+    table_path: str,
+    quarantine_path: str,
+    checkpoint: str,
+    value_col: str = "value",
+    key_col: str = "event_type",
+    id_col: str = "event_id",
+    z: int = 2,
+    min_n: int = 5,
+    scale: int = 100,
+):
+    """Streaming ingest with a z-score anomaly gate: each micro-batch is
+    flagged against a FROZEN per-key stats table (``operators/anomaly.
+    frozen_key_stats`` — the quality gate's frozen-model deployment
+    pattern); inliers append to ``table_path``, outliers are routed to
+    ``quarantine_path`` with their flag side (monitoring's
+    quarantine-don't-drop discipline).  The flag decision is the SAME
+    ``_outlier_exprs`` integer test the batch operator runs — batch and
+    stream cannot drift — and it is float-free, so a replayed batch
+    reproduces bit-identical decisions.
+
+    Replay safety: both sinks get the per-batch dropDuplicates + anti-join
+    uniqueness of the other ingest gates, so an at-least-once foreachBatch
+    replay cannot duplicate a row in either path.  Map-only per batch:
+    the stats frame is |keys| rows, broadcast; no state store.
+
+    Batch==stream equivalence is pinned by
+    tests/test_streaming_multimodal.py."""
+    from pyspark.errors import AnalysisException
+
+    from minivectordb_spark.operators.anomaly import zscore_flag
+
+    frozen = [tuple(s) for s in stats]
+
+    def _append_unique(df: DataFrame, path: str) -> None:
+        spark = df.sparkSession
+        try:
+            existing = spark.read.parquet(path).select(id_col)
+        except AnalysisException:
+            existing = None
+        if existing is not None:
+            df = df.join(existing, id_col, "left_anti")
+        df.write.mode("append").parquet(path)
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fresh = batch_df.dropDuplicates([id_col])
+        flagged = zscore_flag(
+            fresh, frozen, value_col, key_col, z=z, min_n=min_n, scale=scale
+        )
+        _append_unique(
+            flagged.filter(~F.col("is_outlier")).drop(
+                "is_outlier", "side", "value_scaled"
+            ),
+            table_path,
+        )
+        _append_unique(
+            flagged.filter(F.col("is_outlier")).drop("is_outlier"),
+            quarantine_path,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

@@ -1021,3 +1021,61 @@ def test_stream_stream_attribution_join_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     )
     assert got == want
+
+
+def test_stream_anomaly_ingest_matches_batch_and_replay(spark, tmp_path):
+    """Batch==stream equivalence for the frozen-stats anomaly gate:
+    streaming the events through stream_anomaly_ingest splits them into
+    exactly the inlier/outlier sets the SHARED zscore_flag batch pass
+    computes from the same frozen stats, and a replayed id stays unique
+    in both sinks."""
+    import random
+
+    from minivectordb_spark.operators.anomaly import (
+        frozen_key_stats,
+        zscore_flag,
+    )
+    from minivectordb_spark.streaming import stream_anomaly_ingest
+
+    rng = random.Random(11)
+    rows = [
+        (i, "a" if i % 2 else "b", rng.gauss(50.0, 5.0)) for i in range(40)
+    ] + [(40, "a", 500.0), (41, "b", -300.0)]
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    stats = frozen_key_stats(ev, "value", "event_type")
+
+    flagged = zscore_flag(ev, stats, "value", "event_type").collect()
+    batch_out = sorted(r["event_id"] for r in flagged if r["is_outlier"])
+    batch_in = sorted(r["event_id"] for r in flagged if not r["is_outlier"])
+    assert 40 in batch_out and 41 in batch_out
+
+    src = str(tmp_path / "ev_in")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(
+        "event_id long, event_type string, value double"
+    ).parquet(src)
+    table, quar = str(tmp_path / "inliers"), str(tmp_path / "quarantine")
+    ck = str(tmp_path / "ck_anom")
+    q = stream_anomaly_ingest(stream, stats, table, quar, ck).start()
+    q.awaitTermination(120)
+
+    got_in = sorted(r["event_id"] for r in spark.read.parquet(table).collect())
+    got_out = sorted(r["event_id"] for r in spark.read.parquet(quar).collect())
+    assert got_in == batch_in and got_out == batch_out
+    # quarantine keeps the flag side
+    sides = {r["event_id"]: r["side"] for r in spark.read.parquet(quar).collect()}
+    assert sides[40] == "high" and sides[41] == "low"
+
+    # replay one id from each sink + one new inlier: uniqueness holds
+    more = spark.createDataFrame(
+        [(batch_in[0], "a", 50.0), (40, "a", 500.0), (99, "b", 50.0)],
+        "event_id long, event_type string, value double",
+    )
+    more.write.mode("append").parquet(src)
+    q = stream_anomaly_ingest(stream, stats, table, quar, ck).start()
+    q.awaitTermination(120)
+    in2 = [r["event_id"] for r in spark.read.parquet(table).collect()]
+    out2 = [r["event_id"] for r in spark.read.parquet(quar).collect()]
+    assert sorted(in2) == sorted(set(batch_in + [99]))
+    assert len(in2) == len(set(in2)) and len(out2) == len(set(out2))
+    assert sorted(out2) == batch_out
