@@ -291,3 +291,75 @@ def triangle_diagnostics(
         "wedges": int(n_wedges),
         "triangles": int(n_tri),
     }
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (iterative peeling)
+# ---------------------------------------------------------------------------
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 100,
+) -> DataFrame:
+    """The k-core of the undirected graph: the maximal induced subgraph in
+    which every node has degree >= k.  Returns ``(id, degree)`` for the
+    surviving nodes, with ``degree`` their degree INSIDE the core — the
+    community-density / spam-farm / crawl-frontier primitive (a dense
+    k-core of near-duplicate hosts is the classic link-spam signature).
+
+    Algorithm: iterative peeling — drop every node with current degree
+    < k, recompute degrees on the induced subgraph, repeat to fixpoint
+    (the standard Matula–Beck shape, distributed).  All arithmetic is
+    exact integer counting, so the fixpoint is engine-independent; the
+    suite pins it against an independent pure-Python peeling oracle.
+    The peel is NOT SQL-expressible as a single query (each round
+    aggregates over the previous round's survivor set), so this operator
+    carries unit + independent-oracle evidence rather than a DuckDB twin
+    — the same evidence class as the streaming gates.
+
+    Scale design: per round, ONE combiner-reduced degree groupBy and two
+    LEFT SEMI joins filtering the symmetric edge list to surviving
+    endpoints (hash equi-joins — never a cartesian); the edge frame is
+    lazily localCheckpoint-ed per round so round N's plan never embeds
+    rounds 1..N-1 (the pagerank/CC discipline).  The per-round
+    convergence probe is one count on the shrinking edge frame.  Rounds
+    needed = peel depth, typically O(log n) in practice; ``max_rounds``
+    bounds the pathological chain case.
+    """
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    sym = und.select("u", "v").unionAll(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    n_edges = sym.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+        alive = deg.filter(F.col("degree") >= k).select("u")
+        sym_next = (
+            sym.join(alive, "u", "left_semi")
+            .join(alive.select(F.col("u").alias("v")), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+        n_next = sym_next.count()
+        sym = sym_next
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+    return (
+        sym.groupBy(F.col("u").alias("id"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .filter(F.col("degree") >= k)
+    )

@@ -352,3 +352,67 @@ def test_triangle_orientation_bounds_hub(spark):
     # the hub's edges all point INTO it (rim nodes have smaller degree)
     assert d["max_out_degree_oriented"] <= 2
     assert d["triangles"] == 1  # (hub, 0, 1)
+
+
+# ---------------------------------------------------------------- k-core
+
+
+def _py_kcore(edge_list, k):
+    """Independent pure-Python peeling oracle."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for u, v in edge_list:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < k]:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+            changed = True
+    return {n: len(nb) for n, nb in adj.items() if nb}
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_kcore_matches_python_peeling_oracle(spark):
+    import random
+
+    from minivectordb_spark.operators.graph import kcore
+
+    rng = random.Random(13)
+    # a dense clique + a sparse fringe that must peel away in cascades
+    pairs = [(a, b) for a in range(6) for b in range(a + 1, 6)]  # K6
+    pairs += [(5 + i, 6 + i) for i in range(10)]  # chain off the clique
+    pairs += [(rng.randrange(30), rng.randrange(30)) for _ in range(40)]
+    for k in (2, 3, 5):
+        got = {
+            r["id"]: r["degree"]
+            for r in kcore(_edges_df(spark, pairs), k).collect()
+        }
+        assert got == _py_kcore(pairs, k), f"k={k}"
+
+
+def test_kcore_chain_peels_to_empty(spark):
+    from minivectordb_spark.operators.graph import kcore
+
+    # a path graph has no 2-core: every peel round removes the endpoints,
+    # cascading until nothing remains — pins the iterative fixpoint.
+    chain = [(i, i + 1) for i in range(12)]
+    assert kcore(_edges_df(spark, chain), 2).count() == 0
+
+
+def test_kcore_direction_and_dup_insensitive(spark):
+    from minivectordb_spark.operators.graph import kcore
+
+    tri = [(1, 2), (2, 3), (3, 1)]
+    noisy = tri + [(b, a) for a, b in tri] + tri  # reversed + duplicated
+    got = {
+        r["id"]: r["degree"] for r in kcore(_edges_df(spark, noisy), 2).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}
