@@ -3256,6 +3256,46 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
         d["brute_force_pairs"] = d["n_docs"] * (d["n_docs"] - 1) // 2
         return d
 
+    def c_events_anomaly(spark: SparkSession, sf_dir: str) -> dict:
+        from minivectordb_spark.operators.anomaly import zscore_diagnostics
+
+        d = zscore_diagnostics(
+            _t(spark, sf_dir, "events"), "value", "event_type"
+        )
+        d["outlier_rows"] = int(q_events_anomaly(spark, sf_dir).count())
+        return d
+
+    def c_tfidf_keywords(spark: SparkSession, sf_dir: str) -> dict:
+        # the window input is the (group x token) TYPE table — record its
+        # size (Heaps'-law bounded) vs the constant top-n output
+        from minivectordb_spark.operators.text import tokens as _toks
+
+        docs = _t(spark, sf_dir, "documents")
+        ex = docs.select(
+            F.col("source"), F.explode(_toks(F.col("text"))).alias("token")
+        )
+        return {
+            "type_table_rows": int(
+                ex.groupBy("source", "token").count().count()
+            ),
+            "vocab_size": int(ex.select("token").distinct().count()),
+            "output_rows": int(q_tfidf_keywords(spark, sf_dir).count()),
+        }
+
+    def c_event_transitions(spark: SparkSession, sf_dir: str) -> dict:
+        # matrix stays |types|^2; the per-user window's sort size is
+        # bounded by the max per-user event count (the hot-key bound)
+        ev = _t(spark, sf_dir, "events")
+        return {
+            "matrix_rows": int(q_event_transitions(spark, sf_dir).count()),
+            "max_user_events": int(
+                ev.groupBy("user_id")
+                .count()
+                .agg(F.max("count"))
+                .collect()[0][0]
+            ),
+        }
+
     return {
         "neardup_lsh": c_neardup_lsh,
         "neardup_cosine": c_neardup_cosine,
@@ -3274,6 +3314,9 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
         "setsim_jaccard_pairs": c_setsim,
         "triangle_counts": c_triangles,
         "events_attribution": c_events_attribution,
+        "events_anomaly": c_events_anomaly,
+        "tfidf_keywords": c_tfidf_keywords,
+        "event_transitions": c_event_transitions,
     }
 
 

@@ -95,6 +95,14 @@ SCALED_QUERIES = [
     # watermarked-join batch twin: per-user interval self-join — output
     # and per-key fan-out counters, never |clicks| x |purchases|
     "events_attribution",
+    # r7 continuation: frozen-model anomaly flagging (stats table stays
+    # |keys| rows while outliers scale with data), TF-IDF keywords (the
+    # window input is the Heaps'-bounded type table, output constant),
+    # Markov transitions (matrix constant at |types|^2; per-user window
+    # bound recorded)
+    "events_anomaly",
+    "tfidf_keywords",
+    "event_transitions",
 ]
 
 
