@@ -2868,7 +2868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_distribution": q_customer_distribution,
         "parts_below_avg": q_parts_below_avg,
         "events_cube": q_events_cube,
-        "events_moving_avg": q_events_moving_avg,
+        "events_anomaly": q_events_anomaly,
         "events_sessions_native": q_events_sessions_native,
         "bigram_lm": q_bigram_lm,
         "quality_classifier": q_quality_classifier,
@@ -2882,7 +2882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_topk": q_knn_topk,
         "filter_events_or": q_filter_events_or,
         "filter_events_exclude": q_filter_events_exclude,
-        "filter_docs_in": q_filter_docs_in,
+        "tfidf_keywords": q_tfidf_keywords,
         "tpch_q1": q_tpch_q1,
         "top_customers": q_top_customers,
         "text_stats": q_text_stats,
@@ -3558,9 +3558,9 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_twap": q_events_twap,
         "cluster_digest": q_cluster_digest,
         "events_ewma": q_events_ewma,
-        "tfidf_keywords": q_tfidf_keywords,
-        "events_anomaly": q_events_anomaly,
         "event_transitions": q_event_transitions,
+        "filter_docs_in": q_filter_docs_in,
+        "events_moving_avg": q_events_moving_avg,
     }
 
 
