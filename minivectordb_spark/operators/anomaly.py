@@ -79,16 +79,49 @@ def _outlier_exprs(z: int, min_n: int):
     """The shared flag decision over the canonical (__v, __n, __s, __q)
     columns — one definition for the self-fit batch pass AND the
     frozen-stats deployment path (zscore_flag / the streaming gate), so
-    the two can never drift."""
+    the two can never drift.
+
+    Overflow is LOUD, not silent: in non-ANSI Spark a DECIMAL(38,0)
+    product past 1e38 nulls out, which would silently un-flag rows the
+    exactness contract says are outliers (DuckDB's HUGEINT keeps going
+    to ~1.7e38).  Each product is therefore wrapped so that a null
+    result from non-null operands raises at execution time instead of
+    propagating."""
     n_ = F.col("__n").cast(_D)
     s_ = F.col("__s").cast(_D)
     q_ = F.col("__q").cast(_D)
     x_ = F.col("__v").cast(_D)
+    inputs_ok = (
+        n_.isNotNull() & s_.isNotNull() & q_.isNotNull() & x_.isNotNull()
+    )
     dev = n_ * x_ - s_
-    rhs = F.lit(z * z).cast(_D) * (n_ * q_ - s_ * s_)
-    is_out = (F.col("__n") >= F.lit(min_n)) & (dev * dev > rhs)
+    lhs = _checked_overflow(dev * dev, inputs_ok, "(n*x - S)^2")
+    rhs = _checked_overflow(
+        F.lit(z * z).cast(_D) * (n_ * q_ - s_ * s_),
+        inputs_ok,
+        "z^2 * (n*Q - S^2)",
+    )
+    is_out = (F.col("__n") >= F.lit(min_n)) & (lhs > rhs)
     side = F.when(dev > F.lit(0), F.lit("high")).otherwise(F.lit("low"))
     return is_out, side
+
+
+def _checked_overflow(product, inputs_ok, what: str):
+    """DECIMAL(38,0) product with a runtime overflow trap: non-null
+    operands that yield a null product mean the arithmetic left the
+    exactness envelope ((n*max|v|)^2 < 1e38, the bound
+    ``zscore_diagnostics`` measures) — raise rather than let
+    null-propagation silently un-flag the row."""
+    return F.when(
+        inputs_ok & product.isNull(),
+        F.raise_error(
+            F.lit(
+                f"zscore overflow: {what} exceeded DECIMAL(38,0) — "
+                "(n*max|v|)^2 >= 1e38; lower `scale` or shard the key "
+                "(see zscore_diagnostics for the measured bound)"
+            )
+        ).cast(_D),
+    ).otherwise(product)
 
 
 def frozen_key_stats(
@@ -100,10 +133,15 @@ def frozen_key_stats(
     """Fit the per-key ``(key, n, S, Q)`` stats table and collect it —
     |keys| rows, the deployable "model" a streaming anomaly gate freezes
     at wiring time (the quality gate's frozen-classifier pattern).  The
-    collect is key-cardinality-bounded, never the row stream."""
+    collect is key-cardinality-bounded, never the row stream.
+
+    Keys are cast to STRING here, mirroring ``zscore_flag``'s probe-side
+    cast, so a non-string ``key_col`` round-trips through the frozen
+    table identically in both deployment modes (the stats schema is
+    pinned at ``__key string``)."""
     v = F.floor(F.col(value_col) * F.lit(scale)).cast("long")
     rows = (
-        df.select(F.col(key_col).alias("__key"), v.alias("__v"))
+        df.select(F.col(key_col).cast("string").alias("__key"), v.alias("__v"))
         .groupBy("__key")
         .agg(
             F.count(F.lit(1)).alias("__n"),

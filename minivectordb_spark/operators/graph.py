@@ -328,7 +328,10 @@ def kcore(
     rounds 1..N-1 (the pagerank/CC discipline).  The per-round
     convergence probe is one count on the shrinking edge frame.  Rounds
     needed = peel depth, typically O(log n) in practice; ``max_rounds``
-    bounds the pathological chain case.
+    bounds the pathological chain case — and if it binds BEFORE the
+    fixpoint (a >2·max_rounds-node path at k=2), the function raises
+    rather than return a superset of the true core with degrees that
+    describe no subgraph.
     """
     und = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -342,8 +345,9 @@ def kcore(
         und.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     n_edges = sym.count()
+    converged = n_edges == 0
     for _ in range(max_rounds):
-        if n_edges == 0:
+        if converged:
             break
         deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
         alive = deg.filter(F.col("degree") >= k).select("u")
@@ -355,11 +359,17 @@ def kcore(
         )
         n_next = sym_next.count()
         sym = sym_next
-        if n_next == n_edges:
-            break
+        if n_next == n_edges or n_next == 0:
+            converged = True
         n_edges = n_next
-    return (
-        sym.groupBy(F.col("u").alias("id"))
-        .agg(F.count(F.lit(1)).alias("degree"))
-        .filter(F.col("degree") >= k)
+    if not converged:
+        raise RuntimeError(
+            f"kcore(k={k}) did not reach the peel fixpoint within "
+            f"max_rounds={max_rounds} ({n_edges} symmetric edges still "
+            "shrinking); raise max_rounds — a truncated peel would return "
+            "a superset of the true core with degrees that describe no "
+            "induced subgraph"
+        )
+    return sym.groupBy(F.col("u").alias("id")).agg(
+        F.count(F.lit(1)).alias("degree")
     )

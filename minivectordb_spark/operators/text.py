@@ -750,7 +750,9 @@ def tfidf_keywords(
     slice about?" rollup: for every ``group_col`` value (source, domain,
     language shard), the ``top_n`` tokens ranked by term-frequency x
     inverse-document-frequency.  Returns ``(group_col, token, tf, tfidf,
-    rank)``; rank is dense 1..top_n by tfidf desc, token asc.
+    rank)``; rank is ``row_number`` over (tfidf desc, token asc) — that
+    ordering is a total order per group (token breaks every tie), so the
+    numbering is deterministic 1..top_n with no gaps.
 
     Numerics (engine-exact): ``idf = round(ln(N / df), 6)`` is frozen to
     DECIMAL(18,6) once per VOCAB ENTRY — the lm_score trick — and the

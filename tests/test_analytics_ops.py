@@ -125,6 +125,68 @@ def test_zscore_floor_scaling_is_floor_not_cast(spark):
     assert out[0]["value_scaled"] == -101 and out[0]["side"] == "low"
 
 
+def test_zscore_overflow_raises_instead_of_unflagging(spark):
+    # scale=10^15 drives |v| ~ 1e19 past the DECIMAL(38,0) product
+    # headroom.  Under ANSI (Spark 4 default) the decimal multiply itself
+    # raises; under non-ANSI it nulls out — where the operator's guard
+    # must RAISE rather than silently drop the flag.  Both modes must be
+    # loud; non-ANSI must carry the operator's own message.
+    rows = [(1, "k", 123456.789)] + [(i, "k", 10.0) for i in range(2, 30)]
+
+    def run():
+        zscore_outliers(
+            _vals(spark, rows),
+            "value",
+            "event_type",
+            ["event_id"],
+            z=2,
+            scale=10**15,
+        ).collect()
+
+    with pytest.raises(
+        Exception, match="zscore overflow|NUMERIC_VALUE_OUT_OF_RANGE"
+    ):
+        run()
+
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with pytest.raises(Exception, match="zscore overflow"):
+            run()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_frozen_stats_and_flag_accept_non_string_keys(spark):
+    # frozen_key_stats casts keys to string to match zscore_flag's
+    # probe-side cast — a LONG key column must round-trip through the
+    # frozen table without crashing createDataFrame, and flag the same
+    # rows the self-fit pass does.
+    from minivectordb_spark.operators.anomaly import (
+        frozen_key_stats,
+        zscore_flag,
+    )
+
+    rows = [(1, 7, 1000.0)] + [(i, 7, 1.0) for i in range(2, 30)]
+    df = spark.createDataFrame(
+        rows, "event_id long, key_num long, value double"
+    )
+    stats = frozen_key_stats(df, "value", "key_num")
+    assert all(isinstance(k, str) for k, *_ in stats)
+    flagged = {
+        r["event_id"]
+        for r in zscore_flag(df, stats, "value", "key_num").collect()
+        if r["is_outlier"]
+    }
+    self_fit = {
+        r["event_id"]
+        for r in zscore_outliers(
+            df, "value", "key_num", ["event_id"]
+        ).collect()
+    }
+    assert flagged == self_fit == {1}
+
+
 # ---------------------------------------------------------- transitions
 
 

@@ -407,6 +407,22 @@ def test_kcore_chain_peels_to_empty(spark):
     assert kcore(_edges_df(spark, chain), 2).count() == 0
 
 
+def test_kcore_raises_when_max_rounds_binds_before_fixpoint(spark):
+    import pytest
+
+    from minivectordb_spark.operators.graph import kcore
+
+    # a 12-edge path at k=2 needs 6 peel rounds to empty out; with
+    # max_rounds=3 the peel is truncated mid-cascade — the operator must
+    # raise (a truncated return would be a superset of the true core
+    # with degrees describing no induced subgraph), and the same graph
+    # must still converge cleanly when the bound is lifted.
+    chain = [(i, i + 1) for i in range(12)]
+    with pytest.raises(RuntimeError, match="did not reach the peel fixpoint"):
+        kcore(_edges_df(spark, chain), 2, max_rounds=3).count()
+    assert kcore(_edges_df(spark, chain), 2, max_rounds=10).count() == 0
+
+
 def test_kcore_direction_and_dup_insensitive(spark):
     from minivectordb_spark.operators.graph import kcore
 

@@ -786,9 +786,18 @@ def test_bigram_lm_property_matches_python_model(spark):
                 term = jround(math.log(0.75 * p_bi + 0.25 * uni[b] / T))
                 terms.append(term)
             if terms:
-                # decimal(18,6) sum is exact; mimic with integer micros
+                # decimal(18,6) sum is exact; mimic with integer micros,
+                # then average with the operator's exact half-away-from-zero
+                # integer form (_exact_avg_micros): (2*|s| + n) div (2n),
+                # sign split — a float round(s/1e6/n, 6) lands a double ulp
+                # off whenever s/n sits exactly on a .5e-6 boundary.
                 s = sum(int(round(t * 1_000_000)) for t in terms)
-                exp[i] = (len(terms), jround(s / 1_000_000 / len(terms)))
+                n = len(terms)
+                if s >= 0:
+                    q = (2 * s + n) // (2 * n)
+                else:
+                    q = -((2 * (-s) + n) // (2 * n))
+                exp[i] = (n, q / 1_000_000)
         assert got == exp
 
     check()
