@@ -181,6 +181,32 @@ def main():
             except Exception as e:
                 print(f"bench scaled2-section error: {e}", file=sys.stderr)
 
+    # demoted-registry walls (VERDICT r7 item 3): the demoted rows are
+    # oracle-compared every round but were never timed — a rotation could
+    # park a perf regression where the bench can't see it.  Single-run at
+    # the gate scale (sf0.01); full detail to DEMOTED_WALLS.json +
+    # BENCH_LOCAL.json, only the (count, total) summary on the compact
+    # line.  Disable with SPARK_GRAFT_DEMOTED=0.
+    demoted = None
+    if os.environ.get("SPARK_GRAFT_DEMOTED", "1") != "0":
+        try:
+            from tools.demoted_bench import demoted_walls_section
+            from tools.scaling_bench import default_scaled_base
+
+            demoted = demoted_walls_section(
+                spark, default_scaled_base(sf_dir)
+            )
+            with open(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "DEMOTED_WALLS.json",
+                ),
+                "w",
+            ) as f:
+                json.dump(demoted, f, indent=1)
+        except Exception as e:
+            print(f"bench demoted-section error: {e}", file=sys.stderr)
+
     out = {
         "metric": "total_wall_sec_all_queries",
         "value": total,
@@ -224,6 +250,12 @@ def main():
             "walls": _s2(scaled2.get("queries", {})),
         }
         full["scaled2"] = scaled2
+    if demoted is not None:
+        out["demoted"] = {
+            "n": demoted["n_queries"],
+            "total": demoted["total_wall_sec"],
+        }
+        full["demoted"] = demoted
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_LOCAL.json"), "w") as f:
         json.dump(full, f, indent=1)

@@ -1,0 +1,77 @@
+"""Per-round walls for the demoted registry (VERDICT r7 item 3).
+
+The 60+ demoted queries run the full oracle compare every round
+(tests/test_demoted_queries.py) but were never TIMED — a rotation could
+park a perf regression where the bench can't see it.  This records a
+single-run wall per demoted query at the gate scale (sf0.01), through
+the same noop sink the main bench uses, into DEMOTED_WALLS.json.
+
+Single-run is deliberate: the goal is a committed trend line that flags
+a query whose wall jumps round-over-round, not a steady-state benchmark
+(the graded window already gets min-of-2).  Absolute values therefore
+carry cold-codegen noise; compare ROUND-OVER-ROUND, and confirm any
+jump with tools/standalone_bench.py before acting on it.
+
+Usage: python tools/demoted_bench.py            (standalone)
+       bench.py calls demoted_walls_section()    (per round)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def demoted_walls_section(spark, sf_dir: str) -> dict:
+    import __spark_entry__ as entry
+
+    walls = {}
+    t_all = time.time()
+    for name, fn in entry.demoted_queries().items():
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            walls[name] = round(time.time() - t0, 3)
+        except Exception as e:
+            print(f"demoted bench error in {name}: {e}", file=sys.stderr)
+            walls[name] = -1.0
+    return {
+        "metric": "demoted_wall_sec_single_run",
+        "sf_dir": sf_dir,
+        "n_queries": len(walls),
+        "total_wall_sec": round(time.time() - t_all, 3),
+        "queries": walls,
+    }
+
+
+def main():
+    from minivectordb_spark.session import get_spark
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_DEMOTED_SF_DIR", "/root/testdata/sf0.01"
+    )
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name="demoted_bench", cores=cpus, shuffle_partitions=int(cpus)
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out = demoted_walls_section(spark, sf_dir)
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "DEMOTED_WALLS.json",
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, separators=(",", ":")))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
