@@ -2647,6 +2647,63 @@ SELECT node, count(*)::BIGINT AS n_tri FROM corners GROUP BY node
 """.strip()
 
 
+# k-core demoted row (VERDICT r7 item 6): modulus chosen so the sf0.01
+# gate graph sits near the k=2 phase transition — the peel cascades for
+# 8 rounds and STILL leaves a nonempty core (15,762 surviving symmetric
+# edges), so the oracle compare exercises both the iteration and a real
+# fixpoint.  KCORE_ORACLE_ROUNDS bounds the oracle's unroll; measured
+# peel depth is 3 / 8 / 1 rounds at sf0.001 / 0.01 / 0.1, all <= 10.
+KCORE_K = 2
+KCORE_MOD = 8000
+KCORE_ORACLE_ROUNDS = 10
+
+
+def q_kcore_k2(spark, sf_dir):
+    """k-core decomposition (operators/graph.kcore) over a derived event
+    graph near the k=2 critical density.  The operator peels to the TRUE
+    fixpoint (and now raises if max_rounds binds first); the DuckDB twin
+    unrolls KCORE_ORACLE_ROUNDS peel rounds — peeling is idempotent at
+    the fixpoint, so the two agree exactly whenever the real peel depth
+    is <= the unroll (verified at all three sf dirs; a new dataset needs
+    the depth re-checked, the documented caveat of pinning an iterative
+    fixpoint with a bounded-rounds oracle)."""
+    from minivectordb_spark.operators.graph import kcore
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.selectExpr(
+        f"(user_id * 53 + event_id * 17) % {KCORE_MOD} AS src",
+        f"(user_id * 37 + event_id * 13) % {KCORE_MOD} AS dst",
+    ).filter("src != dst")
+    return kcore(edges, KCORE_K)
+
+
+def _oracle_kcore_k2() -> str:
+    """q_kcore_k2 twin: the peel unrolled — per round, one HAVING-degree
+    CTE and one two-way semi-join filter, exactly the operator's round
+    body (the pagerank unrolled-CTE trick applied to a fixpoint loop)."""
+    # every round CTE is referenced 2-3 times downstream; MATERIALIZED
+    # stops DuckDB from inlining them (an inlined unroll re-expands each
+    # reference — 3^rounds scans of the parquet, fd exhaustion)
+    parts = [
+        f"""e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       FROM (SELECT (user_id * 53 + event_id * 17) % {KCORE_MOD} AS src,
+                    (user_id * 37 + event_id * 13) % {KCORE_MOD} AS dst
+             FROM events) WHERE src != dst),
+s0 AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0)"""
+    ]
+    for r in range(1, KCORE_ORACLE_ROUNDS + 1):
+        parts.append(
+            f"""a{r} AS MATERIALIZED (SELECT u FROM s{r-1} GROUP BY u HAVING count(*) >= {KCORE_K}),
+s{r} AS MATERIALIZED (SELECT s.u, s.v FROM s{r-1} s JOIN a{r} x ON s.u = x.u
+         JOIN a{r} y ON s.v = y.u)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT u AS id, count(*)::BIGINT AS degree FROM s{KCORE_ORACLE_ROUNDS} GROUP BY u"
+    )
+
+
 # incremental-rollup batch boundaries (epoch-nanos): 2024-01-20 / 2024-01-25
 ROLLUP_SPLITS_NS = (1705708800 * 10**9, 1706140800 * 10**9)
 
@@ -2854,6 +2911,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and redundant twins are demoted to demoted_queries() (still
     # oracle-checked locally by tests/test_demoted_queries.py).
     return {
+        # r8 rotation (VERDICT r7 item 4): triangle_counts (graph family
+        # widening), events_attribution (watermarked stream-stream join's
+        # batch twin), setsim_against (cross-corpus prefix-filter join) —
+        # each hash-verified at sf0.001/0.01/0.1 under the driver compare
+        # before promotion, in exchange for filter_events_exclude,
+        # events_rollup, top_orders_per_cust (named covering siblings;
+        # rationale in demoted_queries()).
+        "triangle_counts": q_triangle_counts,
+        "events_attribution": q_events_attribution,
+        "setsim_against": q_setsim_against,
         "pagerank": q_pagerank,
         "record_linkage": q_record_linkage,
         "events_salted_skew": q_events_salted_skew,
@@ -2881,7 +2948,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_pipeline": q_search_pipeline,
         "knn_topk": q_knn_topk,
         "filter_events_or": q_filter_events_or,
-        "filter_events_exclude": q_filter_events_exclude,
         "tfidf_keywords": q_tfidf_keywords,
         "tpch_q1": q_tpch_q1,
         "top_customers": q_top_customers,
@@ -2902,8 +2968,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "events_percentiles": q_events_percentiles,
         "pack_sequences": q_pack_sequences,
-        "top_orders_per_cust": q_top_orders_per_cust,
-        "events_rollup": q_events_rollup,
     }
 
 
@@ -3160,15 +3224,46 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
     def c_pagerank(spark: SparkSession, sf_dir: str) -> dict:
         """Graph-shape counters: per-iteration cost is O(n_edges) join
         rows + O(n_nodes) aggregate rows; max_in_degree is the skew
-        exposure the map-side partial aggregation absorbs."""
-        from minivectordb_spark.operators.graph import pagerank_diagnostics
+        exposure the map-side partial aggregation absorbs.
+
+        Fixed-vs-variable split (VERDICT r7 item 5, the tpch_q1
+        protocol): ``wall_1iter`` prices the loop-invariant setup
+        (distinct + edge repartition/cache + outdeg join) plus ONE
+        round; ``iter_marginal_wall`` = (wall_kiter - wall_1iter) /
+        (k - 1) is the true per-round cost.  A fixed-cost-dominated
+        total (the sf0.1 claim) shows as wall_1iter >> iter_marginal;
+        a scaling problem in the round body would show as the marginal
+        growing with data while the setup stays flat."""
+        import time as _time
+
+        from minivectordb_spark.operators.graph import (
+            pagerank,
+            pagerank_diagnostics,
+        )
 
         ev = _t(spark, sf_dir, "events")
         edges = ev.selectExpr(
             "user_id AS src",
             f"(user_id * 37 + event_id * 13) % {PR_MOD} AS dst",
         ).filter("src != dst")
-        return pagerank_diagnostics(edges)
+        d = pagerank_diagnostics(edges)
+        t0 = _time.time()
+        pagerank(edges, iterations=1).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        w1 = _time.time() - t0
+        t0 = _time.time()
+        pagerank(edges, iterations=PR_ITERS).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        wk = _time.time() - t0
+        d["wall_1iter"] = round(w1, 3)
+        d["wall_kiter"] = round(wk, 3)
+        d["k_iters"] = PR_ITERS
+        d["iter_marginal_wall"] = round(
+            max(wk - w1, 0.0) / max(PR_ITERS - 1, 1), 3
+        )
+        return d
 
     def c_record_linkage(spark: SparkSession, sf_dir: str) -> dict:
         """Blocking counters: candidate_comparisons == sum over blocks of
@@ -3494,6 +3589,25 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       unit-tested), so the graded row now also covers shared streaming
       logic
 
+    Demoted in the r8 rotation (in exchange for triangle_counts,
+    events_attribution, setsim_against — VERDICT r7 item 4):
+
+    - filter_events_exclude: EXCLUDE leg of the filter DSL — the graded
+      filter_events_or row still exercises the compiler end-to-end and
+      the AND∩OR−EXCL composition row + test_filters pin exclusion
+      semantics
+    - top_orders_per_cust: per-group top-N row_number window — the
+      graded tfidf_keywords row runs the same WindowGroupLimit partial
+      shape on a bigger input; events_percentiles keeps the window
+      family graded
+    - events_rollup: ROLLUP grouping-sets — the graded events_cube row
+      is the same GROUPING SETS machinery with a superset of sets
+
+    kcore_k2 (new r8) is registered directly here: the k-core fixpoint
+    peel vs a bounded-rounds unrolled-CTE oracle (VERDICT r7 item 6),
+    near the k=2 critical density so the cascade runs 8 rounds at the
+    gate scale and still leaves a nonempty core.
+
     Still oracle-verified every round by tests/test_demoted_queries.py,
     which runs the same compare as the driver gate at sf0.001.
     """
@@ -3546,12 +3660,9 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dormant_customers": q_dormant_customers,
         "mmr_rerank": q_mmr_rerank,
         "rollup_incremental": q_rollup_incremental,
-        "triangle_counts": q_triangle_counts,
         "nation_balance": q_nation_balance,
         "user_churn": q_user_churn,
-        "setsim_against": q_setsim_against,
         "leakage_free_split": q_leakage_free_split,
-        "events_attribution": q_events_attribution,
         "top_revenue_supplier": q_top_revenue_supplier,
         "large_volume_customers": q_large_volume_customers,
         "retention_cohorts": q_retention_cohorts,
@@ -3561,6 +3672,10 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "filter_docs_in": q_filter_docs_in,
         "events_moving_avg": q_events_moving_avg,
+        "kcore_k2": q_kcore_k2,
+        "filter_events_exclude": q_filter_events_exclude,
+        "top_orders_per_cust": q_top_orders_per_cust,
+        "events_rollup": q_events_rollup,
     }
 
 
@@ -5069,6 +5184,7 @@ FROM documents
         "mmr_rerank": _oracle_mmr(),
         "rollup_incremental": _oracle_rollup_incremental(),
         "triangle_counts": _oracle_triangle_counts(),
+        "kcore_k2": _oracle_kcore_k2(),
         "nation_balance": _oracle_nation_balance(),
         "user_churn": _oracle_user_churn(),
         "setsim_against": _oracle_setsim_against(),
