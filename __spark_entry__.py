@@ -1127,6 +1127,88 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+COOC_WINDOW = 2
+COOC_MIN_COUNT = 5
+
+
+def q_cooccurrence_pmi(spark, sf_dir):
+    """Collocation mining (operators/text.cooccurrence_pmi, new r8):
+    PMI over token pairs within a 2-position window.  Pair generation
+    is map-side (nested array transform — no position self-join); two
+    combiner-reduced shuffles total; 1-row T/P aggregates broadcast."""
+    from minivectordb_spark.operators.text import cooccurrence_pmi
+
+    return cooccurrence_pmi(
+        _t(spark, sf_dir, "documents"),
+        window=COOC_WINDOW,
+        min_count=COOC_MIN_COUNT,
+    )
+
+
+def _oracle_cooccurrence_pmi() -> str:
+    """q_cooccurrence_pmi twin: positional self-join replays the window
+    pair multiset; the PMI argument keeps the operator's exact
+    association order so the double is bit-identical before the one
+    ln/round."""
+    return f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+pos AS (SELECT doc_id, unnest(tk) AS tok,
+               unnest(range(1, len(tk) + 1)) AS i FROM t),
+pr AS (SELECT least(a.tok, b.tok) AS w1, greatest(a.tok, b.tok) AS w2
+       FROM pos a JOIN pos b
+         ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + {COOC_WINDOW}),
+c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM pr GROUP BY w1, w2),
+uni AS (SELECT tok, count(*)::BIGINT AS c FROM pos GROUP BY tok),
+tot AS (SELECT sum(c)::BIGINT AS T FROM uni),
+ptot AS (SELECT count(*)::BIGINT AS P FROM pr)
+SELECT c12.w1, c12.w2, c12.c12,
+       round(ln((CAST(c12.c12 AS DOUBLE) * tot.T * tot.T) /
+                (CAST(ptot.P AS DOUBLE) * u1.c * u2.c)), 6) AS pmi
+FROM c12
+JOIN uni u1 ON u1.tok = c12.w1
+JOIN uni u2 ON u2.tok = c12.w2
+CROSS JOIN tot CROSS JOIN ptot
+WHERE c12.c12 >= {COOC_MIN_COUNT}
+""".strip()
+
+
+def q_contamination_fraction(spark, sf_dir):
+    """Per-doc contamination score (operators/dedup.contamination_fraction,
+    new r8): fraction of each training doc's distinct 3-token grams
+    colliding with the held-out slice — the GPT-3 appendix-C dirtiness
+    metric that decontaminate's binary flag thresholds.  Same broadcast
+    probe plan; LEFT join so zero-hit docs appear with 0.0."""
+    from minivectordb_spark.operators.dedup import contamination_fraction
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % DECONTAM_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % DECONTAM_MOD != 0)
+    return contamination_fraction(corpus, bench).select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        "contamination",
+    )
+
+
+def _oracle_contamination_fraction() -> str:
+    """q_contamination_fraction twin: the decontaminate gram machinery
+    with a LEFT join and the exact integer-micro fraction."""
+    return f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+sh AS (SELECT doc_id, unnest({_SQL_SHINGLE_HASHES}) AS gram_hash FROM t),
+bench AS (SELECT DISTINCT gram_hash FROM sh WHERE doc_id % {DECONTAM_MOD} = 0),
+corp AS (SELECT doc_id, gram_hash FROM sh WHERE doc_id % {DECONTAM_MOD} != 0),
+agg AS (SELECT corp.doc_id, count(*)::BIGINT AS n_grams,
+               sum(CASE WHEN bench.gram_hash IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit
+        FROM corp LEFT JOIN bench USING (gram_hash)
+        GROUP BY corp.doc_id)
+SELECT doc_id, n_grams, n_hit,
+       {_sql_exact_avg_micros('(n_hit * 1000000)', 'n_grams')} AS contamination
+FROM agg
+""".strip()
+
+
 def q_lm_score(spark, sf_dir):
     """Unigram-LM quality scoring (operators/text.lm_score): CCNet-style
     mean token log-prob under corpus-fit frequencies; per-token logp
@@ -2259,6 +2341,50 @@ WHERE st.n >= 5
 """.strip()
 
 
+def q_events_mad(spark, sf_dir):
+    """Robust MAD outliers (operators/anomaly.mad_outliers, new r8):
+    |v - median| > 3*MAD over integer cents, lower-median order
+    statistics — the robust companion to events_anomaly's z-test (50%
+    breakdown point vs the mean/variance's 0%).  Two keyed window
+    shuffles for the exact medians, |keys|-row tables broadcast back,
+    map-only flagging."""
+    from minivectordb_spark.operators.anomaly import mad_outliers
+
+    return mad_outliers(
+        _t(spark, sf_dir, "events"),
+        value_col="value",
+        key_col="event_type",
+        id_cols=["event_id"],
+        z=3,
+        min_n=5,
+        scale=100,
+    )
+
+
+def _oracle_events_mad() -> str:
+    """q_events_mad twin: the same lower-median order statistic twice —
+    the k-th smallest VALUE is tie-order-independent, so row_number's
+    arbitrary tie-breaking cannot diverge between engines."""
+    return """
+WITH b AS (SELECT event_id, event_type, floor(value * 100)::BIGINT AS v
+           FROM events),
+r1 AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS n FROM b),
+med AS (SELECT event_type, v AS med, n FROM r1 WHERE rn = (n + 1) // 2),
+d AS (SELECT b.event_id, b.event_type, b.v, med.n, med.med,
+             abs(b.v - med.med) AS dev
+      FROM b JOIN med USING (event_type)),
+r2 AS (SELECT event_type, dev,
+              row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn2,
+              n FROM d),
+mad AS (SELECT event_type, dev AS mad FROM r2 WHERE rn2 = (n + 1) // 2)
+SELECT d.event_id, d.event_type, d.v AS value_scaled, d.dev AS dev,
+       CASE WHEN d.v > d.med THEN 'high' ELSE 'low' END AS side
+FROM d JOIN mad USING (event_type)
+WHERE d.n >= 5 AND mad.mad > 0 AND d.dev > 3 * mad.mad
+""".strip()
+
+
 def q_event_transitions(spark, sf_dir):
     """First-order Markov transition matrix (operators/funnel.
     transition_counts): per-user consecutive event-type pairs via a
@@ -2507,6 +2633,82 @@ FROM events t JOIN events o
   ON o.user_id = t.user_id
  AND epoch_ns(o.ts) > epoch_ns(t.ts)
  AND epoch_ns(o.ts) <= epoch_ns(t.ts) + 3600000000000
+WHERE t.event_type = 'click' AND o.event_type = 'purchase'
+""".strip()
+
+
+def q_stream_attribution(spark, sf_dir):
+    """END-TO-END streaming attribution (VERDICT r7 item 9, the
+    durable_cdc pattern): the events table is staged to a parquet
+    source, read back as a FILE STREAM, pushed through the watermarked
+    StreamingSymmetricHashJoin (streaming/events.attribution_join — the
+    same function the graded events_attribution row runs in batch mode),
+    written through a real parquet sink, and the SINK contents are what
+    the oracle compares.  Green means the streaming plan — watermark
+    wiring, state-store join, sink commit — reproduces the batch join
+    exactly, not just that the expression tree is shared.
+
+    The watermark is deliberately enormous (state never pruned): the
+    staged source arrives as arbitrarily-ordered micro-batches, so any
+    realistic watermark would nondeterministically drop pairs that span
+    a batch boundary.  State-bounding under a real watermark is the
+    trade documented on attribution_join itself and pinned by the
+    batch==stream unit test; THIS row pins sink-level equivalence.
+    Timestamps go through timestamp_micros(ts div 1000) — the engine's
+    ns->us truncation contract — so the oracle's //1000 arithmetic is
+    exact on both engines.  Each invocation rebuilds from scratch."""
+    import os
+    import shutil
+    import tempfile
+
+    from minivectordb_spark.streaming.events import attribution_join
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_attr_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src, ck, out = (os.path.join(root, d) for d in ("src", "ck", "out"))
+    _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+    ).write.parquet(src)
+    cols = "event_id long, event_type string, user_id long, ts timestamp"
+    stream = spark.readStream.schema(cols).parquet(src)
+    q = (
+        attribution_join(stream, watermark="36500 days")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out).select(
+        "user",
+        "trigger_id",
+        "outcome_id",
+        (
+            F.unix_micros(F.col("outcome_ts"))
+            - F.unix_micros(F.col("trigger_ts"))
+        ).alias("lag_us"),
+    )
+
+
+def _oracle_stream_attribution() -> str:
+    """q_stream_attribution twin: the plain batch self-join over
+    us-truncated epoch values — identical to the events_attribution
+    oracle except the sink row carries lag in microseconds (the
+    streaming path works in TIMESTAMP, truncated ns->us)."""
+    return """
+SELECT t.user_id AS user, t.event_id AS trigger_id, o.event_id AS outcome_id,
+       (epoch_ns(o.ts) // 1000 - epoch_ns(t.ts) // 1000)::BIGINT AS lag_us
+FROM events t JOIN events o
+  ON o.user_id = t.user_id
+ AND epoch_ns(o.ts) // 1000 > epoch_ns(t.ts) // 1000
+ AND epoch_ns(o.ts) // 1000 <= epoch_ns(t.ts) // 1000 + 3600000000
 WHERE t.event_type = 'click' AND o.event_type = 'purchase'
 """.strip()
 
@@ -3673,6 +3875,10 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_docs_in": q_filter_docs_in,
         "events_moving_avg": q_events_moving_avg,
         "kcore_k2": q_kcore_k2,
+        "stream_attribution": q_stream_attribution,
+        "contamination_fraction": q_contamination_fraction,
+        "events_mad": q_events_mad,
+        "cooccurrence_pmi": q_cooccurrence_pmi,
         "filter_events_exclude": q_filter_events_exclude,
         "top_orders_per_cust": q_top_orders_per_cust,
         "events_rollup": q_events_rollup,
@@ -5185,6 +5391,10 @@ FROM documents
         "rollup_incremental": _oracle_rollup_incremental(),
         "triangle_counts": _oracle_triangle_counts(),
         "kcore_k2": _oracle_kcore_k2(),
+        "stream_attribution": _oracle_stream_attribution(),
+        "contamination_fraction": _oracle_contamination_fraction(),
+        "events_mad": _oracle_events_mad(),
+        "cooccurrence_pmi": _oracle_cooccurrence_pmi(),
         "nation_balance": _oracle_nation_balance(),
         "user_churn": _oracle_user_churn(),
         "setsim_against": _oracle_setsim_against(),

@@ -195,6 +195,90 @@ def zscore_flag(
     )
 
 
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    id_cols: Sequence[str],
+    z: int = 3,
+    min_n: int = 5,
+    scale: int = 100,
+) -> DataFrame:
+    """Robust keyed outliers via Median Absolute Deviation: flag rows with
+    ``|v - median| > z * MAD`` where ``MAD = median(|v - median|)`` —
+    the robust companion to ``zscore_outliers`` (a z-test's mean and
+    variance are themselves dragged by the outliers being hunted; the
+    median/MAD pair has a 50% breakdown point — Hampel's classic
+    recommendation).  Returns ``(*id_cols, key_col, value_scaled, dev,
+    side)``.
+
+    Engine-exactness is stronger than the z-score's: values are integer
+    cents (``floor(value*scale)``), the median is the LOWER median — the
+    ((n+1) div 2)-th order statistic, a VALUE that is well-defined no
+    matter how an engine breaks sort ties — and the flag inequality is
+    pure integer comparison.  No float, no product, no overflow envelope
+    at all (|dev| <= 2*max|v|).  Degenerate gates: keys with fewer than
+    ``min_n`` rows or ``MAD == 0`` (no spread) never flag.
+
+    Plan: exact medians need a per-key sort — TWO keyed window shuffles
+    (order statistic of v, then of |v - med|), each combiner-free but
+    moving only (key, value) pairs; both median tables are |keys| rows
+    and broadcast back, so flagging itself is map-only.  That second
+    pass is the honest price of the robust estimator vs the z-score's
+    single aggregate; at 100 TB both windows partition on the same key,
+    so AQE coalesces them into the same exchange layout."""
+    from pyspark.sql import Window
+
+    if not id_cols:
+        raise ValueError("id_cols must be non-empty")
+    v = F.floor(F.col(value_col) * F.lit(scale)).cast("long")
+    base = df.select(
+        *[F.col(c) for c in id_cols],
+        F.col(key_col).alias("__key"),
+        v.alias("__v"),
+    )
+    w = Window.partitionBy("__key").orderBy("__v")
+    wc = Window.partitionBy("__key")
+    meds = (
+        base.select(
+            "__key",
+            "__v",
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1)).over(wc).alias("__n"),
+        )
+        .filter(F.col("__rn") == F.expr("(__n + 1) div 2"))
+        .select("__key", F.col("__v").alias("__med"), "__n")
+    )
+    devs = base.join(F.broadcast(meds), "__key").withColumn(
+        "__dev", F.abs(F.col("__v") - F.col("__med"))
+    )
+    wd = Window.partitionBy("__key").orderBy("__dev")
+    mads = (
+        devs.select(
+            "__key",
+            "__dev",
+            "__n",
+            F.row_number().over(wd).alias("__rn"),
+        )
+        .filter(F.col("__rn") == F.expr("(__n + 1) div 2"))
+        .select("__key", F.col("__dev").alias("__mad"))
+    )
+    out = devs.join(F.broadcast(mads), "__key").filter(
+        (F.col("__n") >= F.lit(min_n))
+        & (F.col("__mad") > F.lit(0))
+        & (F.col("__dev") > F.lit(z) * F.col("__mad"))
+    )
+    return out.select(
+        *[F.col(c) for c in id_cols],
+        F.col("__key").alias(key_col),
+        F.col("__v").alias("value_scaled"),
+        F.col("__dev").alias("dev"),
+        F.when(F.col("__v") > F.col("__med"), F.lit("high"))
+        .otherwise(F.lit("low"))
+        .alias("side"),
+    )
+
+
 def zscore_diagnostics(
     df: DataFrame,
     value_col: str,

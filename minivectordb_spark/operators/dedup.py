@@ -1342,6 +1342,62 @@ def decontaminate(
     )
 
 
+def contamination_fraction(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = DEFAULT_SHINGLE,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Per-document contamination SCORE: the fraction of a document's
+    DISTINCT ``window``-token grams that collide with the benchmark set —
+    the graded companion to ``decontaminate``'s binary flag (GPT-3's
+    appendix-C methodology reports exactly this dirtiness fraction per
+    document, and pipelines threshold it rather than dropping on any
+    single collision; Brown et al., arXiv:2005.14165).  Returns
+    ``(id_col, n_grams, n_hit, contamination)`` for EVERY document — the
+    shingle machinery's short-doc fallback (whole text as one gram)
+    means every doc carries at least one gram; ``contamination =
+    n_hit / n_grams`` rounded at 6dp on the EXACT RATIONAL
+    (``_exact_avg_micros`` — a float ``round(a/b, 6)`` flips between
+    engines on .5e-6 boundaries).
+
+    Plan: identical scale shape to ``decontaminate`` — shingles staged
+    once per side, the benchmark reduced to a DISTINCT broadcast gram
+    set, the probe a map-only LEFT join (left, not inner: zero-hit
+    documents must appear with contamination 0.0), then ONE per-doc
+    count shuffle.  Distinct-per-doc grams come free: the shingle array
+    is already per-doc-distinct hashes."""
+    from minivectordb_spark.operators.text import _exact_avg_micros
+
+    corp_sh = _shingle_frame(corpus, text_col, id_col, window)
+    bench_grams = (
+        _shingle_frame(benchmark, text_col, id_col, window)
+        .select(F.explode("sh").alias("gram_hash"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    probed = corp_sh.select(
+        F.col(id_col), F.explode("sh").alias("gram_hash")
+    ).join(bench_grams, "gram_hash", "left")
+    return (
+        probed.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).alias("n_hit"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_hit",
+            _exact_avg_micros("n_hit", "n_grams").alias("contamination"),
+        )
+    )
+
+
 def dedup_against(
     df: DataFrame,
     reference: DataFrame,

@@ -814,3 +814,95 @@ def tfidf_keywords(
             F.col("__rk").cast("long").alias("rank"),
         )
     )
+
+
+def cooccurrence_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 2,
+    min_count: int = 5,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Token co-occurrence with pointwise mutual information — the
+    collocation / phrase-mining staple (Church & Hanks, CL 1990; the
+    word2vec-era association measure): for every unordered token pair
+    observed within ``window`` positions, ``pmi = ln(p(w1,w2) / (p(w1)
+    p(w2)))`` estimated from pair and unigram frequencies.  High-PMI
+    pairs are collocations ("new york"); corpus pipelines use them for
+    phrase joining and for spotting boilerplate n-grams.  Returns
+    ``(w1, w2, c12, pmi)`` for pairs with ``c12 >= min_count``; pairs
+    are canonicalized ``w1 <= w2`` so each unordered pair appears once.
+
+    Numerics: the PMI argument ``(c12 * T * T) / (P * c1 * c2)`` is
+    computed with the SAME explicit association order on both engines,
+    anchored by CAST(... AS DOUBLE) on the leading factor (a bare
+    ``* 1.0`` parses as DECIMAL in Spark SQL — decimal arithmetic, not
+    IEEE); counts convert to double exactly below 2^53, IEEE
+    multiply/divide are correctly rounded, so the double is
+    bit-identical given identical op order; the single ``ln`` ulp is
+    absorbed by the 6dp round — the lm_score acceptance.
+
+    Plan: pair generation is MAP-SIDE — a nested array ``transform``
+    over the staged token array emits each position's ``window``
+    forward partners with no join and no explode-then-self-join (the
+    naive formulation shuffles the position table twice; this one
+    shuffles only (pair, 1) rows into ONE combiner-reduced groupBy).
+    Unigram counts reuse the same staged array (second combiner-reduced
+    shuffle); T and P are 1-row aggregates broadcast-crossed in; with
+    ``broadcast_vocab`` (default) both c1/c2 probes are map-only.  At
+    100 TB: two keyed shuffles total, both pre-combined; nothing is
+    ever quadratic in document length beyond the window factor."""
+    from minivectordb_spark.operators.util import (
+        ensure_parallelism,
+        materialize,
+    )
+
+    toks_df = materialize(
+        ensure_parallelism(df), tokens(F.col(text_col)), "__toks", [id_col]
+    )
+    pairs = toks_df.select(
+        F.explode(
+            F.expr(
+                f"""flatten(transform(__toks, (t, i) ->
+                  transform(slice(__toks, i + 2, {int(window)}), u ->
+                    struct(least(t, u) AS w1, greatest(t, u) AS w2))))"""
+            )
+        ).alias("pr")
+    ).select("pr.w1", "pr.w2")
+    # the raw pair stream has exactly ONE consumer (the count aggregate);
+    # P is then derived from the aggregated pair-TYPE table — vocab²-ish,
+    # orders of magnitude smaller than the stream — so nothing pair-
+    # stream-sized is ever checkpointed or read twice
+    c12 = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=False)
+    )
+    uni = (
+        toks_df.select(F.explode("__toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tot = uni.agg(F.sum("c").alias("T"))
+    ptot = c12.agg(F.sum("c12").alias("P"))
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    if broadcast_vocab:
+        u1, u2 = F.broadcast(u1), F.broadcast(u2)
+    return (
+        c12.filter(F.col("c12") >= F.lit(min_count))
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ptot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.expr(
+                "round(ln((CAST(c12 AS DOUBLE) * T * T) / (CAST(P AS DOUBLE) * c1 * c2)), 6)"
+            ).alias("pmi"),
+        )
+    )

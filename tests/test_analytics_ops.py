@@ -225,3 +225,131 @@ def test_transitions_never_cross_users(spark):
         (1, 1, "a", 10), (2, 2, "b", 20),
     ])
     assert transition_counts(ev).count() == 0
+
+
+# ------------------------------------------------------------------ MAD
+
+
+def test_mad_outliers_hand_computed_and_lower_median(spark):
+    from minivectordb_spark.operators.anomaly import mad_outliers
+
+    # key "k": values (cents) 100x {1,2,3,4,5,6,100} -> n=7 (odd),
+    # median = 4th smallest = 400, devs {300,200,100,0,100,200,9600},
+    # sorted {0,100,100,200,200,300,9600} -> MAD = 4th = 200.
+    # flag: dev > 3*200=600 -> only the 100.0 row, side high.
+    rows = [(i, "k", float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 6, 100])]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = mad_outliers(df, "value", "event_type", ["event_id"], z=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["event_id"] == 6 and r["side"] == "high"
+    assert r["value_scaled"] == 10000 and r["dev"] == 9600
+
+    # even n: lower median.  values {1,2,3,1000} -> n=4, (n+1) div 2 = 2,
+    # median = 2nd smallest = 200 (NOT the interpolated 250); devs
+    # {100,0,100,99800} sorted -> MAD = 2nd = 100; flag dev>300:
+    # the 1000.0 row, plus min_n=4 allows it.
+    rows = [(i, "k", float(v)) for i, v in enumerate([1, 2, 3, 1000])]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = mad_outliers(df, "value", "event_type", ["event_id"], z=3, min_n=4).collect()
+    assert [(r["event_id"], r["side"]) for r in out] == [(3, "high")]
+
+
+def test_mad_outliers_gates(spark):
+    from minivectordb_spark.operators.anomaly import mad_outliers
+
+    # min_n gate: 4 rows with min_n=5 -> nothing flagged even with a
+    # wild outlier
+    rows = [(i, "k", float(v)) for i, v in enumerate([1, 1, 1, 1000])]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    assert mad_outliers(df, "value", "event_type", ["event_id"], min_n=5).count() == 0
+
+    # MAD==0 gate: constant values + one outlier -> MAD is 0 (majority
+    # at the median), degenerate spread never flags
+    rows = [(i, "k", 5.0) for i in range(6)] + [(9, "k", 500.0)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    assert mad_outliers(df, "value", "event_type", ["event_id"]).count() == 0
+
+
+# -------------------------------------------------- contamination frac
+
+
+def test_contamination_fraction_hand_computed(spark):
+    from minivectordb_spark.operators.dedup import contamination_fraction
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d"),            # grams {abc, bcd}: abc hits -> 1/2
+            (2, "x y z"),              # gram {xyz}: no hit -> 0/1
+            (3, "a b c"),              # gram {abc}: hit -> 1/1
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a b c q r s")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_hit"], r["contamination"])
+        for r in contamination_fraction(corpus, bench, window=3).collect()
+    }
+    assert got == {1: (2, 1, 0.5), 2: (1, 0, 0.0), 3: (1, 1, 1.0)}
+
+
+# ---------------------------------------------------------------- PMI
+
+
+def test_cooccurrence_pmi_matches_python_model(spark):
+    import math
+    from collections import Counter
+
+    from minivectordb_spark.operators.text import cooccurrence_pmi
+
+    corpus = [
+        "new york is big",
+        "new york new york",
+        "big apple is new",
+    ]
+    window, min_count = 2, 2
+    df = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id long, text string"
+    )
+    got = {
+        (r["w1"], r["w2"]): (r["c12"], r["pmi"])
+        for r in cooccurrence_pmi(
+            df, window=window, min_count=min_count
+        ).collect()
+    }
+
+    toks = [t.split(" ") for t in corpus]
+    pairs = Counter()
+    for tk in toks:
+        for i in range(len(tk)):
+            for j in range(i + 1, min(i + window, len(tk) - 1) + 1):
+                a, b = sorted((tk[i], tk[j]))
+                pairs[(a, b)] += 1
+    uni = Counter(t for tk in toks for t in tk)
+    T, P = sum(uni.values()), sum(pairs.values())
+    want = {
+        pr: (c, round(math.log((c * T * T) / (P * uni[pr[0]] * uni[pr[1]])), 6))
+        for pr, c in pairs.items()
+        if c >= min_count
+    }
+    assert got == want
+    # sanity: the repeated bigram is the association winner
+    assert ("new", "york") in got and got[("new", "york")][0] >= 3
+
+
+def test_cooccurrence_window_and_canonicalization(spark):
+    from minivectordb_spark.operators.text import cooccurrence_pmi
+
+    # window=1 -> adjacent pairs only; "b a" and "a b" canonicalize to
+    # the same unordered pair
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "b a"), (2, "a x b")], "doc_id long, text string"
+    )
+    got = {
+        (r["w1"], r["w2"]): r["c12"]
+        for r in cooccurrence_pmi(df, window=1, min_count=1).collect()
+    }
+    assert got[("a", "b")] == 2        # adjacent in docs 0 and 1 only
+    assert ("a", "x") in got and ("b", "x") in got
