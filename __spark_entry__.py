@@ -1885,6 +1885,66 @@ def q_record_linkage(spark, sf_dir):
     return out.select("d_id", "c_custkey", F.col("dist").cast("long").alias("dist"))
 
 
+# High-entropy synthetic "address": a 16-hex-char md5 prefix of the
+# customer key (md5 renders identical lowercase hex on both engines),
+# then a deterministic last-two-char swap for the dirty copy — plain
+# substring arithmetic both engines replay.  The testdata has no
+# genuinely random string column, and the near-identical c_name serials
+# make the TRUE dist<=2 answer itself quadratic (418k pairs at sf0.01 —
+# serials differ by 1-2 digit substitutions), drowning the
+# candidate-generation signal in answer size; md5 strings make the true
+# answer LINEAR (each dirty row hits its own source, rare accidents).
+# q=4 keeps the gram alphabet 16^4 = 65,536 types on hex strings — at
+# q=2 there are only 256 gram types, the df-ordered prefixes all land in
+# the same few buckets, and candidates go quadratic (124 s at sf0.1,
+# measured); at q=4 the same prefix filter is selective (sub-second).
+QG_Q = 4
+
+_QG_CLEAN = "substring(md5(CAST(c_custkey AS STRING)), 1, 16)"
+_QG_DIRTY = (
+    f"concat(substring({_QG_CLEAN}, 1, 14), "
+    f"substring({_QG_CLEAN}, 16, 1), "
+    f"substring({_QG_CLEAN}, 15, 1))"
+)
+
+
+def q_qgram_edit_join(spark, sf_dir):
+    """Blocking-free edit-distance join (operators/linkage.qgram_edit_join,
+    new r8): a deterministically corrupted copy of a high-entropy
+    per-customer key string linked back by the EDJoin q-gram prefix
+    filter (rarest d*q+1 gram occurrences per string under a global df
+    order) + exact levenshtein verify.  Where record_linkage's prefix
+    BLOCKING would miss a corrupted prefix, the gram join finds the
+    pair wherever the edits fall; the brute theta-join oracle being
+    row-identical proves the candidate generation lossless."""
+    from minivectordb_spark.operators.linkage import qgram_edit_join
+
+    cust = _t(spark, sf_dir, "customer")
+    dirty = cust.selectExpr("c_custkey AS d_id", f"{_QG_DIRTY} AS d_key")
+    clean = cust.selectExpr(
+        "c_custkey", f"{_QG_CLEAN} AS c_key"
+    )
+    return qgram_edit_join(
+        dirty, clean, "d_id", "c_custkey", "d_key", "c_key",
+        max_dist=LINK_MAX_DIST, q=QG_Q,
+    )
+
+
+def _oracle_qgram_edit_join() -> str:
+    """q_qgram_edit_join twin: the BRUTE theta-join with the same length
+    gates — equality proves the gram-join candidates are lossless."""
+    min_len = QG_Q * (LINK_MAX_DIST + 1)
+    return f"""
+WITH dirty AS (SELECT c_custkey AS d_id, {_QG_DIRTY} AS d_key FROM customer),
+clean AS (SELECT c_custkey, {_QG_CLEAN} AS c_key FROM customer)
+SELECT d.d_id, c.c_custkey, levenshtein(d.d_key, c.c_key)::BIGINT AS dist
+FROM dirty d JOIN clean c
+  ON abs(length(d.d_key) - length(c.c_key)) <= {LINK_MAX_DIST}
+ AND levenshtein(d.d_key, c.c_key) <= {LINK_MAX_DIST}
+WHERE length(d.d_key) >= {min_len} AND length(c.c_key) >= {min_len}
+""".strip()
+
+
 def _oracle_record_linkage() -> str:
     return f"""
 WITH dirty AS (SELECT c_custkey AS d_id, {_LINK_DIRTY} AS d_name FROM customer),
@@ -2635,6 +2695,55 @@ FROM events t JOIN events o
  AND epoch_ns(o.ts) <= epoch_ns(t.ts) + 3600000000000
 WHERE t.event_type = 'click' AND o.event_type = 'purchase'
 """.strip()
+
+
+LPA_ROUNDS = 3
+
+
+def q_communities_lpa(spark, sf_dir):
+    """Label-propagation communities (operators/graph.label_propagation,
+    new r8) over the same near-critical event graph as kcore_k2.
+    Synchronous rounds + (count DESC, label ASC) plurality tie-break
+    make the result a pure function of the edge set; the FIXED round
+    count makes the DuckDB twin an exact 3-round CTE unroll with no
+    fixpoint caveat."""
+    from minivectordb_spark.operators.graph import label_propagation
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.selectExpr(
+        f"(user_id * 53 + event_id * 17) % {KCORE_MOD} AS src",
+        f"(user_id * 37 + event_id * 13) % {KCORE_MOD} AS dst",
+    ).filter("src != dst")
+    return label_propagation(edges, rounds=LPA_ROUNDS)
+
+
+def _oracle_communities_lpa() -> str:
+    """q_communities_lpa twin: per round one neighbor-label count and one
+    plurality pick (row_number over count DESC, label ASC == the
+    operator's max-struct with negated label).  MATERIALIZED throughout
+    — the round CTEs are multi-referenced."""
+    parts = [
+        f"""e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       FROM (SELECT (user_id * 53 + event_id * 17) % {KCORE_MOD} AS src,
+                    (user_id * 37 + event_id * 13) % {KCORE_MOD} AS dst
+             FROM events) WHERE src != dst),
+s0 AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS label FROM s0)"""
+    ]
+    for r in range(1, LPA_ROUNDS + 1):
+        parts.append(
+            f"""c{r} AS MATERIALIZED (SELECT s.u, l.label, count(*)::BIGINT AS c
+       FROM s0 s JOIN l{r-1} l ON s.v = l.id GROUP BY s.u, l.label),
+l{r} AS MATERIALIZED (SELECT u AS id, label FROM
+       (SELECT u, label,
+               row_number() OVER (PARTITION BY u ORDER BY c DESC, label ASC) AS rn
+        FROM c{r}) WHERE rn = 1)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT id, label FROM l{LPA_ROUNDS}"
+    )
 
 
 def q_stream_attribution(spark, sf_dir):
@@ -3879,6 +3988,8 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_fraction": q_contamination_fraction,
         "events_mad": q_events_mad,
         "cooccurrence_pmi": q_cooccurrence_pmi,
+        "communities_lpa": q_communities_lpa,
+        "qgram_edit_join": q_qgram_edit_join,
         "filter_events_exclude": q_filter_events_exclude,
         "top_orders_per_cust": q_top_orders_per_cust,
         "events_rollup": q_events_rollup,
@@ -5395,6 +5506,8 @@ FROM documents
         "contamination_fraction": _oracle_contamination_fraction(),
         "events_mad": _oracle_events_mad(),
         "cooccurrence_pmi": _oracle_cooccurrence_pmi(),
+        "communities_lpa": _oracle_communities_lpa(),
+        "qgram_edit_join": _oracle_qgram_edit_join(),
         "nation_balance": _oracle_nation_balance(),
         "user_churn": _oracle_user_churn(),
         "setsim_against": _oracle_setsim_against(),

@@ -373,3 +373,86 @@ def kcore(
     return sym.groupBy(F.col("u").alias("id")).agg(
         F.count(F.lit(1)).alias("degree")
     )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation communities (fixed synchronous rounds)
+# ---------------------------------------------------------------------------
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al., Phys. Rev. E 76, 2007; the LPA variant GraphX ships): every node
+    starts with its own id as label, and each round adopts the label
+    held by the PLURALITY of its neighbors.  Returns ``(id, label)``
+    after exactly ``rounds`` rounds for every node with at least one
+    edge.
+
+    Determinism is the whole design: classic LPA breaks plurality ties
+    randomly and updates asynchronously — irreproducible by
+    construction.  Here updates are synchronous (all nodes read round
+    N-1's labels) and ties break (count DESC, label ASC), so the result
+    is a pure function of the edge set; and the round count is FIXED
+    rather than convergence-probed, which makes the operator exactly
+    unrollable as a DuckDB CTE chain (the pagerank discipline — no
+    fixpoint caveat at all: even on structures where synchronous LPA
+    oscillates, round R is still deterministic).
+
+    Scale design: per round ONE equi-join of the symmetric edge list
+    with the |nodes|-row label frame (edges repartitioned by ``v`` once
+    and cached — each round ships only labels), one combiner-reduced
+    (node, label) count, and one per-node plurality pick.  The pick is
+    a max-struct aggregate, NOT a window: partial aggregation collapses
+    each map partition to one candidate per (node, label) before the
+    exchange, so a mega-hub's fan-in arrives pre-combined — the same
+    skew armor as pagerank's dangling sum.  Labels are carried as the
+    node-id type; the tie-break struct orders (count DESC, label ASC)
+    via (count, negated label) max — exact for the integer ids this
+    engine's graphs use.  localCheckpoint truncates lineage per round.
+    """
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
+    sym = (
+        und.select("u", "v")
+        .unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition("v")
+        .cache()
+    )
+    labels = sym.select(F.col("u").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+    for _ in range(int(rounds)):
+        labels = labels.localCheckpoint(eager=False)
+        cnt = (
+            sym.join(labels, sym["v"] == labels["id"])
+            .groupBy("u", "label")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        labels = (
+            cnt.groupBy("u")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("__c").alias("c"),
+                        (-F.col("label")).alias("nl"),
+                    )
+                ).alias("__m")
+            )
+            .select(F.col("u").alias("id"), (-F.col("__m.nl")).alias("label"))
+        )
+    return labels
+
+
+def community_sizes(labels: DataFrame) -> DataFrame:
+    """Community size histogram from a label_propagation result: one
+    combiner-reduced count per label."""
+    return labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_nodes"))

@@ -432,3 +432,125 @@ def test_kcore_direction_and_dup_insensitive(spark):
         r["id"]: r["degree"] for r in kcore(_edges_df(spark, noisy), 2).collect()
     }
     assert got == {1: 2, 2: 2, 3: 2}
+
+
+# ---------------------------------------------------------------- LPA
+
+
+def test_label_propagation_two_triangle_communities(spark):
+    from minivectordb_spark.operators.graph import (
+        community_sizes,
+        label_propagation,
+    )
+
+    # two triangles joined by one bridge edge; synchronous rounds with
+    # the (count DESC, label ASC) tie-break hand-trace to:
+    #   l1 = {1:2, 2:1, 3:1, 4:3, 5:4, 6:4}
+    #   l2 = {1:1, 2:1, 3:1, 4:4, 5:3, 6:3}
+    #   l3 = {1:1, 2:1, 3:1, 4:3, 5:3, 6:3}  -> the two triangles
+    edges = [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4)]
+    got = {
+        r["id"]: r["label"]
+        for r in label_propagation(_edges_df(spark, edges), rounds=3).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+    sizes = {
+        r["label"]: r["n_nodes"]
+        for r in community_sizes(
+            label_propagation(_edges_df(spark, edges), rounds=3)
+        ).collect()
+    }
+    assert sizes == {1: 3, 3: 3}
+
+
+def test_label_propagation_direction_and_dup_insensitive(spark):
+    from minivectordb_spark.operators.graph import label_propagation
+
+    tri = [(1, 2), (2, 3), (3, 1)]
+    noisy = tri + [(b, a) for a, b in tri] + tri
+    got = {
+        r["id"]: r["label"]
+        for r in label_propagation(_edges_df(spark, noisy), rounds=2).collect()
+    }
+    want = {
+        r["id"]: r["label"]
+        for r in label_propagation(_edges_df(spark, tri), rounds=2).collect()
+    }
+    assert got == want and set(got) == {1, 2, 3}
+
+
+# ------------------------------------------------------------ qgram join
+
+
+def test_qgram_edit_join_finds_prefix_corruptions(spark):
+    from minivectordb_spark.operators.linkage import qgram_edit_join
+
+    # the whole point vs blocking: an edit in the PREFIX still links.
+    left = spark.createDataFrame(
+        [(1, "Xlphabet-city"), (2, "nomatchanywher")],
+        "lid long, s string",
+    )
+    right = spark.createDataFrame(
+        [(10, "alphabet-city"), (11, "zzzzzzzz-town")],
+        "rid long, s string",
+    )
+    got = {
+        (r["lid"], r["rid"]): r["dist"]
+        for r in qgram_edit_join(
+            left, right, "lid", "rid", "s", "s", max_dist=1, q=2
+        ).collect()
+    }
+    assert got == {(1, 10): 1}
+
+
+def test_qgram_edit_join_lossless_vs_bruteforce(spark):
+    import itertools
+
+    from minivectordb_spark.operators.linkage import qgram_edit_join
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    # strings with repeated grams (multiset numbering matters: 'aaaa'
+    # vs 'aaab' share three 'aa' occurrences) and assorted near-misses
+    ls = ["aaaaaa", "abcdef", "abcdff", "banana", "bananas", "kwyjibo"]
+    rs = ["aaaaab", "abcdef", "bananna", "kwyjib", "zzzzzz"]
+    d, q = 2, 2
+    min_len = q * (d + 1)
+    left = spark.createDataFrame(list(enumerate(ls)), "lid long, s string")
+    right = spark.createDataFrame(list(enumerate(rs)), "rid long, s string")
+    got = {
+        (r["lid"], r["rid"]): r["dist"]
+        for r in qgram_edit_join(
+            left, right, "lid", "rid", "s", "s", max_dist=d, q=q
+        ).collect()
+    }
+    want = {
+        (i, j): lev(a, b)
+        for (i, a), (j, b) in itertools.product(
+            enumerate(ls), enumerate(rs)
+        )
+        if len(a) >= min_len and len(b) >= min_len and lev(a, b) <= d
+    }
+    assert got == want
+
+
+def test_qgram_edit_join_min_len_contract(spark):
+    from minivectordb_spark.operators.linkage import qgram_edit_join
+
+    # strings below q*(d+1) are excluded by contract, even exact matches
+    left = spark.createDataFrame([(1, "abc")], "lid long, s string")
+    right = spark.createDataFrame([(10, "abc")], "rid long, s string")
+    assert (
+        qgram_edit_join(
+            left, right, "lid", "rid", "s", "s", max_dist=1, q=2
+        ).count()
+        == 0
+    )
