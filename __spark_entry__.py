@@ -1209,6 +1209,33 @@ FROM agg
 """.strip()
 
 
+def q_source_overlap(spark, sf_dir):
+    """Pairwise source-overlap matrix (operators/dedup.source_overlap,
+    new r8): shared distinct 3-gram counts + exact-rational gram
+    Jaccard per source pair.  The gram->sources inversion is bounded by
+    the source catalog, pair explosion is map-side — a viral gram costs
+    |sources|^2/2 rows once, never a per-occurrence self-join."""
+    from minivectordb_spark.operators.dedup import source_overlap
+
+    return source_overlap(_t(spark, sf_dir, "documents"))
+
+
+def _oracle_source_overlap() -> str:
+    """q_source_overlap twin: plain (source, gram) distinct self-join —
+    semantically identical to the operator's bounded-array inversion."""
+    return f"""
+WITH t AS (SELECT source, {_SQL_TOKS} AS tk FROM documents),
+sg AS (SELECT DISTINCT source, unnest({_SQL_SHINGLE_HASHES}) AS gram_hash FROM t),
+tot AS (SELECT source, count(*)::BIGINT AS n FROM sg GROUP BY source),
+sh AS (SELECT a.source AS sa, b.source AS sb, count(*)::BIGINT AS shared
+       FROM sg a JOIN sg b ON a.gram_hash = b.gram_hash AND a.source < b.source
+       GROUP BY 1, 2)
+SELECT sh.sa AS source_a, sh.sb AS source_b, sh.shared AS n_shared_grams,
+       {_sql_exact_avg_micros('(sh.shared * 1000000)', '(ta.n + tb.n - sh.shared)')} AS jaccard
+FROM sh JOIN tot ta ON ta.source = sh.sa JOIN tot tb ON tb.source = sh.sb
+""".strip()
+
+
 def q_lm_score(spark, sf_dir):
     """Unigram-LM quality scoring (operators/text.lm_score): CCNet-style
     mean token log-prob under corpus-fit frequencies; per-token logp
@@ -2507,6 +2534,40 @@ GROUP BY 1, 2
 """.strip()
 
 
+def q_events_ohlc(spark, sf_dir):
+    """Hourly OHLC bars per event type (operators/temporal.ohlc_bars,
+    new r8): open/close picked by min/max over the (ts, id, value)
+    struct — a deterministic total order, pure aggregate, no window —
+    high/low/n plain aggregates; ONE combiner-reduced shuffle."""
+    from minivectordb_spark.operators.temporal import ohlc_bars
+
+    return ohlc_bars(
+        _t(spark, sf_dir, "events"),
+        value_col="value",
+        ts_col="ts",
+        key_col="event_type",
+        id_col="event_id",
+        bucket_ns=3_600_000_000_000,
+    )
+
+
+def _oracle_events_ohlc() -> str:
+    """q_events_ohlc twin: the same struct-min/max row pick
+    (struct_pack comparison is field-order lexicographic — identical to
+    Spark's struct ordering on the (t, e, v) total key)."""
+    return """
+SELECT event_type,
+       ((ts // 3600000000000) * 3600000000000 // 1000000000)::BIGINT AS bucket_epoch,
+       (min(struct_pack(t := ts, e := event_id, v := value))).v AS open,
+       max(value) AS high,
+       min(value) AS low,
+       (max(struct_pack(t := ts, e := event_id, v := value))).v AS close,
+       count(*)::BIGINT AS n_obs
+FROM (SELECT event_type, epoch_ns(ts) AS ts, event_id, value FROM events)
+GROUP BY 1, 2
+""".strip()
+
+
 def q_events_twap(spark, sf_dir):
     """Time-weighted average value per (user, day) — the TWAP shape:
     each observation holds until the next one (lead window), weight =
@@ -3702,6 +3763,22 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
             ),
         }
 
+    def c_qgram_edit_join(spark: SparkSession, sf_dir: str) -> dict:
+        # the 100 TB claim: candidate_pairs tracks the LINEAR answer
+        # (prefix filter selective), never |L| x |R|; occurrences are
+        # (len - q + 1) per string by construction
+        from minivectordb_spark.operators.linkage import (
+            qgram_join_diagnostics,
+        )
+
+        cust = _t(spark, sf_dir, "customer")
+        dirty = cust.selectExpr("c_custkey AS d_id", f"{_QG_DIRTY} AS d_key")
+        clean = cust.selectExpr("c_custkey", f"{_QG_CLEAN} AS c_key")
+        return qgram_join_diagnostics(
+            dirty, clean, "d_id", "c_custkey", "d_key", "c_key",
+            max_dist=LINK_MAX_DIST, q=QG_Q,
+        )
+
     return {
         "neardup_lsh": c_neardup_lsh,
         "neardup_cosine": c_neardup_cosine,
@@ -3723,6 +3800,7 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
         "events_anomaly": c_events_anomaly,
         "tfidf_keywords": c_tfidf_keywords,
         "event_transitions": c_event_transitions,
+        "qgram_edit_join": c_qgram_edit_join,
     }
 
 
@@ -3990,6 +4068,8 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccurrence_pmi": q_cooccurrence_pmi,
         "communities_lpa": q_communities_lpa,
         "qgram_edit_join": q_qgram_edit_join,
+        "events_ohlc": q_events_ohlc,
+        "source_overlap": q_source_overlap,
         "filter_events_exclude": q_filter_events_exclude,
         "top_orders_per_cust": q_top_orders_per_cust,
         "events_rollup": q_events_rollup,
@@ -5508,6 +5588,8 @@ FROM documents
         "cooccurrence_pmi": _oracle_cooccurrence_pmi(),
         "communities_lpa": _oracle_communities_lpa(),
         "qgram_edit_join": _oracle_qgram_edit_join(),
+        "events_ohlc": _oracle_events_ohlc(),
+        "source_overlap": _oracle_source_overlap(),
         "nation_balance": _oracle_nation_balance(),
         "user_churn": _oracle_user_churn(),
         "setsim_against": _oracle_setsim_against(),

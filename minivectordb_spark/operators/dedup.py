@@ -1398,6 +1398,76 @@ def contamination_fraction(
     )
 
 
+def source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    window: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Pairwise source-overlap matrix — the dataset-card "how much do my
+    sources share?" rollup: for every unordered source pair, the number
+    of DISTINCT ``window``-token grams present in both, plus the gram
+    Jaccard.  High overlap between two crawl sources means shared
+    boilerplate / mirrored content and predicts cross-source near-dups
+    before any pairwise doc comparison is run.  Returns ``(source_a,
+    source_b, n_shared_grams, jaccard)`` for pairs sharing >= 1 gram,
+    with ``source_a < source_b`` and ``jaccard = shared / (|A| + |B| -
+    shared)`` rounded at 6dp on the exact rational.
+
+    Scale design: the gram->sources inversion aggregates to ONE row per
+    distinct gram with a collect_set bounded by the SOURCE CATALOG (a
+    dimension of dozens-hundreds at any corpus size — never data-
+    sized), and the pair explosion is map-side combinations of that
+    tiny array — a viral gram shared by every source costs
+    |sources|^2/2 rows ONCE, not a self-join fan-out per occurrence.
+    Totals are a |sources|-row broadcast.  Shuffles: the (source, gram)
+    distinct and the gram groupBy — both combiner-reduced."""
+    from minivectordb_spark.operators.text import _exact_avg_micros
+
+    sg = (
+        _shingle_frame(df, text_col, source_col, window)
+        .select(F.col(source_col), F.explode("sh").alias("gram_hash"))
+        .distinct()
+    )
+    sg = _reused(sg)
+    totals = sg.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    per_gram = (
+        sg.groupBy("gram_hash")
+        .agg(F.array_sort(F.collect_set(source_col)).alias("__ss"))
+        .filter(F.size("__ss") > 1)
+    )
+    pairs = per_gram.select(
+        F.explode(
+            F.expr(
+                """flatten(transform(__ss, (a, i) ->
+                     transform(slice(__ss, i + 2, size(__ss)), b ->
+                       struct(a AS sa, b AS sb))))"""
+            )
+        ).alias("pr")
+    ).select("pr.sa", "pr.sb")
+    shared = pairs.groupBy("sa", "sb").agg(
+        F.count(F.lit(1)).alias("n_shared_grams")
+    )
+    ta = F.broadcast(
+        totals.select(F.col(source_col).alias("sa"), F.col("__n").alias("__na"))
+    )
+    tb = F.broadcast(
+        totals.select(F.col(source_col).alias("sb"), F.col("__n").alias("__nb"))
+    )
+    return (
+        shared.join(ta, "sa")
+        .join(tb, "sb")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "n_shared_grams",
+            _exact_avg_micros(
+                "n_shared_grams", "(__na + __nb - n_shared_grams)"
+            ).alias("jaccard"),
+        )
+    )
+
+
 def dedup_against(
     df: DataFrame,
     reference: DataFrame,

@@ -159,3 +159,59 @@ def ewma(
             (fold.cast("double") / F.lit(1_000_000.0)).alias("ewma"),
         )
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    key_col: str,
+    id_col: str,
+    bucket_ns: int = 3_600_000_000_000,
+) -> DataFrame:
+    """OHLC candlestick bars per (key, time bucket): open / high / low /
+    close / n_obs — the time-series downsampling staple (market bars,
+    metric rollups, sensor summarization).  ``ts_col`` is the engine's
+    int64 epoch-nanos contract; buckets are ``ts div bucket_ns``.
+
+    Open and close need a DETERMINISTIC first/last: rows are ordered by
+    the total key ``(ts, id)`` (ids unique), and open/close are
+    extracted via min/max over the struct ``(ts, id, value)`` — a pure
+    aggregate, lexicographic on a total order, so both engines pick the
+    identical row with NO window pass.  High/low/n are plain min/max/
+    count.  ONE combiner-reduced shuffle: each map partition collapses
+    to one candidate struct per (key, bucket) before the exchange — a
+    hot key's bars arrive pre-combined, the same skew armor as every
+    aggregate in this engine.  Values pass through untouched (no
+    arithmetic), so the bars are engine-exact trivially."""
+    b = df.select(
+        F.col(key_col).alias("__key"),
+        F.expr(f"{ts_col} div {int(bucket_ns)}").alias("__bucket"),
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        F.col(value_col).alias("__v"),
+    )
+    s = F.struct(
+        F.col("__ts").alias("t"), F.col("__id").alias("e"), F.col("__v").alias("v")
+    )
+    return (
+        b.groupBy("__key", "__bucket")
+        .agg(
+            F.min(s).getField("v").alias("open"),
+            F.max("__v").alias("high"),
+            F.min("__v").alias("low"),
+            F.max(s).getField("v").alias("close"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        .select(
+            F.col("__key").alias(key_col),
+            F.expr(f"__bucket * {int(bucket_ns)}L div 1000000000L")
+            .cast("long")
+            .alias("bucket_epoch"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_obs",
+        )
+    )

@@ -353,3 +353,75 @@ def test_cooccurrence_window_and_canonicalization(spark):
     }
     assert got[("a", "b")] == 2        # adjacent in docs 0 and 1 only
     assert ("a", "x") in got and ("b", "x") in got
+
+
+# --------------------------------------------------------- source overlap
+
+
+def test_source_overlap_hand_computed(spark):
+    from minivectordb_spark.operators.dedup import source_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "s1"),   # grams {abc, bcd}
+            (2, "a b c x", "s2"),   # grams {abc, bcx}
+            (3, "q r s t", "s3"),   # grams {qrs, rst} — disjoint
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r["source_a"], r["source_b"]): (r["n_shared_grams"], r["jaccard"])
+        for r in source_overlap(docs, window=3).collect()
+    }
+    # s1 ∩ s2 = {abc} -> 1 shared; |A|=2, |B|=2 -> jaccard 1/3
+    assert got == {("s1", "s2"): (1, round(1 / 3, 6))}
+
+
+def test_source_overlap_ordering_and_dedup(spark):
+    from minivectordb_spark.operators.dedup import source_overlap
+
+    # identical text in both sources, duplicated rows: distinct grams
+    # per source collapse; pair is reported once, a < b
+    docs = spark.createDataFrame(
+        [(1, "a b c", "sB"), (2, "a b c", "sA"), (3, "a b c", "sA")],
+        "doc_id long, text string, source string",
+    )
+    out = source_overlap(docs, window=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["source_a"], r["source_b"]) == ("sA", "sB")
+    assert r["n_shared_grams"] == 1 and r["jaccard"] == 1.0
+
+
+# ------------------------------------------------------------------ OHLC
+
+
+def test_ohlc_bars_hand_computed(spark):
+    from minivectordb_spark.operators.temporal import ohlc_bars
+
+    H = 3_600_000_000_000
+    rows = [
+        # key k, hour 0: open=5 (earliest ts), close=2 (latest), hi=9 lo=2
+        (1, "k", 100, 5.0),
+        (2, "k", 200, 9.0),
+        (3, "k", H - 1, 2.0),
+        # hour 1: single obs
+        (4, "k", H + 5, 7.0),
+        # ts tie in hour 0 of key "m": event_id breaks it — open is id 5
+        (5, "m", 50, 1.0),
+        (6, "m", 50, 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts long, value double"
+    )
+    got = {
+        (r["event_type"], r["bucket_epoch"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n_obs"]
+        )
+        for r in ohlc_bars(
+            df, "value", "ts", "event_type", "event_id", bucket_ns=H
+        ).collect()
+    }
+    assert got[("k", 0)] == (5.0, 9.0, 2.0, 2.0, 3)
+    assert got[("k", 3600)] == (7.0, 7.0, 7.0, 7.0, 1)
+    assert got[("m", 0)] == (1.0, 3.0, 1.0, 3.0, 2)

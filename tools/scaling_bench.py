@@ -103,6 +103,10 @@ SCALED_QUERIES = [
     "events_anomaly",
     "tfidf_keywords",
     "event_transitions",
+    # r8: blocking-free EDJoin — customer replication remaps keys so the
+    # md5 fixture strings stay unique; candidates must track the linear
+    # answer (prefix filter working), never |L| x |R|
+    "qgram_edit_join",
 ]
 
 
