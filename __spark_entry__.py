@@ -2472,6 +2472,43 @@ WHERE d.n >= 5 AND mad.mad > 0 AND d.dev > 3 * mad.mad
 """.strip()
 
 
+def q_events_winsorized(spark, sf_dir):
+    """Per-type winsorization (operators/anomaly.winsorize, new r8):
+    values clipped to the exact [p5, p95] order-statistic band on
+    integer cents — one keyed window pass, |keys|-row bounds broadcast
+    back, map-only clip.  No floats anywhere."""
+    from minivectordb_spark.operators.anomaly import winsorize
+
+    return winsorize(
+        _t(spark, sf_dir, "events"),
+        value_col="value",
+        key_col="event_type",
+        id_cols=["event_id"],
+        p_lo_pct=5,
+        p_hi_pct=95,
+        scale=100,
+    )
+
+
+def _oracle_events_winsorized() -> str:
+    """q_events_winsorized twin: the same ceil(p*n/100)-th order
+    statistic (integer (p*n+99)//100, clamp >= 1) — a VALUE from the
+    data, tie-order-independent on both engines."""
+    return """
+WITH b AS (SELECT event_id, event_type, floor(value * 100)::BIGINT AS v
+           FROM events),
+r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n FROM b),
+bounds AS (SELECT event_type,
+                  max(CASE WHEN rn = greatest((5 * n + 99) // 100, 1) THEN v END) AS lo,
+                  max(CASE WHEN rn = greatest((95 * n + 99) // 100, 1) THEN v END) AS hi
+           FROM r GROUP BY event_type)
+SELECT b.event_id, b.event_type, b.v AS value_scaled,
+       least(greatest(b.v, bounds.lo), bounds.hi) AS value_clipped
+FROM b JOIN bounds USING (event_type)
+""".strip()
+
+
 def q_event_transitions(spark, sf_dir):
     """First-order Markov transition matrix (operators/funnel.
     transition_counts): per-user consecutive event-type pairs via a
@@ -4070,6 +4107,7 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qgram_edit_join": q_qgram_edit_join,
         "events_ohlc": q_events_ohlc,
         "source_overlap": q_source_overlap,
+        "events_winsorized": q_events_winsorized,
         "filter_events_exclude": q_filter_events_exclude,
         "top_orders_per_cust": q_top_orders_per_cust,
         "events_rollup": q_events_rollup,
@@ -5590,6 +5628,7 @@ FROM documents
         "qgram_edit_join": _oracle_qgram_edit_join(),
         "events_ohlc": _oracle_events_ohlc(),
         "source_overlap": _oracle_source_overlap(),
+        "events_winsorized": _oracle_events_winsorized(),
         "nation_balance": _oracle_nation_balance(),
         "user_churn": _oracle_user_churn(),
         "setsim_against": _oracle_setsim_against(),

@@ -263,19 +263,119 @@ def mad_outliers(
         .filter(F.col("__rn") == F.expr("(__n + 1) div 2"))
         .select("__key", F.col("__dev").alias("__mad"))
     )
-    out = devs.join(F.broadcast(mads), "__key").filter(
-        (F.col("__n") >= F.lit(min_n))
-        & (F.col("__mad") > F.lit(0))
-        & (F.col("__dev") > F.lit(z) * F.col("__mad"))
-    )
+    is_out, side = _mad_exprs(z, min_n)
+    out = devs.join(F.broadcast(mads), "__key").filter(is_out)
     return out.select(
         *[F.col(c) for c in id_cols],
         F.col("__key").alias(key_col),
         F.col("__v").alias("value_scaled"),
         F.col("__dev").alias("dev"),
+        side.alias("side"),
+    )
+
+
+def _mad_exprs(z: int, min_n: int):
+    """The shared MAD flag decision over canonical (__v, __med, __mad,
+    __n, __dev) columns — one definition for the self-fit batch pass AND
+    the frozen-stats deployment (``mad_flag``), so the two cannot drift
+    (the zscore ``_outlier_exprs`` discipline).  Pure integer compares:
+    no float, no overflow envelope."""
+    is_out = (
+        (F.col("__n") >= F.lit(min_n))
+        & (F.col("__mad") > F.lit(0))
+        & (F.col("__dev") > F.lit(z) * F.col("__mad"))
+    )
+    side = (
         F.when(F.col("__v") > F.col("__med"), F.lit("high"))
         .otherwise(F.lit("low"))
-        .alias("side"),
+    )
+    return is_out, side
+
+
+def frozen_mad_stats(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    scale: int = 100,
+) -> list[tuple]:
+    """Fit the per-key ``(key, median, mad, n)`` table and collect it —
+    the robust twin of ``frozen_key_stats``, the deployable model a
+    monitoring gate freezes at wiring time.  Keys cast to STRING
+    (matching ``mad_flag``'s probe-side cast).  The collect is
+    key-cardinality-bounded."""
+    from pyspark.sql import Window
+
+    v = F.floor(F.col(value_col) * F.lit(scale)).cast("long")
+    base = df.select(
+        F.col(key_col).cast("string").alias("__key"), v.alias("__v")
+    )
+    w = Window.partitionBy("__key").orderBy("__v")
+    wc = Window.partitionBy("__key")
+    meds = (
+        base.select(
+            "__key",
+            "__v",
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1)).over(wc).alias("__n"),
+        )
+        .filter(F.col("__rn") == F.expr("(__n + 1) div 2"))
+        .select("__key", F.col("__v").alias("__med"), "__n")
+    )
+    devs = base.join(F.broadcast(meds), "__key").withColumn(
+        "__dev", F.abs(F.col("__v") - F.col("__med"))
+    )
+    wd = Window.partitionBy("__key").orderBy("__dev")
+    rows = (
+        devs.select(
+            "__key", "__med", "__n", "__dev",
+            F.row_number().over(wd).alias("__rn"),
+        )
+        .filter(F.col("__rn") == F.expr("(__n + 1) div 2"))
+        .select("__key", "__med", F.col("__dev").alias("__mad"), "__n")
+        .collect()
+    )
+    return [
+        (r["__key"], int(r["__med"]), int(r["__mad"]), int(r["__n"]))
+        for r in rows
+    ]
+
+
+def mad_flag(
+    df: DataFrame,
+    stats: list[tuple],
+    value_col: str,
+    key_col: str,
+    z: int = 3,
+    min_n: int = 5,
+    scale: int = 100,
+) -> DataFrame:
+    """Flag every row against a FROZEN MAD table (from
+    ``frozen_mad_stats``): input columns plus ``(value_scaled,
+    is_outlier, side)``; unseen keys pass (left join).  Shares
+    ``_mad_exprs`` with the self-fit pass — deployment modes cannot
+    drift.  Map-only: the stats frame is |keys| rows, broadcast."""
+    spark = df.sparkSession
+    stats_df = spark.createDataFrame(
+        [(k, int(m), int(d), int(n)) for k, m, d, n in stats],
+        "__key string, __med long, __mad long, __n long",
+    )
+    v = F.floor(F.col(value_col) * F.lit(scale)).cast("long")
+    base = df.withColumn("__v", v).withColumn(
+        "__key", F.col(key_col).cast("string")
+    )
+    j = base.join(F.broadcast(stats_df), "__key", "left").withColumn(
+        "__dev", F.abs(F.col("__v") - F.col("__med"))
+    )
+    is_out, side = _mad_exprs(z, min_n)
+    flagged = F.coalesce(is_out, F.lit(False))
+    return (
+        j.withColumn("is_outlier", flagged)
+        .withColumn(
+            "side",
+            F.when(flagged, side).otherwise(F.lit(None).cast("string")),
+        )
+        .withColumnRenamed("__v", "value_scaled")
+        .drop("__key", "__med", "__mad", "__n", "__dev")
     )
 
 
@@ -309,3 +409,74 @@ def zscore_diagnostics(
         "max_key_n": int(row["max_key_n"] or 0),
         "max_n_times_maxv": int(row["max_nv"] or 0),
     }
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    id_cols: Sequence[str],
+    p_lo_pct: int = 5,
+    p_hi_pct: int = 95,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-key winsorization: clip each value to its key's exact
+    [p_lo, p_hi] percentile band — the outlier-TAMING companion to the
+    flagging operators (training pipelines clip reward/quality/length
+    signals rather than drop rows; Tukey's classic robustification).
+    Returns ``(*id_cols, key_col, value_scaled, value_clipped)`` for
+    every input row.
+
+    Exactness: the bound is the ``ceil(p*n/100)``-th smallest scaled
+    value — an order STATISTIC, not an interpolated quantile, so it is
+    a value from the data and engine-portable regardless of sort-tie
+    order (the mad_outliers discipline); ``ceil`` is integer
+    ``(p*n + 99) div 100``, clamped to >= 1.  No floats anywhere.
+
+    Plan: ONE keyed window pass (row_number + count) — the same
+    exchange serves both bounds; the bounds table is |keys| rows,
+    broadcast back; clipping is map-only ``least(greatest(v, lo),
+    hi)``."""
+    from pyspark.sql import Window
+
+    if not id_cols:
+        raise ValueError("id_cols must be non-empty")
+    if not (0 <= p_lo_pct <= p_hi_pct <= 100):
+        raise ValueError("need 0 <= p_lo_pct <= p_hi_pct <= 100")
+    v = F.floor(F.col(value_col) * F.lit(scale)).cast("long")
+    base = df.select(
+        *[F.col(c) for c in id_cols],
+        F.col(key_col).alias("__key"),
+        v.alias("__v"),
+    )
+    w = Window.partitionBy("__key").orderBy("__v")
+    wc = Window.partitionBy("__key")
+    ranked = base.select(
+        "__key",
+        "__v",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wc).alias("__n"),
+    )
+    k_lo = F.expr(f"greatest(({p_lo_pct} * __n + 99) div 100, 1)")
+    k_hi = F.expr(f"greatest(({p_hi_pct} * __n + 99) div 100, 1)")
+    bounds = (
+        ranked.withColumn("__klo", k_lo)
+        .withColumn("__khi", k_hi)
+        .filter((F.col("__rn") == F.col("__klo")) | (F.col("__rn") == F.col("__khi")))
+        .groupBy("__key")
+        .agg(
+            F.max(F.when(F.col("__rn") == F.col("__klo"), F.col("__v"))).alias("__lo"),
+            F.max(F.when(F.col("__rn") == F.col("__khi"), F.col("__v"))).alias("__hi"),
+        )
+    )
+    return (
+        base.join(F.broadcast(bounds), "__key")
+        .select(
+            *[F.col(c) for c in id_cols],
+            F.col("__key").alias(key_col),
+            F.col("__v").alias("value_scaled"),
+            F.least(F.greatest(F.col("__v"), F.col("__lo")), F.col("__hi")).alias(
+                "value_clipped"
+            ),
+        )
+    )

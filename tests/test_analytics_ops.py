@@ -425,3 +425,63 @@ def test_ohlc_bars_hand_computed(spark):
     assert got[("k", 0)] == (5.0, 9.0, 2.0, 2.0, 3)
     assert got[("k", 3600)] == (7.0, 7.0, 7.0, 7.0, 1)
     assert got[("m", 0)] == (1.0, 3.0, 1.0, 3.0, 2)
+
+
+def test_frozen_mad_matches_self_fit_and_passes_unseen_keys(spark):
+    from minivectordb_spark.operators.anomaly import (
+        frozen_mad_stats,
+        mad_flag,
+        mad_outliers,
+    )
+
+    rows = [(i, "k", float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 6, 100])]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    stats = frozen_mad_stats(df, "value", "event_type")
+    assert stats == [("k", 400, 200, 7)]
+    flagged = {
+        r["event_id"]
+        for r in mad_flag(df, stats, "value", "event_type").collect()
+        if r["is_outlier"]
+    }
+    self_fit = {
+        r["event_id"]
+        for r in mad_outliers(df, "value", "event_type", ["event_id"]).collect()
+    }
+    assert flagged == self_fit == {6}
+
+    # unseen key: passes un-flagged rather than crashing or flagging
+    probe = spark.createDataFrame(
+        [(99, "new_key", 1e9)], "event_id long, event_type string, value double"
+    )
+    out = mad_flag(probe, stats, "value", "event_type").collect()
+    assert len(out) == 1 and out[0]["is_outlier"] is False
+
+
+def test_winsorize_hand_computed_bounds_and_clip(spark):
+    from minivectordb_spark.operators.anomaly import winsorize
+
+    # 10 values 1..10 (cents 100..1000): p20 -> ceil(0.2*10)=2nd smallest
+    # = 200; p80 -> ceil(0.8*10)=8th = 800.  1 clips up, 9/10 clip down.
+    rows = [(i, "k", float(i)) for i in range(1, 11)]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    got = {
+        r["event_id"]: r["value_clipped"]
+        for r in winsorize(
+            df, "value", "event_type", ["event_id"], p_lo_pct=20, p_hi_pct=80
+        ).collect()
+    }
+    assert got[1] == 200 and got[2] == 200
+    assert got[5] == 500
+    assert got[8] == 800 and got[9] == 800 and got[10] == 800
+    # p 0/100 degenerates to min/max -> identity clip
+    ident = {
+        r["event_id"]: r["value_clipped"]
+        for r in winsorize(
+            df, "value", "event_type", ["event_id"], p_lo_pct=0, p_hi_pct=100
+        ).collect()
+    }
+    assert ident == {i: i * 100 for i in range(1, 11)}
