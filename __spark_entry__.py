@@ -1921,11 +1921,15 @@ def q_record_linkage(spark, sf_dir):
 # serials differ by 1-2 digit substitutions), drowning the
 # candidate-generation signal in answer size; md5 strings make the true
 # answer LINEAR (each dirty row hits its own source, rare accidents).
-# q=4 keeps the gram alphabet 16^4 = 65,536 types on hex strings — at
-# q=2 there are only 256 gram types, the df-ordered prefixes all land in
-# the same few buckets, and candidates go quadratic (124 s at sf0.1,
-# measured); at q=4 the same prefix filter is selective (sub-second).
-QG_Q = 4
+# q sets the gram-alphabet size B = 16^q on hex strings, and candidates
+# scale as (N*p)^2 / B — measured across two decades.  q=2 (B=256):
+# prefixes unselective, 124 s at sf0.1.  q=4 (B=65,536): 1,751
+# candidates at sf0.01 but 251k at sf0.1 and 31.4M at sf0.1 x10 (the
+# quadratic-in-N law at fixed B, predicted within 13%).  q=5
+# (B=1,048,576): 1,538 / 25,559 candidates at sf0.01 / sf0.1 — the
+# documented "grow q with N" knob, applied.  min_len = q*(d+1) = 15
+# still <= the 16-char key, so completeness holds.
+QG_Q = 5
 
 _QG_CLEAN = "substring(md5(CAST(c_custkey AS STRING)), 1, 16)"
 _QG_DIRTY = (
