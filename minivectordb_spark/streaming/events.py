@@ -925,16 +925,22 @@ def stream_anomaly_ingest(
     z: int = 2,
     min_n: int = 5,
     scale: int = 100,
+    flagger: str = "zscore",
 ):
-    """Streaming ingest with a z-score anomaly gate: each micro-batch is
-    flagged against a FROZEN per-key stats table (``operators/anomaly.
-    frozen_key_stats`` — the quality gate's frozen-model deployment
-    pattern); inliers append to ``table_path``, outliers are routed to
-    ``quarantine_path`` with their flag side (monitoring's
-    quarantine-don't-drop discipline).  The flag decision is the SAME
-    ``_outlier_exprs`` integer test the batch operator runs — batch and
-    stream cannot drift — and it is float-free, so a replayed batch
-    reproduces bit-identical decisions.
+    """Streaming ingest with an anomaly gate: each micro-batch is
+    flagged against a FROZEN per-key stats table (the quality gate's
+    frozen-model deployment pattern); inliers append to ``table_path``,
+    outliers are routed to ``quarantine_path`` with their flag side
+    (monitoring's quarantine-don't-drop discipline).
+
+    ``flagger`` selects the statistic — ``"zscore"`` (stats from
+    ``frozen_key_stats``, default z=2) or ``"mad"`` (stats from
+    ``frozen_mad_stats``, robust to the very outliers being hunted;
+    callers typically pass z=3).  Either way the flag decision is the
+    SAME shared expression the batch operator runs (``_outlier_exprs``
+    / ``_mad_exprs``) — batch and stream cannot drift — and both are
+    float-free integer tests, so a replayed batch reproduces
+    bit-identical decisions.
 
     Replay safety: both sinks get the per-batch dropDuplicates + anti-join
     uniqueness of the other ingest gates, so an at-least-once foreachBatch
@@ -945,8 +951,11 @@ def stream_anomaly_ingest(
     tests/test_streaming_multimodal.py."""
     from pyspark.errors import AnalysisException
 
-    from minivectordb_spark.operators.anomaly import zscore_flag
+    from minivectordb_spark.operators.anomaly import mad_flag, zscore_flag
 
+    if flagger not in ("zscore", "mad"):
+        raise ValueError(f"unknown flagger {flagger!r} (zscore|mad)")
+    flag_fn = zscore_flag if flagger == "zscore" else mad_flag
     frozen = [tuple(s) for s in stats]
 
     def _append_unique(df: DataFrame, path: str) -> None:
@@ -961,7 +970,7 @@ def stream_anomaly_ingest(
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
         fresh = batch_df.dropDuplicates([id_col])
-        flagged = zscore_flag(
+        flagged = flag_fn(
             fresh, frozen, value_col, key_col, z=z, min_n=min_n, scale=scale
         )
         _append_unique(

@@ -1079,3 +1079,52 @@ def test_stream_anomaly_ingest_matches_batch_and_replay(spark, tmp_path):
     assert sorted(in2) == sorted(set(batch_in + [99]))
     assert len(in2) == len(set(in2)) and len(out2) == len(set(out2))
     assert sorted(out2) == batch_out
+
+
+def test_stream_anomaly_ingest_mad_flagger_matches_batch(spark, tmp_path):
+    """The gate's flagger="mad" mode splits the stream into exactly the
+    inlier/outlier sets the SHARED mad_flag batch pass computes from the
+    same frozen median/MAD table — deployment symmetry with the z-score
+    mode, robust statistic under the hood."""
+    import random
+
+    from minivectordb_spark.operators.anomaly import frozen_mad_stats, mad_flag
+    from minivectordb_spark.streaming import stream_anomaly_ingest
+
+    rng = random.Random(23)
+    rows = [
+        (i, "a" if i % 2 else "b", rng.gauss(50.0, 5.0)) for i in range(40)
+    ] + [(40, "a", 500.0), (41, "b", -300.0)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    stats = frozen_mad_stats(ev, "value", "event_type")
+
+    flagged = mad_flag(ev, stats, "value", "event_type", z=3).collect()
+    batch_out = sorted(r["event_id"] for r in flagged if r["is_outlier"])
+    batch_in = sorted(r["event_id"] for r in flagged if not r["is_outlier"])
+    assert 40 in batch_out and 41 in batch_out
+
+    src = str(tmp_path / "ev_in_mad")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(
+        "event_id long, event_type string, value double"
+    ).parquet(src)
+    table, quar = str(tmp_path / "in_mad"), str(tmp_path / "quar_mad")
+    ck = str(tmp_path / "ck_mad")
+    q = stream_anomaly_ingest(
+        stream, stats, table, quar, ck, z=3, flagger="mad"
+    ).start()
+    q.awaitTermination(120)
+
+    got_in = sorted(r["event_id"] for r in spark.read.parquet(table).collect())
+    got_out = sorted(r["event_id"] for r in spark.read.parquet(quar).collect())
+    assert got_in == batch_in and got_out == batch_out
+    sides = {r["event_id"]: r["side"] for r in spark.read.parquet(quar).collect()}
+    assert sides[40] == "high" and sides[41] == "low"
+
+    # unknown flagger rejected loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown flagger"):
+        stream_anomaly_ingest(stream, stats, table, quar, ck, flagger="iqr")
