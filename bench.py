@@ -62,6 +62,32 @@ def main():
         _py_identity, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # machine-load calibration sentinel (r8): a FIXED data-independent
+    # workload timed after warmup — one JVM whole-stage-codegen burn and
+    # one Arrow/Python-worker round-trip.  Query walls on this host vary
+    # ~20-40% round-to-round with driver machine load (the r7
+    # "regressions" were exactly this, attributed via standalone-cold
+    # runs); the sentinel makes that skew visible IN the same JSON, so a
+    # future round can normalize or discount totals before diagnosing
+    # operators.  min-of-3 of a ~1 s workload.
+    calib = {}
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, 1_200_000_000, 1, 32).selectExpr(
+            "sum((id * id) % 1000003) AS s"
+        ).write.format("noop").mode("overwrite").save()
+        best = min(best or 9e9, time.time() - t0)
+    calib["jvm_codegen_wall"] = round(best, 3)
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, 2_000_000, 1, 32).selectExpr("id").mapInPandas(
+            _py_identity, schema="id long"
+        ).write.format("noop").mode("overwrite").save()
+        best = min(best or 9e9, time.time() - t0)
+    calib["arrow_python_wall"] = round(best, 3)
+
     RUNS = 2  # report min-of-N: steady-state per-query cost, less scheduler noise
     timings: dict[str, float] = {}
     t_all = time.time()
@@ -141,6 +167,7 @@ def main():
         "runs_per_query": RUNS,
         "per_query_stat": "min",
         "sf": float(sf),
+        "calib": calib,
     }
     print(json.dumps(early, separators=(",", ":")), flush=True)
 
@@ -215,6 +242,7 @@ def main():
         "runs_per_query": RUNS,
         "per_query_stat": "min",
         "sf": float(sf),
+        "calib": calib,
     }
     # The driver records only the LAST 2000 chars of stdout (BENCH_r03
     # lost the line head to this).  Keep the final line compact: tight
