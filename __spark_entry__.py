@@ -2513,6 +2513,40 @@ FROM b JOIN bounds USING (event_type)
 """.strip()
 
 
+def q_events_histogram(spark, sf_dir):
+    """Per-type equi-width value histogram (operators/anomaly.
+    value_histogram, new r8): 10 integer-width bins over cents — all
+    integer edges, so boundary values bin identically on both engines.
+    One |keys|-row min/max broadcast + one (key, bin) combiner-reduced
+    groupBy."""
+    from minivectordb_spark.operators.anomaly import value_histogram
+
+    return value_histogram(
+        _t(spark, sf_dir, "events"),
+        value_col="value",
+        key_col="event_type",
+        n_bins=10,
+        scale=100,
+    )
+
+
+def _oracle_events_histogram() -> str:
+    """q_events_histogram twin: identical integer ceil-width binning."""
+    return """
+WITH b AS (SELECT event_type, floor(value * 100)::BIGINT AS v FROM events),
+rng AS (SELECT event_type, min(v) AS lo, max(v) AS hi FROM b GROUP BY event_type),
+binned AS (SELECT b.event_type, rng.lo,
+                  (rng.hi - rng.lo + 10) // 10 AS w,
+                  (b.v - rng.lo) // ((rng.hi - rng.lo + 10) // 10) AS bin
+           FROM b JOIN rng USING (event_type))
+SELECT event_type, bin::BIGINT AS bin,
+       (lo + bin * w)::BIGINT AS bin_lo,
+       (lo + (bin + 1) * w - 1)::BIGINT AS bin_hi,
+       count(*)::BIGINT AS n
+FROM binned GROUP BY event_type, bin, lo, w
+""".strip()
+
+
 def q_event_transitions(spark, sf_dir):
     """First-order Markov transition matrix (operators/funnel.
     transition_counts): per-user consecutive event-type pairs via a
@@ -4112,6 +4146,7 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ohlc": q_events_ohlc,
         "source_overlap": q_source_overlap,
         "events_winsorized": q_events_winsorized,
+        "events_histogram": q_events_histogram,
         "filter_events_exclude": q_filter_events_exclude,
         "top_orders_per_cust": q_top_orders_per_cust,
         "events_rollup": q_events_rollup,
@@ -5633,6 +5668,7 @@ FROM documents
         "events_ohlc": _oracle_events_ohlc(),
         "source_overlap": _oracle_source_overlap(),
         "events_winsorized": _oracle_events_winsorized(),
+        "events_histogram": _oracle_events_histogram(),
         "nation_balance": _oracle_nation_balance(),
         "user_churn": _oracle_user_churn(),
         "setsim_against": _oracle_setsim_against(),

@@ -480,3 +480,56 @@ def winsorize(
             ),
         )
     )
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    n_bins: int = 10,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-key equi-width histogram over integer cents — the
+    observability companion to the profiler (distribution shape per
+    event type / source / feature, the input a drift monitor compares
+    run-over-run).  Returns ``(key_col, bin, bin_lo, bin_hi, n)`` for
+    NON-EMPTY bins; ``bin = (v - min) div width`` with ``width =
+    ceil((max - min + 1) / n_bins)`` — all integer arithmetic on
+    nonnegative operands, so bin edges are bit-identical on any engine
+    (float-width histograms put boundary values in different bins per
+    engine's rounding).  Degenerate key (min == max): width 1, one bin.
+
+    Plan: one combiner-reduced per-key min/max aggregate (|keys| rows,
+    broadcast back), then the binning groupBy — also combiner-reduced,
+    keyed on (key, bin) so a hot key's rows pre-combine map-side into at
+    most ``n_bins`` partials per partition."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    v = F.floor(F.col(value_col) * F.lit(scale)).cast("long")
+    base = df.select(F.col(key_col).alias("__key"), v.alias("__v"))
+    rng = base.groupBy("__key").agg(
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+    )
+    j = base.join(F.broadcast(rng), "__key")
+    # width = ceil((hi - lo + 1) / n_bins), integer; bin = (v - lo) div width
+    binned = j.select(
+        "__key",
+        "__lo",
+        F.expr(f"(__hi - __lo + {n_bins}) div {n_bins}").alias("__w"),
+        F.expr(
+            f"(__v - __lo) div ((__hi - __lo + {n_bins}) div {n_bins})"
+        ).alias("__bin"),
+    )
+    return (
+        binned.groupBy("__key", "__bin", "__lo", "__w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("__key").alias(key_col),
+            F.col("__bin").cast("long").alias("bin"),
+            (F.col("__lo") + F.col("__bin") * F.col("__w")).alias("bin_lo"),
+            (F.col("__lo") + (F.col("__bin") + 1) * F.col("__w") - 1).alias(
+                "bin_hi"
+            ),
+            "n",
+        )
+    )

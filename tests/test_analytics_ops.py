@@ -485,3 +485,25 @@ def test_winsorize_hand_computed_bounds_and_clip(spark):
         ).collect()
     }
     assert ident == {i: i * 100 for i in range(1, 11)}
+
+
+def test_value_histogram_integer_edges_and_degenerate_key(spark):
+    from minivectordb_spark.operators.anomaly import value_histogram
+
+    # key "k": cents 0..99 -> lo=0 hi=99, width=ceil(100/10)=10; value 99
+    # lands in bin 9 (a float-width histogram can put it in a phantom
+    # bin 10).  key "c": constant -> one bin, width 1.
+    rows = [(i, "k", i / 100.0) for i in range(100)] + [
+        (200 + i, "c", 5.0) for i in range(3)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    got = {
+        (r["event_type"], r["bin"]): (r["bin_lo"], r["bin_hi"], r["n"])
+        for r in value_histogram(df, "value", "event_type").collect()
+    }
+    assert {b for (k, b) in got if k == "k"} == set(range(10))
+    assert got[("k", 0)] == (0, 9, 10)
+    assert got[("k", 9)] == (90, 99, 10)
+    assert got[("c", 0)] == (500, 500, 3)
