@@ -2930,7 +2930,12 @@ def q_stream_attribution(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "stream_attribution did not finish within 300s; refusing to "
+            "read a partially-written sink (ADVICE r8)"
+        )
     return spark.read.parquet(out).select(
         "user",
         "trigger_id",

@@ -172,7 +172,13 @@ def ohlc_bars(
     """OHLC candlestick bars per (key, time bucket): open / high / low /
     close / n_obs — the time-series downsampling staple (market bars,
     metric rollups, sensor summarization).  ``ts_col`` is the engine's
-    int64 epoch-nanos contract; buckets are ``ts div bucket_ns``.
+    int64 epoch-nanos contract; buckets are FLOOR(ts / bucket_ns) —
+    floor, not truncate-toward-zero: Spark's integer ``div`` truncates
+    while DuckDB's ``//`` floors, so pre-epoch (negative) timestamps
+    would land in different buckets per engine and ts in
+    (-bucket_ns, bucket_ns) would collapse into one bucket 0 (ADVICE
+    r8).  Floor is synthesized from div with a remainder-sign correction
+    — pure int64 arithmetic, engine-portable.
 
     Open and close need a DETERMINISTIC first/last: rows are ordered by
     the total key ``(ts, id)`` (ids unique), and open/close are
@@ -184,9 +190,15 @@ def ohlc_bars(
     hot key's bars arrive pre-combined, the same skew armor as every
     aggregate in this engine.  Values pass through untouched (no
     arithmetic), so the bars are engine-exact trivially."""
+    bns = int(bucket_ns)
+    if bns <= 0:
+        raise ValueError(f"bucket_ns must be positive, got {bucket_ns}")
     b = df.select(
         F.col(key_col).alias("__key"),
-        F.expr(f"{ts_col} div {int(bucket_ns)}").alias("__bucket"),
+        F.expr(
+            f"({ts_col} div {bns}) - "
+            f"(CASE WHEN {ts_col} % {bns} < 0 THEN 1 ELSE 0 END)"
+        ).alias("__bucket"),
         F.col(ts_col).alias("__ts"),
         F.col(id_col).alias("__id"),
         F.col(value_col).alias("__v"),
@@ -205,7 +217,10 @@ def ohlc_bars(
         )
         .select(
             F.col("__key").alias(key_col),
-            F.expr(f"__bucket * {int(bucket_ns)}L div 1000000000L")
+            F.expr(
+                f"(__bucket * {bns}L div 1000000000L) - (CASE WHEN "
+                f"__bucket * {bns}L % 1000000000L < 0 THEN 1 ELSE 0 END)"
+            )
             .cast("long")
             .alias("bucket_epoch"),
             "open",

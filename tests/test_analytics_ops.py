@@ -427,6 +427,36 @@ def test_ohlc_bars_hand_computed(spark):
     assert got[("m", 0)] == (1.0, 3.0, 1.0, 3.0, 2)
 
 
+def test_ohlc_bars_negative_ts_floor_bucketing(spark):
+    # ADVICE r8: Spark `div` truncates toward zero while the DuckDB
+    # oracle floors, so pre-epoch timestamps split engines.  The fixed
+    # operator floors: ts=-1 lands in bucket -1 (epoch -3600), NOT in
+    # bucket 0 with the positive row.
+    from minivectordb_spark.operators.temporal import ohlc_bars
+
+    H = 3_600_000_000_000
+    rows = [
+        (1, "k", -1, 4.0),        # floor(-1/H) = -1
+        (2, "k", -H, 6.0),        # exactly -H -> bucket -1
+        (3, "k", -H - 1, 8.0),    # just before -> bucket -2
+        (4, "k", 1, 2.0),         # bucket 0
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts long, value double"
+    )
+    got = {
+        r["bucket_epoch"]: (r["open"], r["close"], r["n_obs"])
+        for r in ohlc_bars(
+            df, "value", "ts", "event_type", "event_id", bucket_ns=H
+        ).collect()
+    }
+    assert got == {
+        -7200: (8.0, 8.0, 1),
+        -3600: (6.0, 4.0, 2),
+        0: (2.0, 2.0, 1),
+    }
+
+
 def test_frozen_mad_matches_self_fit_and_passes_unseen_keys(spark):
     from minivectordb_spark.operators.anomaly import (
         frozen_mad_stats,

@@ -479,6 +479,42 @@ def test_label_propagation_direction_and_dup_insensitive(spark):
     assert got == want and set(got) == {1, 2, 3}
 
 
+def test_label_propagation_string_ids(spark):
+    # ADVICE r8: the old negated-label tie-break nulled out on string
+    # ids; the min_by(struct(-count, label)) form is type-generic.  Same
+    # two-triangle topology as the integer test, mapped to letters —
+    # labels must resolve to the lexicographic analog, not partition
+    # order.
+    from minivectordb_spark.operators.graph import label_propagation
+
+    m = {1: "a", 2: "b", 3: "c", 4: "d", 5: "e", 6: "f"}
+    edges = [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4)]
+    sedges = spark.createDataFrame(
+        [(m[a], m[b]) for a, b in edges], "src string, dst string"
+    )
+    got = {
+        r["id"]: r["label"]
+        for r in label_propagation(sedges, rounds=3).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "c", "e": "c", "f": "c"}
+
+
+def test_lpa_diagnostics_counts_changes_and_convergence(spark):
+    from minivectordb_spark.operators.graph import lpa_diagnostics
+
+    # one triangle converges to all-label-1; hand-trace of the
+    # synchronous rounds with (count DESC, label ASC) ties:
+    #   l1 = {1:2, 2:1, 3:1}  (all three changed)
+    #   l2 = {1:1, 2:1, 3:1}  (node 1 changed)
+    #   l3 = fixpoint          (nothing changed -> converged)
+    tri = [(1, 2), (2, 3), (3, 1)]
+    d = lpa_diagnostics(_edges_df(spark, tri), rounds=3)
+    assert d["rounds"] == 3
+    assert d["labels_changed_per_round"] == [3, 1, 0]
+    assert d["communities_per_round"] == [2, 1, 1]
+    assert d["converged"] is True
+
+
 # ------------------------------------------------------------ qgram join
 
 

@@ -100,7 +100,19 @@ def main():
             shutil.rmtree(idx, ignore_errors=True)
             timings[name] = round(best, 3)
             continue
-        fn = qs[name]
+        fn = qs.get(name)
+        if fn is None:
+            # demoted rows are timed by tools/demoted_bench.py which tells
+            # users to confirm wall jumps HERE — resolve them too
+            demoted = getattr(entry, "demoted_queries", lambda: {})()
+            fn = demoted.get(name)
+        if fn is None:
+            known = sorted(set(qs) | set(demoted))
+            print(
+                f"unknown query {name!r}; known: {', '.join(known)}",
+                file=sys.stderr,
+            )
+            sys.exit(2)
         best = None
         for _ in range(runs):
             t0 = time.time()
