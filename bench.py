@@ -321,6 +321,9 @@ def main():
         out["demoted"] = {
             "n": demoted["n_queries"],
             "total": demoted["total_wall_sec"],
+            # round-over-round drift gate: names only on the compact
+            # line, prev/now detail in DEMOTED_WALLS.json
+            "drift": sorted(demoted.get("drift", {}).get("flagged", {})),
         }
         full["demoted"] = demoted
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -68,3 +68,39 @@ def test_demoted_disjoint_from_registry():
     qs, dq = entry.queries(), entry.demoted_queries()
     assert not set(qs) & set(dq)
     assert len(qs) <= 50, "driver verifies only the first 50 entries"
+
+
+def test_drift_section_flags_only_real_jumps(tmp_path):
+    # VERDICT r8 item 4: the round-over-round demoted-wall gate.  Pure
+    # function, no Spark: flags >2x growth, skips sub-floor noise rows,
+    # missing rows, and error (-1) rows; handles a missing prev file.
+    import json
+
+    from tools.demoted_bench import drift_section
+
+    prev = tmp_path / "DEMOTED_WALLS.json"
+    prev.write_text(json.dumps({"queries": {
+        "slow_grew": 3.0,      # 3.0 -> 7.0: flag (2.33x)
+        "steady": 3.0,         # 3.0 -> 3.2: no flag
+        "noise": 0.1,          # 0.1 -> 0.3: under floor both sides
+        "was_err": -1.0,       # prev errored: skip
+        "rotated_out": 1.0,    # absent now: skip
+    }}))
+    walls = {
+        "slow_grew": 7.0,
+        "steady": 3.2,
+        "noise": 0.3,
+        "was_err": 5.0,
+        "brand_new": 9.0,      # no prev: skip
+        "now_err": -1.0,
+    }
+    d = drift_section(walls, str(prev))
+    assert d["prev_found"] is True
+    assert set(d["flagged"]) == {"slow_grew"}
+    assert d["flagged"]["slow_grew"]["ratio"] == 2.33
+    # 0.1 -> 0.6 crosses the floor on the NOW side: that one counts
+    d2 = drift_section({"noise": 0.6}, str(prev))
+    assert set(d2["flagged"]) == {"noise"}
+    # no previous artifact: report prev_found False, flag nothing
+    d3 = drift_section(walls, str(tmp_path / "missing.json"))
+    assert d3 == {"prev_found": False, "flagged": {}}

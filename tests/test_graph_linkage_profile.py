@@ -539,6 +539,69 @@ def test_qgram_edit_join_finds_prefix_corruptions(spark):
     assert got == {(1, 10): 1}
 
 
+def test_choose_qgram_q_tracks_the_measured_law_across_scales():
+    # VERDICT r8 item 3: q picked programmatically from the N^2 p^2 / B
+    # law at two synthetic scales.  The picks must reproduce the r8
+    # hand-measured decisions: q=5 at sf0.1 (n~60k hex keys) and q=6 at
+    # the next decade (n~600k) — the values PLANS' head-to-head runs
+    # validated as lossless-and-13.6x-cheaper.
+    from minivectordb_spark.operators.linkage import choose_qgram_q
+
+    q_small, pred_small, sat_small = choose_qgram_q(600, 16, max_dist=1)
+    q_mid, pred_mid, sat_mid = choose_qgram_q(60_000, 16, max_dist=1)
+    q_big, pred_big, sat_big = choose_qgram_q(600_000, 16, max_dist=1)
+    assert (q_small, sat_small) == (3, False)
+    assert (q_mid, sat_mid) == (5, False)       # the r8 fixture choice
+    assert (q_big, sat_big) == (6, False)       # "q=6 is the move" (PLANS)
+    assert pred_small <= 4 * 600
+    assert pred_mid <= 4 * 60_000
+    assert pred_big <= 4 * 600_000
+    # saturation: keys too short for any q that meets the target ->
+    # largest feasible q + the loud flag (min_len 6, d=1 caps q at 3)
+    q_sat, pred_sat, sat = choose_qgram_q(60_000, 6, max_dist=1)
+    assert (q_sat, sat) == (3, True) and pred_sat > 4 * 60_000
+    # degenerate short strings: no feasible q at all -> explicit raise
+    import pytest
+
+    with pytest.raises(ValueError):
+        choose_qgram_q(1000, 3, max_dist=1)
+
+
+def test_qgram_edit_join_auto_q_resolves_and_warns_on_saturation(spark):
+    from minivectordb_spark.operators.linkage import qgram_edit_join
+
+    # auto on comfortable keys: resolves silently, same answer as q=2
+    left = spark.createDataFrame(
+        [(1, "Xlphabet-city"), (2, "nomatchanywher")], "lid long, s string"
+    )
+    right = spark.createDataFrame(
+        [(10, "alphabet-city"), (11, "zzzzzzzz-town")], "rid long, s string"
+    )
+    got = {
+        (r["lid"], r["rid"]): r["dist"]
+        for r in qgram_edit_join(
+            left, right, "lid", "rid", "s", "s", max_dist=1, q="auto"
+        ).collect()
+    }
+    assert got == {(1, 10): 1}
+    # saturated inputs (short strings, alphabet 2 so B can't grow):
+    # still runs, but warns
+    import warnings
+
+    sl = spark.createDataFrame([(i, "ababab") for i in range(30)],
+                               "lid long, s string")
+    sr = spark.createDataFrame([(i + 100, "ababab") for i in range(30)],
+                               "rid long, s string")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        n = qgram_edit_join(
+            sl, sr, "lid", "rid", "s", "s",
+            max_dist=1, q="auto", alphabet_size=2,
+        ).count()
+    assert n == 900  # all-pairs match at dist 0
+    assert any("saturated" in str(x.message) for x in w)
+
+
 def test_qgram_edit_join_lossless_vs_bruteforce(spark):
     import itertools
 

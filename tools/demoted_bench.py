@@ -26,24 +26,80 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+DRIFT_RATIO = 2.0
+DRIFT_FLOOR_SEC = 0.5  # sub-half-second walls are scheduler noise at 1 run
+
+
+def drift_section(walls: dict, prev_path: str) -> dict:
+    """Round-over-round drift gate (VERDICT r8 item 4): compare this
+    round's demoted walls against the previously COMMITTED
+    DEMOTED_WALLS.json and list every row whose wall grew more than
+    DRIFT_RATIO x — a rotation can no longer park a regression where
+    only a human diff would see it.  Rows under DRIFT_FLOOR_SEC on both
+    sides are skipped (single-run sub-second walls flap with cold
+    codegen, documented above); confirm any flagged row with
+    tools/standalone_bench.py before acting."""
+    try:
+        with open(prev_path) as f:
+            prev = json.load(f).get("queries", {})
+    except (OSError, ValueError):
+        return {"prev_found": False, "flagged": {}}
+    flagged = {}
+    for name, wall in walls.items():
+        p = prev.get(name)
+        if p is None or p <= 0 or wall <= 0:
+            continue
+        if max(p, wall) < DRIFT_FLOOR_SEC:
+            continue
+        if wall > DRIFT_RATIO * p:
+            flagged[name] = {"prev": p, "now": wall,
+                             "ratio": round(wall / p, 2)}
+    return {"prev_found": True, "ratio_gate": DRIFT_RATIO,
+            "floor_sec": DRIFT_FLOOR_SEC, "flagged": flagged}
+
+
 def demoted_walls_section(spark, sf_dir: str) -> dict:
     import __spark_entry__ as entry
 
+    # queries whose builder accepts _wave_walls: the recorded wall is
+    # split into named phases (VERDICT r8 item 5 — durable_cdc's wall is
+    # three CoW streaming MERGE commits + one read; one number made the
+    # "IO, not plan" claim unfalsifiable)
+    WAVE_TIMED = {"durable_cdc"}
     walls = {}
+    waves: dict[str, dict] = {}
     t_all = time.time()
     for name, fn in entry.demoted_queries().items():
         t0 = time.time()
         try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            walls[name] = round(time.time() - t0, 3)
+            if name in WAVE_TIMED:
+                wv: dict[str, float] = {}
+                fn(spark, sf_dir, _wave_walls=wv).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                total = round(time.time() - t0, 3)
+                wv["final_read"] = round(total - sum(wv.values()), 3)
+                walls[name] = total
+                waves[name] = wv
+            else:
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                walls[name] = round(time.time() - t0, 3)
         except Exception as e:
             print(f"demoted bench error in {name}: {e}", file=sys.stderr)
             walls[name] = -1.0
+    prev_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "DEMOTED_WALLS.json",
+    )
     return {
         "metric": "demoted_wall_sec_single_run",
         "sf_dir": sf_dir,
         "n_queries": len(walls),
         "total_wall_sec": round(time.time() - t_all, 3),
+        "drift": drift_section(walls, prev_path),
+        "waves": waves,
         "queries": walls,
     }
 
