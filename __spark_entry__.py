@@ -3377,6 +3377,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and redundant twins are demoted to demoted_queries() (still
     # oracle-checked locally by tests/test_demoted_queries.py).
     return {
+        # r9 rotation (VERDICT r8 item 6): qgram_edit_join (blocking-free
+        # EDJoin, two-decade counters recorded r8) and events_mad (robust
+        # MAD family) promoted — each hash-verified at sf0.001/0.01/0.1
+        # under the driver compare before promotion, in exchange for
+        # setsim_jaccard_pairs (covering sibling setsim_against: the SAME
+        # PPJoin prefix-filter machinery, cross-corpus variant, graded
+        # r8; lsh_jaccard_pairs keeps the pairs-output shape graded) and
+        # shipping_priority (covering siblings priority_returns +
+        # revenue_by_region: graded multi-join TPC-H aggregate shapes
+        # with sort; the demoted row still oracle-compares every round).
+        "qgram_edit_join": q_qgram_edit_join,
+        "events_mad": q_events_mad,
+        # r9 stretch (VERDICT r8 item 9): stream_attribution graded — the
+        # watermarked StreamingSymmetricHashJoin end-to-end (staged
+        # parquet -> file stream -> state-store join -> parquet sink),
+        # sink compared to the batch self-join oracle; its batch twin
+        # events_attribution is already graded, so the pair pins
+        # batch==stream at the driver gate itself.  In exchange
+        # dup_ngram_fraction demoted (covering sibling repeated_passages:
+        # the same bit-for-bit shingle machinery, graded).
+        "stream_attribution": q_stream_attribution,
         # r8 rotation (VERDICT r7 item 4): triangle_counts (graph family
         # widening), events_attribution (watermarked stream-stream join's
         # batch twin), setsim_against (cross-corpus prefix-filter join) —
@@ -3392,12 +3413,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_salted_skew": q_events_salted_skew,
         "int8_search": q_int8_search,
         "maxsim_topk": q_maxsim_topk,
-        "dup_ngram_fraction": q_dup_ngram_fraction,
         "source_report": q_source_report,
         "heavy_hitters": q_heavy_hitters,
         "priority_returns": q_priority_returns,
         "revenue_by_region": q_revenue_by_region,
-        "shipping_priority": q_shipping_priority,
         "customer_distribution": q_customer_distribution,
         "parts_below_avg": q_parts_below_avg,
         "events_cube": q_events_cube,
@@ -3421,7 +3440,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "lsh_jaccard_pairs": q_lsh_jaccard_pairs,
         "semantic_dedup": q_semantic_dedup,
-        "setsim_jaccard_pairs": q_setsim_pairs,
         "doc_chunks": q_doc_chunks,
         "bm25_search": q_bm25_search,
         "repeated_passages": q_repeated_passages,
@@ -3873,6 +3891,70 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
             max_dist=LINK_MAX_DIST, q=QG_Q,
         )
 
+    def c_events_mad(spark: SparkSession, sf_dir: str) -> dict:
+        # the 100 TB claim: the median/MAD stats table stays |keys| rows
+        # (two keyed window passes then a broadcast) while outlier rows
+        # scale with the answer
+        ev = _t(spark, sf_dir, "events")
+        return {
+            "n_rows": int(ev.count()),
+            "n_keys": int(ev.select("event_type").distinct().count()),
+            "outlier_rows": int(q_events_mad(spark, sf_dir).count()),
+        }
+
+    def c_events_histogram(spark: SparkSession, sf_dir: str) -> dict:
+        # output is bounded by |keys| * n_bins BY CONSTRUCTION no matter
+        # the input size — the counter makes the bound observable
+        ev = _t(spark, sf_dir, "events")
+        n_keys = int(ev.select("event_type").distinct().count())
+        out = int(q_events_histogram(spark, sf_dir).count())
+        return {
+            "n_rows": int(ev.count()),
+            "n_keys": n_keys,
+            "n_bins": 10,
+            "output_rows": out,
+            "output_bound": n_keys * 10,
+        }
+
+    def c_events_ohlc(spark: SparkSession, sf_dir: str) -> dict:
+        # ONE combiner-reduced shuffle: the exchange carries at most one
+        # candidate struct per (key, bucket) per map partition; output ==
+        # occupied buckets (answer-sized), never per-row
+        ev = _t(spark, sf_dir, "events")
+        return {
+            "n_rows": int(ev.count()),
+            "occupied_buckets": int(q_events_ohlc(spark, sf_dir).count()),
+        }
+
+    def c_source_overlap(spark: SparkSession, sf_dir: str) -> dict:
+        # pair explosion is bounded by the SOURCE CATALOG (<= C(|S|,2)
+        # per shared gram, emitted once per distinct gram), never a
+        # per-occurrence self-join
+        docs = _t(spark, sf_dir, "documents")
+        n_sources = int(docs.select("source").distinct().count())
+        return {
+            "n_docs": int(docs.count()),
+            "n_sources": n_sources,
+            "pair_bound": n_sources * (n_sources - 1) // 2,
+            "output_pairs": int(q_source_overlap(spark, sf_dir).count()),
+        }
+
+    def c_communities_lpa(spark: SparkSession, sf_dir: str) -> dict:
+        # per round: ONE label-ship join + one combiner-reduced plurality
+        # pick; the convergence counters make the fixed-round choice
+        # falsifiable (VERDICT r8 item 8) — a big labels_changed tail at
+        # scale means round R is a mid-flight snapshot
+        from minivectordb_spark.operators.graph import lpa_diagnostics
+
+        ev = _t(spark, sf_dir, "events")
+        edges = ev.selectExpr(
+            f"(user_id * 53 + event_id * 17) % {KCORE_MOD} AS src",
+            f"(user_id * 37 + event_id * 13) % {KCORE_MOD} AS dst",
+        ).filter("src != dst")
+        d = lpa_diagnostics(edges, rounds=LPA_ROUNDS)
+        d["output_rows"] = int(q_communities_lpa(spark, sf_dir).count())
+        return d
+
     return {
         "neardup_lsh": c_neardup_lsh,
         "neardup_cosine": c_neardup_cosine,
@@ -3895,6 +3977,11 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
         "tfidf_keywords": c_tfidf_keywords,
         "event_transitions": c_event_transitions,
         "qgram_edit_join": c_qgram_edit_join,
+        "events_mad": c_events_mad,
+        "events_histogram": c_events_histogram,
+        "events_ohlc": c_events_ohlc,
+        "source_overlap": c_source_overlap,
+        "communities_lpa": c_communities_lpa,
     }
 
 
@@ -4156,12 +4243,9 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_docs_in": q_filter_docs_in,
         "events_moving_avg": q_events_moving_avg,
         "kcore_k2": q_kcore_k2,
-        "stream_attribution": q_stream_attribution,
         "contamination_fraction": q_contamination_fraction,
-        "events_mad": q_events_mad,
         "cooccurrence_pmi": q_cooccurrence_pmi,
         "communities_lpa": q_communities_lpa,
-        "qgram_edit_join": q_qgram_edit_join,
         "events_ohlc": q_events_ohlc,
         "source_overlap": q_source_overlap,
         "events_winsorized": q_events_winsorized,
@@ -4169,6 +4253,18 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_events_exclude": q_filter_events_exclude,
         "top_orders_per_cust": q_top_orders_per_cust,
         "events_rollup": q_events_rollup,
+        # r9 rotation demotions: each has a named covering sibling in the
+        # graded window — setsim_jaccard_pairs (sibling setsim_against:
+        # identical PPJoin prefix-filter discipline, cross-corpus
+        # variant; lsh_jaccard_pairs keeps pairs-output graded),
+        # shipping_priority (siblings priority_returns +
+        # revenue_by_region: multi-join TPC-H aggregate + sort shapes),
+        # dup_ngram_fraction (sibling repeated_passages: the same
+        # bit-for-bit shingle machinery — made room for the graded
+        # stream_attribution end-to-end streaming row).
+        "setsim_jaccard_pairs": q_setsim_pairs,
+        "shipping_priority": q_shipping_priority,
+        "dup_ngram_fraction": q_dup_ngram_fraction,
     }
 
 

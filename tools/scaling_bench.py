@@ -107,6 +107,16 @@ SCALED_QUERIES = [
     # md5 fixture strings stay unique; candidates must track the linear
     # answer (prefix filter working), never |L| x |R|
     "qgram_edit_join",
+    # r9: decade records for the r8 families (VERDICT r8 item 7) — each
+    # a bounded-output plan whose bound the counters make observable:
+    # |keys|-row stats (mad), |keys|*bins (histogram), occupied buckets
+    # (ohlc), C(|sources|,2) pairs (overlap), per-round join+plurality
+    # with convergence counters (lpa)
+    "events_mad",
+    "events_histogram",
+    "events_ohlc",
+    "source_overlap",
+    "communities_lpa",
 ]
 
 
