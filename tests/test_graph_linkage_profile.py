@@ -653,3 +653,35 @@ def test_qgram_edit_join_min_len_contract(spark):
         ).count()
         == 0
     )
+
+
+def test_choose_qgram_q_monotone_properties():
+    # property pins for the auto-q law: q never shrinks as the corpus
+    # grows (B must keep pace with N^2), and the predicted candidate
+    # count strictly decreases as q grows at fixed n (p^2 grows
+    # polynomially, B exponentially)
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from minivectordb_spark.operators.linkage import choose_qgram_q
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=10**9),
+        min_len=st.integers(min_value=4, max_value=128),
+    )
+    def check(n, min_len):
+        q1, pred1, sat1 = choose_qgram_q(n, min_len, max_dist=1)
+        q2, pred2, sat2 = choose_qgram_q(n * 10, min_len, max_dist=1)
+        assert 2 <= q1 <= q2, (n, min_len, q1, q2)
+        assert q1 * 2 <= min_len and q2 * 2 <= min_len  # feasibility
+        if not sat1:
+            assert pred1 <= 4.0 * n
+        # at fixed n, prediction strictly decreases with q
+        preds = [
+            (float(n) ** 2) * ((1 * q + 1) ** 2) / 16.0**q
+            for q in range(2, min_len // 2 + 1)
+        ]
+        assert all(a > b for a, b in zip(preds, preds[1:]))
+
+    check()

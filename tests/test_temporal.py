@@ -177,3 +177,28 @@ def test_ewma_order_pinned_by_tiebreak(spark):
     out = ewma(df, alpha=0.5).collect()[0]
     # order by (ts, event_id): x = [0, 100] -> s = 0 then 50
     assert out["ewma"] == 50.0
+
+
+def test_ohlc_bucketing_matches_python_floor_division(spark):
+    # property pin for the r9 floor-bucketing fix: the operator's bucket
+    # epoch equals python's // (true floor) for timestamps on both sides
+    # of the epoch and around bucket edges
+    from minivectordb_spark.operators.temporal import ohlc_bars
+
+    B = 7_000_000_000  # deliberately NOT a divisor of 1e9 multiples
+    ts_vals = [
+        -2 * B, -B - 1, -B, -B + 1, -1, 0, 1, B - 1, B, B + 1,
+        -3, 2 * B + 17, -(2 * B) - 17,
+    ]
+    rows = [(i, "k", t, float(i)) for i, t in enumerate(ts_vals)]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts long, value double"
+    )
+    got = {
+        r["bucket_epoch"]
+        for r in ohlc_bars(
+            df, "value", "ts", "event_type", "event_id", bucket_ns=B
+        ).collect()
+    }
+    want = {(t // B) * B // 1_000_000_000 for t in ts_vals}
+    assert got == want
