@@ -146,8 +146,13 @@ def main():
     # jvm_codegen idle baseline measured when the sentinel was built
     # (PLANS.md r8); the factor is clamped to <= 1 so normalization can
     # only DISCOUNT load, never flatter a fast machine.
+    # use the MIN of the pre/post sentinels: the pre measurement runs
+    # right after session warmup and can itself read high (measured
+    # 0.555 pre vs 0.258 post on an idle machine), and normalizing by an
+    # inflated sentinel would overstate the load discount — min is the
+    # conservative load estimate
     IDLE_JVM_CALIB = 0.21
-    run_calib = (calib["jvm_codegen_wall"] + calib_post["jvm_codegen_wall"]) / 2.0
+    run_calib = min(calib["jvm_codegen_wall"], calib_post["jvm_codegen_wall"])
     norm_factor = min(1.0, IDLE_JVM_CALIB / run_calib) if run_calib > 0 else 1.0
     total_norm = round(total * norm_factor, 3)
 
