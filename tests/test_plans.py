@@ -325,3 +325,37 @@ def test_transitions_single_user_exchange(spark, sf):
     plan = physical_plan(df)
     assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_events_mad_broadcast_stats_no_cartesian(spark, sf):
+    """The median/MAD stats tables are |keys|-row frames broadcast back
+    onto the event stream — the flagging join must be broadcast, never a
+    sort-merge over the data, and nothing may plan a cartesian."""
+    df = _q("events_mad", spark, sf)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_qgram_edit_join_all_equi_joins_partial_window(spark, sf):
+    """EDJoin candidate generation must plan as hash equi-joins on
+    (gram, k) with the df table broadcast, and the per-string prefix
+    trim as WindowGroupLimit (partial limit before the exchange) — the
+    whole point is that NOTHING here is an all-pairs comparison."""
+    df = _q("qgram_edit_join", spark, sf)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ohlc_single_keyed_exchange(spark, sf):
+    """OHLC is ONE combiner-reduced aggregate: exactly one hash exchange
+    keyed on (key, bucket), no window pass, no join."""
+    df = _q("events_ohlc", spark, sf)
+    plan = physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
