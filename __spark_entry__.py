@@ -1961,7 +1961,15 @@ def q_qgram_edit_join(spark, sf_dir):
     order) + exact levenshtein verify.  Where record_linkage's prefix
     BLOCKING would miss a corrupted prefix, the gram join finds the
     pair wherever the edits fall; the brute theta-join oracle being
-    row-identical proves the candidate generation lossless."""
+    row-identical proves the candidate generation lossless.
+
+    q stays a PINNED literal here (QG_Q) rather than q="auto": the
+    oracle's length gate (len >= q*(d+1)) must be the same literal on
+    both engines, and a data-derived q would make the gate depend on the
+    corpus.  The auto-q law itself (choose_qgram_q) reproduces exactly
+    this fixture's pinned choice at the bench scale (q=5 at n~60k) — so
+    the pin and the automation agree where they meet; see the unit pin
+    test_choose_qgram_q_tracks_the_measured_law_across_scales."""
     from minivectordb_spark.operators.linkage import qgram_edit_join
 
     cust = _t(spark, sf_dir, "customer")
