@@ -132,3 +132,164 @@ def range_join_diagnostics(
         "max_points_per_bucket": int(row["mxp"] or 0),
         "max_intervals_per_bucket": int(row["mxi"] or 0),
     }
+
+
+# ---------------------------------------------------------------------------
+# interval x interval overlap join
+# ---------------------------------------------------------------------------
+
+def _bucket_start(col, w: int):
+    """Start of the width-``w`` bucket containing ``col``: the value
+    minus its nonnegative remainder — pure int64 add/mod, NO division at
+    all, so it is exact on epoch-nanos (~1.7e18, where a double-divide
+    floor corrupts the bucket id past 2^53) and floors correctly for
+    negative values (the ohlc_bars discipline).  Bucket IDENTITY is the
+    start value itself; ``sequence(start_lo, start_hi, step w)``
+    enumerates covered buckets without ever computing a quotient."""
+    c = col.cast("long")
+    return c - ((c % F.lit(w)) + F.lit(w)) % F.lit(w)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket_width: int = 1_000_000_000,
+    partition_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Interval x interval OVERLAP join: one row per (left, right) pair of
+    half-open int64 intervals with ``l.lo < r.hi AND r.lo < l.hi`` —
+    the co-occurrence shape (user activity windows, maintenance vs
+    outage windows, ad exposure vs conversion windows) that a plain
+    theta-join plans as a nested loop.  Returns ``(partition_cols...,
+    left_id, right_id, overlap_lo, overlap_hi)``; degenerate intervals
+    (hi <= lo) never match.
+
+    Scale design — the ``bucketed_range_join`` decomposition, both sides
+    interval-valued: each interval explodes into the width-``w`` buckets
+    it covers (fan-out bounded by len/w + 1), the match becomes a hash
+    EQUI-join on (partition_cols..., bucket) with the exact overlap
+    predicate as the residual, and — the part that matters — each
+    overlapping pair is emitted from exactly ONE bucket: the bucket
+    containing ``greatest(l.lo, r.lo)`` (both intervals provably cover
+    it when the overlap is nonempty).  That first-common-bucket gate
+    replaces the pair-``distinct`` a naive bucketing needs, so the plan
+    has NO dedup shuffle at all: explode, one equi-join, done.
+    Correctness is independent of ``w`` (the residual is exact); only
+    fan-out vs bucket occupancy trades off — pick ``w`` near the median
+    interval length.
+
+    All bucket arithmetic is exact int64 add/mod (bucket identity is the
+    bucket's START value — no quotient is ever computed: epoch-nanos are
+    ~1.7e18 and a double-divide floor corrupts the bucket id past 2^53),
+    so the same expressions replay exactly in any engine.
+    """
+    w = int(bucket_width)
+    if w <= 0:
+        raise ValueError("bucket_width must be positive")
+    keys = list(partition_cols) if partition_cols is not None else []
+
+    def side(df: DataFrame, id_col: str, tag: str) -> DataFrame:
+        lo, hi = F.col(lo_col).cast("long"), F.col(hi_col).cast("long")
+        return (
+            df.filter(hi > lo)
+            .select(
+                *[F.col(k).alias(f"__k{i}") for i, k in enumerate(keys)],
+                F.col(id_col).alias(f"__{tag}id"),
+                lo.alias(f"__{tag}lo"),
+                hi.alias(f"__{tag}hi"),
+            )
+            .withColumn(
+                "__bkt",
+                F.explode(
+                    F.sequence(
+                        _bucket_start(F.col(f"__{tag}lo"), w),
+                        _bucket_start(F.col(f"__{tag}hi") - F.lit(1), w),
+                        F.lit(w).cast("long"),
+                    )
+                ),
+            )
+        )
+
+    L = side(left, left_id, "l")
+    R = side(right, right_id, "r")
+    join_keys = [f"__k{i}" for i in range(len(keys))] + ["__bkt"]
+    pairs = L.join(R, join_keys).filter(
+        (F.col("__llo") < F.col("__rhi"))
+        & (F.col("__rlo") < F.col("__lhi"))
+        # first-common-bucket gate: emit only from the bucket holding
+        # greatest(l.lo, r.lo) — exactly-once without a distinct
+        & (F.col("__bkt") == _bucket_start(F.greatest("__llo", "__rlo"), w))
+    )
+    return pairs.select(
+        *[F.col(f"__k{i}").alias(k) for i, k in enumerate(keys)],
+        F.col("__lid").alias(left_id),
+        F.col("__rid").alias(right_id),
+        F.greatest("__llo", "__rlo").alias("overlap_lo"),
+        F.least("__lhi", "__rhi").alias("overlap_hi"),
+    )
+
+
+def interval_overlap_diagnostics(
+    left: DataFrame,
+    right: DataFrame,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket_width: int = 1_000_000_000,
+    partition_cols: Optional[Sequence[str]] = None,
+) -> dict:
+    """Falsifiable counters for the overlap join: per-side exploded rows
+    (fan-out = sum over intervals of len/w + 1), joint-bucket candidate
+    pairs (what the residual filter actually sees), and the max per-side
+    replicas in any one (keys, bucket) cell — the skew exposure of the
+    equi-join.  Constant-size collects."""
+    w = int(bucket_width)
+    keys = list(partition_cols) if partition_cols is not None else []
+
+    def occ(df: DataFrame) -> DataFrame:
+        lo, hi = F.col(lo_col).cast("long"), F.col(hi_col).cast("long")
+        return (
+            df.filter(hi > lo)
+            .select(
+                *[F.col(k).alias(f"__k{i}") for i, k in enumerate(keys)],
+                F.explode(
+                    F.sequence(
+                        _bucket_start(lo, w),
+                        _bucket_start(hi - F.lit(1), w),
+                        F.lit(w).cast("long"),
+                    )
+                ).alias("__bkt"),
+            )
+            .groupBy(*[f"__k{i}" for i in range(len(keys))], "__bkt")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    lb, rb = occ(left), occ(right)
+    join_keys = [f"__k{i}" for i in range(len(keys))] + ["__bkt"]
+    row = (
+        lb.join(rb.withColumnRenamed("n", "nr"), join_keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_joint"),
+            F.sum(F.col("n") * F.col("nr")).alias("cand"),
+            F.max("n").alias("mxl"),
+            F.max("nr").alias("mxr"),
+        )
+        .collect()[0]
+    )
+    return {
+        "n_left": int(left.count()),
+        "n_right": int(right.count()),
+        "exploded_left_rows": int(
+            lb.agg(F.sum("n")).collect()[0][0] or 0
+        ),
+        "exploded_right_rows": int(
+            rb.agg(F.sum("n")).collect()[0][0] or 0
+        ),
+        "n_joint_cells": int(row["n_joint"]),
+        "candidate_pairs": int(row["cand"] or 0),
+        "max_left_per_cell": int(row["mxl"] or 0),
+        "max_right_per_cell": int(row["mxr"] or 0),
+    }

@@ -537,3 +537,97 @@ def test_value_histogram_integer_edges_and_degenerate_key(spark):
     assert got[("k", 0)] == (0, 9, 10)
     assert got[("k", 9)] == (90, 99, 10)
     assert got[("c", 0)] == (500, 500, 3)
+
+
+# ------------------------------------------------- interval overlap join
+
+
+def _brute_overlaps(ls, rs, keyed=False):
+    out = set()
+    for l in ls:
+        for r in rs:
+            if keyed and l[0] != r[0]:
+                continue
+            (lk, lid, llo, lhi), (rk, rid, rlo, rhi) = l, r
+            if llo < rhi and rlo < lhi and lhi > llo and rhi > rlo:
+                out.add((lid, rid, max(llo, rlo), min(lhi, rhi)))
+    return out
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    from minivectordb_spark.operators.ranges import interval_overlap_join
+
+    # spans crossing many buckets, touching endpoints (half-open: [0,10)
+    # and [10,20) do NOT overlap), containment, negative bounds, and a
+    # degenerate empty interval
+    ls = [
+        (0, 1, 0, 10),
+        (0, 2, 10, 20),
+        (0, 3, -25, 5),
+        (0, 4, 100, 101),
+        (0, 5, 7, 7),       # empty: never matches
+    ]
+    rs = [
+        (0, 10, 9, 11),     # overlaps 1 and 2
+        (0, 11, -30, -24),  # overlaps 3 only
+        (0, 12, 0, 200),    # overlaps 1, 2, 3, 4
+        (0, 13, 5, 5),      # empty
+    ]
+    L = spark.createDataFrame(ls, "k long, lid long, lo long, hi long")
+    R = spark.createDataFrame(rs, "k long, rid long, lo long, hi long")
+    for w in (1, 3, 7, 1000):
+        got = {
+            (r["lid"], r["rid"], r["overlap_lo"], r["overlap_hi"])
+            for r in interval_overlap_join(
+                L, R, "lid", "rid", bucket_width=w
+            ).collect()
+        }
+        assert got == _brute_overlaps(ls, rs), f"w={w}"
+
+
+def test_interval_overlap_join_keyed_and_epoch_nanos_exact(spark):
+    from minivectordb_spark.operators.ranges import interval_overlap_join
+
+    # epoch-nano magnitudes where double arithmetic corrupts bucket ids:
+    # ts ~ 1.7e18, bucket 1h — (ts/3.6e12) as double has 2-ulp slop
+    base = 1_700_000_000_000_000_000
+    H = 3_600_000_000_000
+    ls = [
+        (7, 1, base, base + H // 2),
+        (7, 2, base + H, base + 2 * H),
+        (8, 3, base, base + 3 * H),   # other key: must not pair with k=7
+    ]
+    rs = [
+        (7, 10, base + H // 4, base + H // 3),   # inside interval 1
+        (7, 11, base + 2 * H - 1, base + 5 * H), # touches 2 by one nano
+        (8, 12, base + H, base + H + 1),
+    ]
+    L = spark.createDataFrame(ls, "k long, lid long, lo long, hi long")
+    R = spark.createDataFrame(rs, "k long, rid long, lo long, hi long")
+    got = {
+        (r["k"], r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            L, R, "lid", "rid", bucket_width=H, partition_cols=["k"]
+        ).collect()
+    }
+    assert got == {(7, 1, 10), (7, 2, 11), (8, 3, 12)}
+
+
+def test_interval_overlap_diagnostics_counts(spark):
+    from minivectordb_spark.operators.ranges import (
+        interval_overlap_diagnostics,
+    )
+
+    L = spark.createDataFrame(
+        [(1, 0, 30)], "lid long, lo long, hi long"
+    )  # covers buckets 0,10,20 at w=10
+    R = spark.createDataFrame(
+        [(2, 5, 15), (3, 25, 26)], "rid long, lo long, hi long"
+    )  # buckets {0,10} and {20}
+    d = interval_overlap_diagnostics(L, R, bucket_width=10)
+    assert d["n_left"] == 1 and d["n_right"] == 2
+    assert d["exploded_left_rows"] == 3
+    assert d["exploded_right_rows"] == 3
+    assert d["n_joint_cells"] == 3        # buckets 0, 10, 20 all joint
+    assert d["candidate_pairs"] == 3
+    assert d["max_left_per_cell"] == 1 and d["max_right_per_cell"] == 1

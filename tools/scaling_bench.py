@@ -117,6 +117,9 @@ SCALED_QUERIES = [
     "events_ohlc",
     "source_overlap",
     "communities_lpa",
+    # r9 NEW: keyed interval-overlap join — candidates must track the
+    # keyed answer (2-bucket fan-out per interval), never L x R
+    "interval_overlap",
 ]
 
 
