@@ -2713,6 +2713,52 @@ FROM l JOIN r ON l.user_id = r.user_id AND l.lo < r.hi AND r.lo < l.hi
 """.strip()
 
 
+def q_activity_spans(spark, sf_dir):
+    """Per-user activity-span coverage (operators/ranges.
+    coalesce_intervals, new r9): every click opens a 30-min window;
+    overlapping-or-touching windows merge into maximal disjoint spans —
+    the coverage rollup that pairs with interval_overlap.  ONE keyed
+    window sweep (span opens where lo exceeds the running max hi, exact
+    int64 compares) + one combiner-reduced groupBy; both exchanges hash
+    on user_id."""
+    from minivectordb_spark.operators.ranges import coalesce_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.lit(OVERLAP_CLICK_NS)).alias("hi"),
+    )
+    return coalesce_intervals(iv, partition_cols=["user_id"]).select(
+        F.col("user_id").alias("user"), "span_lo", "span_hi", "n_merged"
+    )
+
+
+def _oracle_activity_spans() -> str:
+    """q_activity_spans twin: the identical sweep — running max of prior
+    his opens spans, running sum numbers them (ties in the sweep order
+    cannot move a gap, so row_number-free and engine-portable)."""
+    return f"""
+WITH iv AS (SELECT user_id, epoch_ns(ts) AS lo,
+                   epoch_ns(ts) + {OVERLAP_CLICK_NS} AS hi
+            FROM events WHERE event_type = 'click'),
+fl AS (SELECT user_id, lo, hi,
+              CASE WHEN lo > coalesce(max(hi) OVER (
+                       PARTITION BY user_id ORDER BY lo, hi
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   lo - 1)
+                   THEN 1 ELSE 0 END AS ns
+       FROM iv),
+sp AS (SELECT user_id, lo, hi,
+              sum(ns) OVER (PARTITION BY user_id ORDER BY lo, hi
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+       FROM fl)
+SELECT user_id AS user, min(lo)::BIGINT AS span_lo, max(hi)::BIGINT AS span_hi,
+       count(*)::BIGINT AS n_merged
+FROM sp GROUP BY user_id, g
+""".strip()
+
+
 def _oracle_events_ohlc() -> str:
     """q_events_ohlc twin: the same struct-min/max row pick
     (struct_pack comparison is field-order lexicographic — identical to
@@ -4367,9 +4413,11 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setsim_jaccard_pairs": q_setsim_pairs,
         "shipping_priority": q_shipping_priority,
         "dup_ngram_fraction": q_dup_ngram_fraction,
-        # r9 NEW capability, registered here directly (graded window
-        # full): keyed interval x interval overlap join
+        # r9 NEW capabilities, registered here directly (graded window
+        # full): keyed interval x interval overlap join + the coverage
+        # rollup that pairs with it
         "interval_overlap": q_interval_overlap,
+        "activity_spans": q_activity_spans,
     }
 
 
@@ -5887,6 +5935,7 @@ FROM documents
         "qgram_edit_join": _oracle_qgram_edit_join(),
         "events_ohlc": _oracle_events_ohlc(),
         "interval_overlap": _oracle_interval_overlap(),
+        "activity_spans": _oracle_activity_spans(),
         "source_overlap": _oracle_source_overlap(),
         "events_winsorized": _oracle_events_winsorized(),
         "events_histogram": _oracle_events_histogram(),

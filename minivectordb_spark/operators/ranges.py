@@ -293,3 +293,66 @@ def interval_overlap_diagnostics(
         "max_left_per_cell": int(row["mxl"] or 0),
         "max_right_per_cell": int(row["mxr"] or 0),
     }
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    partition_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Merge overlapping-or-touching half-open int64 intervals per key
+    into maximal disjoint spans — the coverage rollup (total user
+    activity time, merged maintenance windows, consolidated exposure
+    spans) that pairs with ``interval_overlap_join``: the join finds
+    co-occurrences, this collapses a set into its union.  Touching
+    intervals ([0,10) + [10,20)) DO merge (the union is contiguous);
+    degenerate intervals (hi <= lo) are dropped.  Returns
+    ``(partition_cols..., span_lo, span_hi, n_merged)``.
+
+    Plan: the classic sweep as ONE keyed window pass — order by (lo, hi)
+    within each key, a span boundary opens wherever lo exceeds the
+    running max of all previous his (exact int64 compares, no floats) —
+    followed by one combiner-reduced groupBy on (keys, span#).  Both
+    exchanges hash on the partition keys, so a 100 TB run shuffles each
+    row twice and nothing is ever quadratic; the result is a pure
+    function of the interval SET (ties in the sweep order cannot change
+    where a gap falls)."""
+    from pyspark.sql import Window
+
+    keys = list(partition_cols) if partition_cols is not None else []
+    lo, hi = F.col(lo_col).cast("long"), F.col(hi_col).cast("long")
+    base = df.filter(hi > lo).select(
+        *[F.col(k) for k in keys],
+        lo.alias("__lo"),
+        hi.alias("__hi"),
+    )
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(F.col("__lo").asc(), F.col("__hi").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = base.withColumn(
+        "__new_span",
+        F.when(
+            F.col("__lo") > F.coalesce(
+                F.max("__hi").over(w), F.lit(-(1 << 62))
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    w_run = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(F.col("__lo").asc(), F.col("__hi").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    spans = flagged.withColumn("__span", F.sum("__new_span").over(w_run))
+    return (
+        spans.groupBy(*[F.col(k) for k in keys], F.col("__span"))
+        .agg(
+            F.min("__lo").alias("span_lo"),
+            F.max("__hi").alias("span_hi"),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .drop("__span")
+    )

@@ -631,3 +631,59 @@ def test_interval_overlap_diagnostics_counts(spark):
     assert d["n_joint_cells"] == 3        # buckets 0, 10, 20 all joint
     assert d["candidate_pairs"] == 3
     assert d["max_left_per_cell"] == 1 and d["max_right_per_cell"] == 1
+
+
+def test_coalesce_intervals_merges_overlap_and_touch(spark):
+    from minivectordb_spark.operators.ranges import coalesce_intervals
+
+    rows = [
+        # key 1: [0,10) + [5,12) overlap; [12,20) touches -> ONE span
+        (1, 0, 10), (1, 5, 12), (1, 12, 20),
+        # key 1: disjoint later span, plus an empty interval (dropped)
+        (1, 30, 40), (1, 35, 35),
+        # key 2: containment + negative bounds
+        (2, -10, 50), (2, 0, 5),
+    ]
+    df = spark.createDataFrame(rows, "k long, lo long, hi long")
+    got = {
+        (r["k"], r["span_lo"], r["span_hi"], r["n_merged"])
+        for r in coalesce_intervals(df, partition_cols=["k"]).collect()
+    }
+    assert got == {
+        (1, 0, 20, 3),
+        (1, 30, 40, 1),
+        (2, -10, 50, 2),
+    }
+
+
+def test_coalesce_intervals_matches_python_sweep(spark):
+    import random
+
+    from minivectordb_spark.operators.ranges import coalesce_intervals
+
+    rng = random.Random(11)
+    rows = [
+        (k, lo, lo + rng.randint(1, 40))
+        for k in (1, 2, 3)
+        for lo in (rng.randint(-100, 100) for _ in range(60))
+    ]
+
+    def brute(key_rows):
+        ivs = sorted((lo, hi) for _, lo, hi in key_rows if hi > lo)
+        spans = []
+        for lo, hi in ivs:
+            if spans and lo <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], hi)
+                spans[-1][2] += 1
+            else:
+                spans.append([lo, hi, 1])
+        return {(lo, hi, n) for lo, hi, n in spans}
+
+    df = spark.createDataFrame(rows, "k long, lo long, hi long")
+    got = {}
+    for r in coalesce_intervals(df, partition_cols=["k"]).collect():
+        got.setdefault(r["k"], set()).add(
+            (r["span_lo"], r["span_hi"], r["n_merged"])
+        )
+    for k in (1, 2, 3):
+        assert got[k] == brute([r for r in rows if r[0] == k]), k
