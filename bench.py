@@ -139,6 +139,11 @@ def main():
     # change r9 — r8 and earlier reported the loop wall; loop_wall_sec
     # keeps the old number for continuity.)
     total = round(sum(v for v in timings.values() if v > 0), 3)
+    # errored queries (timing -1) must make the headline WORSE, not
+    # quietly smaller (ADVICE r9): surface them as explicit fields so a
+    # consumer comparing rounds can't mistake "one query broke" for
+    # "the engine got faster".
+    failed = sorted(k for k, v in timings.items() if v < 0)
 
     # calib-normalized total (VERDICT r8 item 2): scale by measured idle
     # sentinel / this run's sentinel so a judge can separate operator
@@ -196,9 +201,16 @@ def main():
     # is cut off by a timeout the per-query numbers still land; when the
     # bench completes, the final combined line below supersedes this one
     early = {
-        "metric": "total_wall_sec_all_queries",
+        # metric renamed r10 (ADVICE r9): the value has been the sum of
+        # per-query mins since r9, not a loop wall — the name now says so.
+        # Consumers keyed on the old name must check metric_prev.
+        "metric": "sum_per_query_min_sec",
+        "metric_prev": "total_wall_sec_all_queries",
         "value": total,
         "value_def": "sum_of_per_query_min",
+        "n_failed": len(failed),
+        "failed": failed,
+        "partial": bool(failed),
         "value_norm": total_norm,
         "loop_wall_sec": loop_wall,
         "unit": "sec",
@@ -275,9 +287,16 @@ def main():
             print(f"bench demoted-section error: {e}", file=sys.stderr)
 
     out = {
-        "metric": "total_wall_sec_all_queries",
+        # metric renamed r10 (ADVICE r9): the value has been the sum of
+        # per-query mins since r9, not a loop wall — the name now says so.
+        # Consumers keyed on the old name must check metric_prev.
+        "metric": "sum_per_query_min_sec",
+        "metric_prev": "total_wall_sec_all_queries",
         "value": total,
         "value_def": "sum_of_per_query_min",
+        "n_failed": len(failed),
+        "failed": failed,
+        "partial": bool(failed),
         "value_norm": total_norm,
         "loop_wall_sec": loop_wall,
         "unit": "sec",

@@ -602,6 +602,42 @@ def test_qgram_edit_join_auto_q_resolves_and_warns_on_saturation(spark):
     assert any("saturated" in str(x.message) for x in w)
 
 
+def test_qgram_auto_q_ignores_short_outliers(spark):
+    # ADVICE r9: q='auto' used to size the knob from the GLOBAL min
+    # string length, so one empty/short outlier hard-failed the whole
+    # join with "no feasible q" — even though pinned-q mode just
+    # contractually excludes short rows from candidates.  The min must
+    # be taken over participating rows only (length >= 2*(max_dist+1)).
+    from minivectordb_spark.operators.linkage import qgram_edit_join
+
+    left = spark.createDataFrame(
+        [(1, "Xlphabet-city"), (2, ""), (3, "ab")], "lid long, s string"
+    )
+    right = spark.createDataFrame(
+        [(10, "alphabet-city"), (11, "")], "rid long, s string"
+    )
+    got = {
+        (r["lid"], r["rid"]): r["dist"]
+        for r in qgram_edit_join(
+            left, right, "lid", "rid", "s", "s", max_dist=1, q="auto"
+        ).collect()
+    }
+    assert got == {(1, 10): 1}  # outliers excluded, join not aborted
+    # ALL rows short on one side: fall back to q=2 with a loud warning
+    # (not a raise) — the join legitimately produces zero candidates,
+    # exactly what pinned-q mode would ship
+    import warnings
+
+    allshort = spark.createDataFrame([(9, "ab")], "rid long, s string")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        n = qgram_edit_join(
+            left, allshort, "lid", "rid", "s", "s", max_dist=1, q="auto"
+        ).count()
+    assert n == 0
+    assert any("participation floor" in str(x.message) for x in w)
+
+
 def test_qgram_edit_join_lossless_vs_bruteforce(spark):
     import itertools
 
