@@ -3496,6 +3496,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and redundant twins are demoted to demoted_queries() (still
     # oracle-checked locally by tests/test_demoted_queries.py).
     return {
+        # r10 rotation (VERDICT r9 item 3): interval_overlap (keyed
+        # interval x interval overlap join — candidate law recorded at
+        # FOUR scales pre-promotion, the strongest evidence any row has
+        # had) and activity_spans (coalesce_intervals coverage rollup)
+        # promoted — each hash-verified at sf0.001/0.01/0.1 under the
+        # driver compare this round before promotion, in exchange for
+        # lm_score (covering siblings bigram_lm + dsir_logweights: the
+        # same corpus-fit broadcast-LM machinery with the identical
+        # DECIMAL(18,6)-frozen per-token -> per-doc aggregation
+        # discipline) and top_customers (covering siblings
+        # revenue_by_region + priority_returns + tpch_q1: the multi-join
+        # TPC-H aggregate + sort shape, graded three ways).
+        "interval_overlap": q_interval_overlap,
+        "activity_spans": q_activity_spans,
         # r9 rotation (VERDICT r8 item 6): qgram_edit_join (blocking-free
         # EDJoin, two-decade counters recorded r8) and events_mad (robust
         # MAD family) promoted — each hash-verified at sf0.001/0.01/0.1
@@ -3545,7 +3559,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "quality_mix": q_quality_mix,
         "decontaminate": q_decontaminate,
-        "lm_score": q_lm_score,
         "dsir_logweights": q_dsir_logweights,
         "clean_corpus": q_clean_corpus,
         "multimodal_features": q_multimodal_features,
@@ -3554,7 +3567,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_events_or": q_filter_events_or,
         "tfidf_keywords": q_tfidf_keywords,
         "tpch_q1": q_tpch_q1,
-        "top_customers": q_top_customers,
         "text_stats": q_text_stats,
         "dedup_exact": q_dedup_exact,
         "lsh_jaccard_pairs": q_lsh_jaccard_pairs,
@@ -4413,11 +4425,17 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setsim_jaccard_pairs": q_setsim_pairs,
         "shipping_priority": q_shipping_priority,
         "dup_ngram_fraction": q_dup_ngram_fraction,
-        # r9 NEW capabilities, registered here directly (graded window
-        # full): keyed interval x interval overlap join + the coverage
-        # rollup that pairs with it
-        "interval_overlap": q_interval_overlap,
-        "activity_spans": q_activity_spans,
+        # r10 rotation demotions (in exchange for the promoted
+        # interval_overlap + activity_spans — both hash-verified x3
+        # scales pre-promotion): lm_score (covering siblings bigram_lm +
+        # dsir_logweights, both graded: corpus-fit broadcast-LM scoring
+        # with the identical DECIMAL(18,6)-frozen per-token -> per-doc
+        # aggregation discipline; the unigram fit itself stays pinned by
+        # the text-operator unit suite) and top_customers (covering
+        # siblings revenue_by_region + priority_returns + tpch_q1: the
+        # multi-join TPC-H aggregate + sort shape, graded three ways).
+        "lm_score": q_lm_score,
+        "top_customers": q_top_customers,
     }
 
 
