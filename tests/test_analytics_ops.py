@@ -633,6 +633,101 @@ def test_interval_overlap_diagnostics_counts(spark):
     assert d["max_left_per_cell"] == 1 and d["max_right_per_cell"] == 1
 
 
+def test_choose_bucket_width_reproduces_fixture_pin_and_auto_matches(spark):
+    """VERDICT r9 item 2: the w knob automated by the choose_qgram_q
+    discipline.  The scalar law must reproduce the r9 hand-pinned graded
+    choice (w = the 30-min click-window length — the smaller side's
+    median), and bucket_width='auto' must return the identical pair set
+    (correctness is w-independent by construction; this pins that the
+    auto path wires through)."""
+    from minivectordb_spark.operators.ranges import (
+        choose_bucket_width,
+        interval_overlap_join,
+    )
+
+    CLICK, PURCHASE = 1_800_000_000_000, 2_700_000_000_000
+    w, fanout, sat = choose_bucket_width(min(CLICK, PURCHASE), PURCHASE)
+    assert (w, sat) == (CLICK, False)  # the hand-pinned r9 choice
+    assert fanout == PURCHASE // CLICK + 1 == 2
+
+    ls = [(0, 1, 0, 10), (0, 2, 10, 20), (0, 3, -25, 5), (0, 4, 100, 101)]
+    rs = [(0, 10, 9, 11), (0, 11, -30, -24), (0, 12, 0, 200)]
+    L = spark.createDataFrame(ls, "k long, lid long, lo long, hi long")
+    R = spark.createDataFrame(rs, "k long, rid long, lo long, hi long")
+    auto = {
+        (r["lid"], r["rid"], r["overlap_lo"], r["overlap_hi"])
+        for r in interval_overlap_join(
+            L, R, "lid", "rid", bucket_width="auto"
+        ).collect()
+    }
+    assert auto == _brute_overlaps(ls, rs)
+
+
+def test_interval_auto_width_warns_on_mega_interval(spark):
+    """One pathological mega-interval (an unclosed session) must trip
+    the fan-out saturation warning — and the answer must still be
+    exact (the guard is advisory; correctness never depends on w)."""
+    import warnings
+
+    from minivectordb_spark.operators.ranges import (
+        bucketed_range_join,
+        interval_overlap_join,
+    )
+
+    ls = [(0, i, i * 10, i * 10 + 8) for i in range(1, 20)]
+    ls.append((0, 99, 0, 90_000_000))  # ~9e6 buckets at w=10
+    rs = [(0, 100, 15, 25)]
+    L = spark.createDataFrame(ls, "k long, lid long, lo long, hi long")
+    R = spark.createDataFrame(rs, "k long, rid long, lo long, hi long")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = {
+            (r["lid"], r["rid"])
+            for r in interval_overlap_join(
+                L, R, "lid", "rid", bucket_width="auto"
+            ).collect()
+        }
+    assert got == {(1, 100), (2, 100), (99, 100)}
+    assert any("mega-interval" in str(x.message) for x in w)
+    # the point->interval variant shares the guard
+    pts = spark.createDataFrame([(1, 17)], "pid long, v long")
+    iv = L.select("lid", "lo", "hi")
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        got2 = {
+            (r["pid"], r["lid"])
+            for r in bucketed_range_join(
+                pts, iv, "v", bucket_width="auto"
+            ).collect()
+        }
+    assert got2 == {(1, 1), (1, 99)}
+    assert any("mega-interval" in str(x.message) for x in w2)
+
+
+def test_interval_skew_counters_max_per_key(spark):
+    """VERDICT r9 item 6: the mega-key exposure counters — the raw
+    per-key interval counts for the overlap join and the sweep."""
+    from minivectordb_spark.operators.ranges import (
+        coalesce_diagnostics,
+        interval_overlap_diagnostics,
+    )
+
+    rows = [(7, i, i * 10, i * 10 + 5) for i in range(5)] + [
+        (8, 100, 0, 3),
+        (8, 101, 4, 4),  # degenerate: not counted
+    ]
+    df = spark.createDataFrame(rows, "k long, iid long, lo long, hi long")
+    d = coalesce_diagnostics(df, partition_cols=["k"])
+    assert d == {"n_intervals": 6, "n_keys": 2, "max_intervals_per_key": 5}
+    d2 = interval_overlap_diagnostics(
+        df, df, bucket_width=10, partition_cols=["k"]
+    )
+    assert d2["max_left_per_key"] == 5 and d2["max_right_per_key"] == 5
+    # unkeyed: the whole frame is one key
+    d3 = coalesce_diagnostics(df)
+    assert d3 == {"n_intervals": 6, "n_keys": 1, "max_intervals_per_key": 6}
+
+
 def test_coalesce_intervals_merges_overlap_and_touch(spark):
     from minivectordb_spark.operators.ranges import coalesce_intervals
 

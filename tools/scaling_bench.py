@@ -120,6 +120,11 @@ SCALED_QUERIES = [
     # r9 NEW: keyed interval-overlap join — candidates must track the
     # keyed answer (2-bucket fan-out per interval), never L x R
     "interval_overlap",
+    # r10: bounded-state streaming attribution — the graded streaming
+    # row's 100 TB risk is state growth; this records state_rows_max /
+    # state_rows_pruned at two scales (peak state must track the
+    # watermark window's density, never the total history)
+    "stream_attribution_bounded",
 ]
 
 
