@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import uuid
 from typing import Sequence
 
@@ -265,6 +266,41 @@ class DurableVectorTable:
             )
         return next_version
 
+    def _rewrite_buckets_one_pass(
+        self, merged: DataFrame, rows_after: dict, buckets: dict
+    ) -> None:
+        """Write every touched bucket's next generation in ONE Spark job
+        (VERDICT r9 item 5): ``merged`` carries a ``__b`` bucket column;
+        it is written partitioned by ``__b`` into a staging dir, then each
+        staged ``__b=k/`` subdir is renamed (same filesystem — atomic) to
+        that bucket's ``gen=<g+1>-<token>`` target and the manifest entry
+        updated.  Replaces the per-bucket loop that dispatched ~3 Spark
+        jobs per touched bucket — profiled at 8-9 s per durable_cdc wave
+        for ~170 rows: the wall was driver job fan-out, not byte IO.
+        Semantics identical to ``_rewrite_bucket`` per bucket: unique
+        per-attempt dirs, losers orphan cleanly, the manifest CAS is
+        still the only commit point."""
+        stage = os.path.join(
+            self.path, "data", f"_stage-{uuid.uuid4().hex[:8]}"
+        )
+        merged.write.partitionBy("__b").parquet(stage)
+        try:
+            for k, n_rows in rows_after.items():
+                gen = buckets[str(k)]["gen"] + 1
+                dirname = f"gen={gen}-{uuid.uuid4().hex[:8]}"
+                src = os.path.join(stage, f"__b={k}")
+                if n_rows > 0:
+                    bdir = os.path.join(self.path, "data", f"bucket={k}")
+                    os.makedirs(bdir, exist_ok=True)
+                    os.rename(src, os.path.join(bdir, dirname))
+                    buckets[str(k)] = {
+                        "gen": gen, "rows": n_rows, "dir": dirname,
+                    }
+                else:
+                    buckets[str(k)] = {"gen": gen, "rows": 0, "dir": None}
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+
     def _rewrite_bucket(self, k: int, new_df: DataFrame, n_rows: int, buckets: dict):
         # per-attempt unique dir (recorded in the manifest): two mutations
         # racing from the same snapshot write DISJOINT dirs and contend
@@ -352,26 +388,41 @@ class DurableVectorTable:
         new_manifest = json.loads(json.dumps(self.manifest))
         buckets = new_manifest["buckets"]
         with_b = new_df.withColumn("__b", _bucket_expr(id_col, n_buckets))
-        for k, n_new in rows_by_bucket.items():
-            incoming = with_b.filter(F.col("__b") == k).drop("__b")
-            if buckets[str(k)]["rows"] > 0:
-                cur = self.spark.read.parquet(self._bucket_path(k))
-                clash = (
-                    incoming.select(F.col(id_col).cast("string").alias(id_col))
-                    .join(
-                        cur.select(F.col(id_col).cast("string").alias(id_col)),
-                        id_col,
-                    )
-                    .limit(1)
-                    .count()
+        # ONE pass over every touched bucket (VERDICT r9 item 5): the old
+        # per-bucket loop dispatched a clash-probe job + a write job per
+        # bucket — driver job fan-out, not IO, dominated the wall.  Here:
+        # one multi-path scan of the touched non-empty buckets (__b
+        # re-derived from the id — buckets are content-addressed, no file
+        # mapping needed), one join for the clash check, one partitioned
+        # write staged + renamed into per-bucket generation dirs.
+        nonempty = [
+            k for k in rows_by_bucket if buckets[str(k)]["rows"] > 0
+        ]
+        if nonempty:
+            cur_all = self.spark.read.parquet(
+                *[self._bucket_path(k) for k in nonempty]
+            ).withColumn("__b", _bucket_expr(id_col, n_buckets))
+            clash = (
+                with_b.select(F.col(id_col).cast("string").alias(id_col))
+                .join(
+                    cur_all.select(
+                        F.col(id_col).cast("string").alias(id_col)
+                    ),
+                    id_col,
                 )
-                if clash:
-                    raise ValueError("Unique ID already exists.")
-                merged = cur.unionByName(incoming)
-            else:
-                merged = incoming
-            n = buckets[str(k)]["rows"] + n_new
-            self._rewrite_bucket(k, merged, n, buckets)
+                .limit(1)
+                .count()
+            )
+            if clash:
+                raise ValueError("Unique ID already exists.")
+            merged = cur_all.unionByName(with_b)
+        else:
+            merged = with_b
+        rows_after = {
+            k: buckets[str(k)]["rows"] + n_new
+            for k, n_new in rows_by_bucket.items()
+        }
+        self._rewrite_buckets_one_pass(merged, rows_after, buckets)
         new_manifest["version"] = next_version
         _publish(self.path, new_manifest)
         return DurableVectorTable(self.spark, self.path, new_manifest)
@@ -412,27 +463,42 @@ class DurableVectorTable:
         new_manifest = json.loads(json.dumps(self.manifest))
         buckets = new_manifest["buckets"]
         with_b = new_df.withColumn("__b", _bucket_expr(id_col, n_buckets))
-        for k, n_new in rows_by_bucket.items():
-            incoming = with_b.filter(F.col("__b") == k).drop("__b")
-            if buckets[str(k)]["rows"] > 0:
-                cur = self.spark.read.parquet(self._bucket_path(k))
-                ids = incoming.select(
-                    F.col(id_col).cast("string").alias("__id")
+        # ONE pass over every touched bucket (VERDICT r9 item 5 — the
+        # durable_cdc wave profile): the old per-bucket loop dispatched a
+        # semi-count + anti-join + write per bucket, ~3 Spark jobs each;
+        # with 16 touched buckets the 8-9 s "commit IO" wall was driver
+        # job fan-out.  Now: one multi-path scan (__b re-derived from the
+        # id), one per-bucket matched-count aggregate, one anti-join, one
+        # partitioned write staged + renamed into generation dirs.
+        nonempty = [
+            k for k in rows_by_bucket if buckets[str(k)]["rows"] > 0
+        ]
+        matched_by_bucket: dict[int, int] = {}
+        if nonempty:
+            cur_all = self.spark.read.parquet(
+                *[self._bucket_path(k) for k in nonempty]
+            ).withColumn("__b", _bucket_expr(id_col, n_buckets))
+            ids = with_b.select(F.col(id_col).cast("string").alias("__id"))
+            matched_by_bucket = {
+                int(r["__b"]): int(r["m"])
+                for r in cur_all.join(
+                    ids, F.col(id_col).cast("string") == F.col("__id"), "semi"
                 )
-                n_matched = (
-                    cur.join(
-                        ids, F.col(id_col).cast("string") == F.col("__id"), "semi"
-                    ).count()
-                )
-                kept = cur.join(
-                    ids, F.col(id_col).cast("string") == F.col("__id"), "anti"
-                )
-                merged = kept.unionByName(incoming)
-                n = buckets[str(k)]["rows"] - n_matched + n_new
-            else:
-                merged = incoming
-                n = n_new
-            self._rewrite_bucket(k, merged, n, buckets)
+                .groupBy("__b")
+                .agg(F.count(F.lit(1)).alias("m"))
+                .collect()
+            }
+            kept = cur_all.join(
+                ids, F.col(id_col).cast("string") == F.col("__id"), "anti"
+            )
+            merged = kept.unionByName(with_b)
+        else:
+            merged = with_b
+        rows_after = {
+            k: buckets[str(k)]["rows"] - matched_by_bucket.get(k, 0) + n_new
+            for k, n_new in rows_by_bucket.items()
+        }
+        self._rewrite_buckets_one_pass(merged, rows_after, buckets)
         new_manifest["version"] = next_version
         _publish(self.path, new_manifest)
         return DurableVectorTable(self.spark, self.path, new_manifest)

@@ -458,6 +458,78 @@ def label_propagation(
     return labels
 
 
+def label_propagation_converged(
+    edges: DataFrame,
+    max_rounds: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+) -> tuple[DataFrame, int]:
+    """``label_propagation`` with EARLY EXIT (VERDICT r9 item 7): run the
+    same synchronous plurality rounds but stop as soon as a round changes
+    zero labels — on graphs that do converge, fixed rounds waste full
+    join+aggregate shuffles re-deriving an unchanged frame.  Returns
+    ``(labels, rounds_run)``; ``rounds_run`` counts the rounds actually
+    executed (each is one edge-label equi-join + two aggregations — the
+    exchanges saved are directly ``2 * (fixed_rounds - rounds_run)``).
+
+    The convergence probe costs one |nodes|-row id-join + count action
+    per round, so this variant trades a small per-round driver action
+    for potentially many saved shuffles; the fixed-round
+    ``label_propagation`` stays the oracle-row contract (an unrollable
+    DuckDB CTE chain needs a literal round count), and once converged
+    the two agree for every rounds >= rounds_run: a zero-change round is
+    a fixpoint of the synchronous update, so every later round returns
+    the identical frame."""
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
+    sym = (
+        und.select("u", "v")
+        .unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition("v")
+        .localCheckpoint(eager=False)
+    )
+    labels = sym.select(F.col("u").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+    rounds_run = 0
+    for _ in range(int(max_rounds)):
+        labels = labels.localCheckpoint(eager=False)
+        cnt = (
+            sym.join(labels, sym["v"] == labels["id"])
+            .groupBy("u", "label")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        new_labels = (
+            cnt.groupBy("u")
+            .agg(
+                F.min_by(
+                    "label",
+                    F.struct(
+                        (-F.col("__c")).alias("nc"),
+                        F.col("label").alias("l"),
+                    ),
+                ).alias("label")
+            )
+            .select(F.col("u").alias("id"), "label")
+            .localCheckpoint(eager=False)
+        )
+        rounds_run += 1
+        changed = (
+            labels.alias("p")
+            .join(new_labels.alias("n"), F.col("p.id") == F.col("n.id"))
+            .filter(F.col("p.label") != F.col("n.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels, rounds_run
+
+
 def lpa_diagnostics(
     edges: DataFrame,
     rounds: int = 3,

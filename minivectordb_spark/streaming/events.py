@@ -168,6 +168,7 @@ def stream_durable_ingest(
     model: str = "hash64",
     n_buckets: int = 16,
     mode: str = "insert",
+    phase_walls: dict | None = None,
 ):
     """Streaming ingest into a ``DurableVectorTable``: each micro-batch is
     embedded, deduped in-batch, and committed as ONE copy-on-write
@@ -181,8 +182,17 @@ def stream_durable_ingest(
     ``mode='upsert'``: incoming rows REPLACE stored rows with the same id
     (``upsert_embeddings_batch`` — the CDC shape: the stream carries
     document revisions); replay idempotence comes from upserting the
-    identical rows again."""
+    identical rows again.
+
+    ``phase_walls``: optional dict the per-batch phase walls accumulate
+    into (VERDICT r9 item 5 — "the wall is CoW MERGE ingest" is only
+    falsifiable split into embed vs commit): ``embed_sec`` (inference +
+    materialization), ``commit_sec`` (create / upsert-MERGE / insert
+    anti-join + bucket rewrite + manifest swap), ``n_batches``.  The
+    remainder of a caller-observed wave wall is streaming-engine fixed
+    cost (file listing, offset log, foreachBatch dispatch)."""
     import os
+    import time as _time
 
     from minivectordb_spark.durable import DurableVectorTable
     from minivectordb_spark.embedder import embed_column
@@ -190,7 +200,16 @@ def stream_durable_ingest(
     if mode not in ("insert", "upsert"):
         raise ValueError(f"mode must be 'insert' or 'upsert', got {mode!r}")
 
+    def _note(phase: str, t0: float) -> None:
+        if phase_walls is not None:
+            phase_walls[phase] = round(
+                phase_walls.get(phase, 0.0) + (_time.time() - t0), 3
+            )
+
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if phase_walls is not None:
+            phase_walls["n_batches"] = phase_walls.get("n_batches", 0) + 1
+        t0 = _time.time()
         fresh = batch_df.dropDuplicates([id_col])
         # localCheckpoint: the create/store paths below each run several
         # jobs (stats agg, clash probes, per-bucket writes) — without a
@@ -199,6 +218,8 @@ def stream_durable_ingest(
         embedded = embed_column(
             fresh, text_col, out_col="embedding", model=model
         ).localCheckpoint()
+        _note("embed_sec", t0)
+        t0 = _time.time()
         manifest_exists = os.path.exists(
             os.path.join(table_path, "_manifest", "_latest")
         )
@@ -206,17 +227,20 @@ def stream_durable_ingest(
             DurableVectorTable.create(
                 embedded, table_path, id_col=id_col, n_buckets=n_buckets
             )
+            _note("commit_sec", t0)
             return
         t = DurableVectorTable.load(batch_df.sparkSession, table_path)
         if mode == "upsert":
             if embedded.limit(1).count():
                 t.upsert_embeddings_batch(embedded)
+            _note("commit_sec", t0)
             return
         new_rows = embedded.join(
             t.to_df().select(id_col), id_col, "left_anti"
         ).localCheckpoint()
         if new_rows.limit(1).count():
             t.store_embeddings_batch(new_rows)
+        _note("commit_sec", t0)
 
     return (
         stream_df.writeStream.foreachBatch(_write_batch)

@@ -70,6 +70,59 @@ def test_demoted_disjoint_from_registry():
     assert len(qs) <= 50, "driver verifies only the first 50 entries"
 
 
+def test_rotation_registry_invariants():
+    """VERDICT r9 item 9: the rotation ledger is machine-checkable —
+    every demoted row appears exactly once, every claimed sibling
+    resolves in the combined registry, every ROTATED row names at least
+    one covering sibling, and tools/registry_report.py (which emits
+    REGISTRY.json for the judge) reports zero problems."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from registry_report import build_report
+
+    ledger = entry.rotation_registry()
+    graded, demoted = set(entry.queries()), set(entry.demoted_queries())
+    assert set(ledger) == demoted
+    for name, row in ledger.items():
+        assert row["kind"] in ("rotated", "capability", "unit_pinned"), name
+        for s in row["siblings"]:
+            assert s in graded | demoted, f"{name}: dangling sibling {s}"
+        if row["kind"] == "rotated":
+            assert row["siblings"], f"{name}: rotated without a sibling"
+    report = build_report()
+    assert report["problems"] == []
+    assert report["n_graded"] == len(graded)
+
+
+def test_doc_counts_match_registry():
+    """ADVICE r9: README/COVERAGE registry counts drifted from HEAD once
+    already — derive them from the registry so the docs CANNOT drift
+    silently (a rotation that forgets the doc bump now fails the suite).
+    The docs state the counts as 'G graded + D demoted' and 'T/T DuckDB
+    twins'; both files must carry the registry's actual numbers."""
+    import re
+    from pathlib import Path
+
+    g = len(entry.queries())
+    d = len(entry.demoted_queries())
+    t = len({**entry.queries(), **entry.demoted_queries()}.keys()
+            & set(entry.oracle_sql()))
+    root = Path(__file__).resolve().parents[1]
+    for doc in ("README.md", "COVERAGE.md"):
+        text = (root / doc).read_text()
+        m = re.search(r"(\d+) graded .*?\+?\s*(\d+) demoted", text)
+        assert m, f"{doc}: no registry-count sentence found"
+        assert (int(m.group(1)), int(m.group(2))) == (g, d), (
+            f"{doc} says {m.group(0)!r}, registry is {g} graded + {d} demoted"
+        )
+        m2 = re.search(r"(\d+)\s*(?:/\s*\d+\s*)?DuckDB", text)
+        assert m2 and int(m2.group(1)) == t, (
+            f"{doc} DuckDB-twin count != {t}"
+        )
+
+
 def test_drift_section_flags_only_real_jumps(tmp_path):
     # VERDICT r8 item 4: the round-over-round demoted-wall gate.  Pure
     # function, no Spark: flags >2x growth, skips sub-floor noise rows,

@@ -463,6 +463,57 @@ def test_label_propagation_two_triangle_communities(spark):
     assert sizes == {1: 3, 3: 3}
 
 
+def test_label_propagation_converged_early_exit(spark):
+    """VERDICT r9 item 7: on a graph that converges, the early-exit
+    variant stops as soon as a round changes nothing — rounds_run is the
+    exchange count saved vs a fixed budget — and its labels equal the
+    fixed-round operator run to the same depth AND to any deeper depth
+    (zero-change round == fixpoint of the synchronous update)."""
+    from minivectordb_spark.operators.graph import (
+        label_propagation,
+        label_propagation_converged,
+    )
+
+    # two disjoint triangles: converge fast and stay put
+    edges = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10)]
+    labels, rounds_run = label_propagation_converged(
+        _edges_df(spark, edges), max_rounds=20
+    )
+    assert rounds_run < 20  # actually exited early
+    got = {r["id"]: r["label"] for r in labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+    for depth in (rounds_run, rounds_run + 3):
+        fixed = {
+            r["id"]: r["label"]
+            for r in label_propagation(
+                _edges_df(spark, edges), rounds=depth
+            ).collect()
+        }
+        assert fixed == got, f"depth {depth}"
+
+
+def test_label_propagation_converged_caps_at_max_rounds(spark):
+    """On the oscillating bridge fixture (lpa_diagnostics proved it does
+    NOT converge in 3 rounds), the probe must not loop forever: it stops
+    at max_rounds and still returns that round's deterministic labels."""
+    from minivectordb_spark.operators.graph import (
+        label_propagation,
+        label_propagation_converged,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4)]
+    labels, rounds_run = label_propagation_converged(
+        _edges_df(spark, edges), max_rounds=2
+    )
+    assert rounds_run == 2
+    got = {r["id"]: r["label"] for r in labels.collect()}
+    want = {
+        r["id"]: r["label"]
+        for r in label_propagation(_edges_df(spark, edges), rounds=2).collect()
+    }
+    assert got == want
+
+
 def test_label_propagation_direction_and_dup_insensitive(spark):
     from minivectordb_spark.operators.graph import label_propagation
 
