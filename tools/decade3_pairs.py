@@ -1,0 +1,113 @@
+"""Third-decade counter check for a PAIR-GENERATING family on
+NON-replicated data (VERDICT r9 item 8).
+
+`tools/decade3_bench.py` deliberately excludes the dedup/setsim/LSH
+families: factor-replication turns every doc into a clique, so their
+output grows quadratically BY CONSTRUCTION and a third-decade wall would
+measure answer size, not plan quality.  The falsifiable question for
+those plans is instead: on a corpus that grows the way real corpora grow
+(new distinct documents, a fixed rate of true near-duplicates), does the
+CANDIDATE counter keep tracking the answer — or does the prefix filter
+saturate somewhere between decade two and three?
+
+This harness synthesizes that corpus deterministically in Spark (no RNG
+state): each doc is 20-40 hash-derived tokens from a fixed 30k vocab;
+every 50th doc is a planted near-twin of its predecessor (last token
+replaced — word-3-gram Jaccard ~= (L-5)/(L+1) >= 0.65, above the 0.5
+threshold), so the TRUE answer is exactly linear in n.  It then runs
+`setsim_diagnostics` (the graded setsim_against / setsim_jaccard_pairs
+machinery: one global df order, prefix filter, hash equi-join) at n =
+5,000 / 50,000 / 500,000 — the gate corpus size and two further decades
+— and prints the counter law:
+
+  - candidate_pairs must track output_pairs (the answer), never n^2/2
+    (brute pairs at the top decade: 1.25e11);
+  - max_posting_list must stay O(1) (rare-shingle postings);
+  - prefix_postings must stay linear in n (sum of per-doc prefixes).
+
+Results are recorded by hand into PLANS.md; this is a spot-check tool,
+not a per-round bench stage.
+
+Usage: python tools/decade3_pairs.py [n ...]   (default 5000 50000 500000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+VOCAB = 30_000
+TWIN_EVERY = 50
+
+
+def synth_docs(spark, n: int):
+    """n deterministic documents: doc_id, text.  Every TWIN_EVERY-th doc
+    (id % TWIN_EVERY == 1) reuses its predecessor's token stream with
+    the last token replaced — the planted near-duplicate."""
+    base = F.when(
+        F.col("id") % TWIN_EVERY == 1, F.col("id") - 1
+    ).otherwise(F.col("id"))
+    is_twin = (F.col("id") % TWIN_EVERY == 1).cast("int")
+    # 20-40 tokens per doc, length derived from the BASE id so a twin
+    # has its base's length
+    length = (F.pmod(F.xxhash64(base, F.lit(7)), F.lit(21)) + F.lit(20)).cast(
+        "int"
+    )
+    toks = F.transform(
+        F.sequence(F.lit(1), length),
+        lambda j: F.concat(
+            F.lit("t"),
+            F.pmod(
+                F.xxhash64(base * F.lit(1_048_576) + j.cast("long"), F.lit(13)),
+                F.lit(VOCAB),
+            ).cast("string"),
+        ),
+    )
+    # twin: replace the LAST token with a doc-unique one
+    toks = F.when(
+        is_twin == 1,
+        F.concat(
+            F.slice(toks, 1, length - 1),
+            F.array(F.concat(F.lit("x"), F.col("id").cast("string"))),
+        ),
+    ).otherwise(toks)
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", toks).alias("text")
+    )
+
+
+def main() -> None:
+    from minivectordb_spark.operators.setsim import setsim_diagnostics
+    from minivectordb_spark.session import get_spark
+
+    sizes = [int(a) for a in sys.argv[1:]] or [5_000, 50_000, 500_000]
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name="decade3_pairs", cores=cpus, shuffle_partitions=int(cpus)
+    )
+    out = {}
+    for n in sizes:
+        docs = synth_docs(spark, n).localCheckpoint()
+        t0 = time.time()
+        d = setsim_diagnostics(docs, "text", "doc_id", k=3, threshold=0.5)
+        wall = round(time.time() - t0, 1)
+        d.update(
+            n=n,
+            wall_sec=wall,
+            planted_pairs=len(range(1, n, TWIN_EVERY)),
+            brute_pairs=n * (n - 1) // 2,
+        )
+        out[n] = d
+        print(json.dumps({str(n): d}, separators=(",", ":")), flush=True)
+    print("decade3_pairs: " + json.dumps(out, separators=(",", ":")))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
