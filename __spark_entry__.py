@@ -3091,6 +3091,10 @@ def q_stream_attribution(spark, sf_dir):
 #: last-run state counters of q_stream_attribution_bounded, for the
 #: scaling/bench harness to pick up without re-running the stream
 STREAM_BOUNDED_COUNTERS: dict = {}
+#: per-sf_dir cache of the same counters: the pipeline is deterministic
+#: per input dir, so the scaling harness's counter pass can reuse the
+#: timed run's counters instead of re-staging + re-streaming (~40 s)
+STREAM_BOUNDED_COUNTERS_BY_DIR: dict = {}
 
 
 def q_stream_attribution_bounded(spark, sf_dir):
@@ -3140,6 +3144,7 @@ def q_stream_attribution_bounded(spark, sf_dir):
     counters["n_staged_files"] = n_files
     STREAM_BOUNDED_COUNTERS.clear()
     STREAM_BOUNDED_COUNTERS.update(counters)
+    STREAM_BOUNDED_COUNTERS_BY_DIR[sf_dir] = dict(counters)
     return spark.read.parquet(out).select(
         "user",
         "trigger_id",
@@ -4142,14 +4147,17 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
         }
 
     def c_stream_attribution_bounded(spark: SparkSession, sf_dir: str) -> dict:
-        # the 100 TB claim is the STATE BOUND, not the wall: rerun the
-        # bounded replay and return the state-store counters — peak
-        # buffered rows must track the watermark window's density (10x
-        # under user replication), never the total history; pruned rows
-        # are the proof the watermark evicts; late-drops must be 0 by
-        # the time-ordered staging contract
-        q_stream_attribution_bounded(spark, sf_dir)
-        return dict(STREAM_BOUNDED_COUNTERS)
+        # the 100 TB claim is the STATE BOUND, not the wall: return the
+        # state-store counters — peak buffered rows must track the
+        # watermark window's density (10x under user replication), never
+        # the total history; pruned rows are the proof the watermark
+        # evicts; late-drops must be 0 by the time-ordered staging
+        # contract.  Reuse the timed run's counters when the harness
+        # already drove this sf_dir (deterministic pipeline; re-staging
+        # + re-streaming costs ~40 s for an identical dict).
+        if sf_dir not in STREAM_BOUNDED_COUNTERS_BY_DIR:
+            q_stream_attribution_bounded(spark, sf_dir)
+        return dict(STREAM_BOUNDED_COUNTERS_BY_DIR[sf_dir])
 
     def c_interval_overlap(spark: SparkSession, sf_dir: str) -> dict:
         # the 100 TB claim: candidate pairs track the keyed ANSWER
