@@ -474,10 +474,9 @@ def coalesce_intervals(
     parallel across buckets — then re-run this same sweep on the (far
     fewer) bucket-level spans to merge the ones that cross a bucket
     boundary.  Same algebra (interval union is associative), two bounded
-    passes; not the default because the single pass is cheaper whenever
-    keys are even mildly plural."""
-    from pyspark.sql import Window
-
+    passes; implemented as ``coalesce_intervals_bucketed``.  Not the
+    default because the single pass is cheaper whenever keys are even
+    mildly plural."""
     keys = list(partition_cols) if partition_cols is not None else []
     lo, hi = F.col(lo_col).cast("long"), F.col(hi_col).cast("long")
     base = df.filter(hi > lo).select(
@@ -485,9 +484,23 @@ def coalesce_intervals(
         lo.alias("__lo"),
         hi.alias("__hi"),
     )
+    return _coalesce_sweep(base, keys)
+
+
+def _coalesce_sweep(
+    base: DataFrame, group_cols: Sequence[str], weight_col: Optional[str] = None
+) -> DataFrame:
+    """The shared interval sweep: ``base`` carries ``group_cols`` +
+    ``__lo``/``__hi`` (+ optionally ``weight_col`` — the number of
+    original intervals each row already represents, for the two-level
+    variant).  Returns (group_cols..., span_lo, span_hi, n_merged)."""
+    from pyspark.sql import Window
+
+    gcols = [F.col(c) for c in group_cols]
+    order = [F.col("__lo").asc(), F.col("__hi").asc()]
     w = (
-        Window.partitionBy(*[F.col(k) for k in keys])
-        .orderBy(F.col("__lo").asc(), F.col("__hi").asc())
+        Window.partitionBy(*gcols)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     flagged = base.withColumn(
@@ -500,17 +513,72 @@ def coalesce_intervals(
         ).otherwise(F.lit(0)),
     )
     w_run = (
-        Window.partitionBy(*[F.col(k) for k in keys])
-        .orderBy(F.col("__lo").asc(), F.col("__hi").asc())
+        Window.partitionBy(*gcols)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     spans = flagged.withColumn("__span", F.sum("__new_span").over(w_run))
+    n_merged = (
+        F.sum(weight_col) if weight_col is not None else F.count(F.lit(1))
+    )
     return (
-        spans.groupBy(*[F.col(k) for k in keys], F.col("__span"))
+        spans.groupBy(*gcols, F.col("__span"))
         .agg(
             F.min("__lo").alias("span_lo"),
             F.max("__hi").alias("span_hi"),
-            F.count(F.lit(1)).alias("n_merged"),
+            n_merged.cast("long").alias("n_merged"),
         )
         .drop("__span")
     )
+
+
+def coalesce_intervals_bucketed(
+    df: DataFrame,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    partition_cols: Optional[Sequence[str]] = None,
+    bucket_width: Union[int, str] = "auto",
+) -> DataFrame:
+    """``coalesce_intervals`` for MEGA-KEYS (the escape hatch the plain
+    operator's docstring describes, as a real operator): the single-pass
+    sweep serializes each key in one window task, so one key holding
+    ~10^8 intervals becomes a straggler.  Here the sweep runs TWO-LEVEL:
+
+    1. each interval is assigned to the width-``w`` bucket containing
+       its ``lo`` (ONE bucket per row — no explosion), and the sweep
+       runs per ``(keys, bucket)`` — parallelism = keys x buckets;
+    2. the level-1 spans (pre-counted via ``n_merged``) go through the
+       SAME keyed sweep, summing the counts — merging only the spans
+       that cross a bucket boundary.
+
+    Identical result to ``coalesce_intervals`` for every input (interval
+    union is associative: level-1 spans preserve the union within each
+    bucket subset, and sweeping a set of intervals with the same union
+    yields the same maximal spans), pinned by the equivalence test.
+    Cost: two window passes instead of one — worth it exactly when
+    ``coalesce_diagnostics`` shows ``max_intervals_per_key`` in straggler
+    territory and level 1 actually collapses (dense keys); on sparse
+    keys the level-2 input is as big as the original and the plain sweep
+    is cheaper.  ``bucket_width="auto"`` picks the median interval
+    length (``choose_bucket_width``)."""
+    if bucket_width == "auto":
+        bucket_width = _auto_bucket_width(
+            [(df, lo_col, hi_col)], op_name="coalesce_intervals_bucketed"
+        )
+    w_ = int(bucket_width)
+    if w_ <= 0:
+        raise ValueError("bucket_width must be positive")
+    keys = list(partition_cols) if partition_cols is not None else []
+    lo, hi = F.col(lo_col).cast("long"), F.col(hi_col).cast("long")
+    base = df.filter(hi > lo).select(
+        *[F.col(k) for k in keys],
+        lo.alias("__lo"),
+        hi.alias("__hi"),
+    ).withColumn("__bkt", _bucket_start(F.col("__lo"), w_))
+    level1 = _coalesce_sweep(base, keys + ["__bkt"]).select(
+        *[F.col(k) for k in keys],
+        F.col("span_lo").alias("__lo"),
+        F.col("span_hi").alias("__hi"),
+        F.col("n_merged").alias("__n"),
+    )
+    return _coalesce_sweep(level1, keys, weight_col="__n")

@@ -782,3 +782,49 @@ def test_coalesce_intervals_matches_python_sweep(spark):
         )
     for k in (1, 2, 3):
         assert got[k] == brute([r for r in rows if r[0] == k]), k
+
+
+def test_coalesce_intervals_bucketed_equals_single_pass(spark):
+    """The two-level split-merge sweep (the mega-key escape hatch, now a
+    real operator) must return EXACTLY the single-pass result — spans,
+    keys and n_merged counts — at several bucket widths, including
+    widths that force spans to cross many bucket boundaries, plus
+    'auto'.  Interval union is associative; this pins the plumbing."""
+    import random
+
+    from minivectordb_spark.operators.ranges import (
+        coalesce_intervals,
+        coalesce_intervals_bucketed,
+    )
+
+    rng = random.Random(23)
+    rows = [
+        (k, lo, lo + rng.randint(1, 60))
+        for k in (1, 2)
+        for lo in (rng.randint(-150, 150) for _ in range(80))
+    ]
+    rows.append((1, -200, 300))  # one mega-interval spanning everything
+    rows.append((2, 7, 7))       # degenerate: dropped by both paths
+    df = spark.createDataFrame(rows, "k long, lo long, hi long")
+    want = {
+        (r["k"], r["span_lo"], r["span_hi"], r["n_merged"])
+        for r in coalesce_intervals(df, partition_cols=["k"]).collect()
+    }
+    for w in (1, 5, 64, 10_000, "auto"):
+        got = {
+            (r["k"], r["span_lo"], r["span_hi"], r["n_merged"])
+            for r in coalesce_intervals_bucketed(
+                df, partition_cols=["k"], bucket_width=w
+            ).collect()
+        }
+        assert got == want, f"w={w}"
+    # unkeyed variant too
+    want0 = {
+        (r["span_lo"], r["span_hi"], r["n_merged"])
+        for r in coalesce_intervals(df.drop("k")).collect()
+    }
+    got0 = {
+        (r["span_lo"], r["span_hi"], r["n_merged"])
+        for r in coalesce_intervals_bucketed(df.drop("k"), bucket_width=16).collect()
+    }
+    assert got0 == want0
