@@ -78,7 +78,15 @@ def demoted_walls_section(spark, sf_dir: str) -> dict:
                     "overwrite"
                 ).save()
                 total = round(time.time() - t0, 3)
-                wv["final_read"] = round(total - sum(wv.values()), 3)
+                # the remainder after the TOP-LEVEL wave walls only:
+                # embed_*/commit_* are sub-phases OF ingest_* (r10), so
+                # summing every key would double-count them (the first
+                # r10 run derived final_read = -2.97 s that way)
+                wv["final_read"] = round(
+                    total
+                    - sum(v for k, v in wv.items() if k.startswith("ingest_")),
+                    3,
+                )
                 walls[name] = total
                 waves[name] = wv
             else:
