@@ -504,3 +504,46 @@ def test_batch_nullability_only_difference_accepted(spark, base_df, tmp_path):
     )
     with pytest.raises(ValueError, match="array<int>"):
         DurableVectorTable.load(spark, root).store_embeddings_batch(wrong)
+
+
+def _jobs_run(spark) -> int:
+    # total Spark jobs this session has executed (AppStatusStore via
+    # py4j) — the regression lock for the one-pass mutation paths
+    return spark.sparkContext._jsc.sc().statusStore().jobsList(None).size()
+
+
+def test_mutations_run_constant_jobs_not_per_bucket(spark, tmp_path):
+    """VERDICT r9 item 5 regression lock: upsert/store batches touching
+    EVERY bucket must dispatch a CONSTANT number of Spark jobs (one
+    stats agg + one clash/matched join + one partitioned write, ~13
+    measured with AQE sub-jobs; bound 20), never ~3 jobs PER touched
+    bucket (16 buckets -> ~48) — the r9 shape whose
+    driver fan-out masqueraded as an 8-9 s 'commit IO' wall in the
+    durable_cdc waves."""
+    wide = spark.createDataFrame(
+        [(str(i), [float(i), 1.0], f"m{i}") for i in range(64)],
+        "id string, embedding array<double>, tag string",
+    )
+    root = str(tmp_path / "cow_jobs")
+    t = DurableVectorTable.create(wide, root, id_col="id", n_buckets=16)
+
+    up = spark.createDataFrame(
+        [(str(i), [9.0, 9.0], "up") for i in range(64)]
+        + [(str(1000 + i), [7.0, 7.0], "new") for i in range(16)],
+        "id string, embedding array<double>, tag string",
+    )
+    j0 = _jobs_run(spark)
+    t2 = t.upsert_embeddings_batch(up)
+    upsert_jobs = _jobs_run(spark) - j0
+    assert upsert_jobs <= 20, f"upsert dispatched {upsert_jobs} jobs"
+    assert t2.count() == 80
+
+    ins = spark.createDataFrame(
+        [(str(2000 + i), [3.0, 3.0], "ins") for i in range(64)],
+        "id string, embedding array<double>, tag string",
+    )
+    j0 = _jobs_run(spark)
+    t3 = t2.store_embeddings_batch(ins)
+    insert_jobs = _jobs_run(spark) - j0
+    assert insert_jobs <= 20, f"insert dispatched {insert_jobs} jobs"
+    assert t3.count() == 144
