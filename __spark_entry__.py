@@ -1022,6 +1022,40 @@ def q_dedup_resolve(spark, sf_dir):
     )
 
 
+def q_dedup_best(spark, sf_dir):
+    """Quality-aware dedup resolution (operators/dedup.
+    dedup_survivors_ranked, new r10): documents minus every dup-group
+    member except the LONGEST one (n_chars DESC, doc_id ASC tie-break) —
+    the pipeline refinement of dedup_resolve's min-id rule: of five
+    near-copies of a page, keep the best, not the smallest id.  Same
+    connected-components machinery; the winner pick is one
+    combiner-reduced min_by per component over group members only."""
+    from minivectordb_spark.operators.dedup import dedup_survivors_ranked
+
+    return dedup_survivors_ranked(
+        _t(spark, sf_dir, "documents"),
+        q_lsh_jaccard_pairs(spark, sf_dir),
+        score_col="n_chars",
+    )
+
+
+def _oracle_dedup_best() -> str:
+    """q_dedup_best twin: the recursive-CTE closure picks components,
+    then a per-component row_number window (n_chars DESC, id ASC)
+    replays the ranked-survivor rule."""
+    comp = _oracle_dedup_components()
+    return f"""
+WITH c AS ({comp}),
+s AS (SELECT c.id, c.component, d.n_chars
+      FROM c JOIN documents d ON d.doc_id = c.id),
+w AS (SELECT id, row_number() OVER (
+          PARTITION BY component ORDER BY n_chars DESC, id ASC) AS rn
+      FROM s)
+SELECT d.* FROM documents d
+WHERE d.doc_id NOT IN (SELECT id FROM w WHERE rn > 1)
+""".strip()
+
+
 def q_simhash_pairs64(spark, sf_dir):
     """64-bit SimHash pairs (two salted 32-bit halves, 16-bit banding) —
     the collision-bounded scale variant of simhash_pairs (65,536 band
@@ -4329,6 +4363,7 @@ def rotation_registry() -> dict[str, dict]:
         "lm_score": {"kind": R, "siblings": ["bigram_lm", "dsir_logweights"]},
         "top_customers": {"kind": R, "siblings": ["revenue_by_region", "priority_returns", "tpch_q1"]},
         "stream_attribution_bounded": {"kind": C, "siblings": ["stream_attribution", "events_attribution"]},
+        "dedup_best": {"kind": C, "siblings": ["dedup_resolve", "dedup_groups"]},
     }
 
 
@@ -4631,6 +4666,9 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch==stream equivalence graded, this row adds the
         # state-actually-bounded evidence at the same oracle bar
         "stream_attribution_bounded": q_stream_attribution_bounded,
+        # r10 NEW capability: quality-aware dedup survivor selection
+        # (keep the longest dup-group member, not the min id)
+        "dedup_best": q_dedup_best,
     }
 
 
@@ -6247,6 +6285,7 @@ FROM s
 """.strip(),
         "dedup_groups": _oracle_dedup_components(),
         "dedup_resolve": _oracle_dedup_resolve(),
+        "dedup_best": _oracle_dedup_best(),
         "neardup_cosine": _oracle_neardup(),
         "neardup_lsh": _oracle_neardup_lsh_adaptive(),
         "ivf_assign": _oracle_ivf_assign(),

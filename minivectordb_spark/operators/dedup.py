@@ -734,6 +734,48 @@ def dedup_survivors(
     return df.join(losers, id_col, "left_anti")
 
 
+def dedup_survivors_ranked(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Quality-aware dedup resolution: keep, per duplicate group, the
+    member with the HIGHEST ``score_col`` (ties broken by minimum id — a
+    total, engine-portable order) plus every row not in any pair.  The
+    training-pipeline refinement of ``dedup_survivors``: when a crawl
+    holds five near-copies of a page, you want the longest / cleanest /
+    highest-quality one, not the one with the smallest id.
+
+    ``score_col`` must be numeric (it is negated for the composite
+    min_by key).  Plan shape: the same connected-components resolution,
+    then ONE hash join of the component frame (|ids in pairs| rows —
+    dup-group members only, not the corpus) against the scores, one
+    combiner-reduced min_by per component, and one anti-join back to the
+    corpus: nothing beyond the pair set is ever shuffled twice."""
+    comp = connected_components(pairs, id_a, id_b)
+    scored = comp.join(
+        df.select(
+            F.col(id_col).alias("id"), F.col(score_col).cast("double").alias("__s")
+        ),
+        "id",
+    )
+    winners = scored.groupBy("component").agg(
+        F.min_by(
+            "id",
+            F.struct((-F.col("__s")).alias("ns"), F.col("id").alias("i")),
+        ).alias("__keep")
+    )
+    losers = (
+        comp.join(winners, "component")
+        .filter(F.col("id") != F.col("__keep"))
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 # ---------------- embedding cosine near-dup ----------------
 
 def _neardup_resolve_planes(

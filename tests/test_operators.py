@@ -265,6 +265,26 @@ def test_dedup_survivors(spark):
     assert kept == [0, 1, 4]
 
 
+def test_dedup_survivors_ranked_keeps_best_scored(spark):
+    from minivectordb_spark.operators.dedup import dedup_survivors_ranked
+
+    df = spark.createDataFrame(
+        [(0, 10), (1, 99), (2, 99), (3, 40), (4, 7), (5, 40)],
+        ["doc_id", "quality"],
+    )
+    pairs = spark.createDataFrame([(0, 3), (3, 5), (1, 2)], ["id_a", "id_b"])
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_survivors_ranked(df, pairs, "quality").collect()
+    )
+    # {0,3,5}: scores 10/40/40 -> max 40, tie -> min id 3
+    # {1,2}: scores 99/99 -> tie -> min id 1; singleton 4 kept
+    assert kept == [1, 3, 4]
+    # empty pair set: everything survives
+    empty = pairs.limit(0)
+    assert dedup_survivors_ranked(df, empty, "quality").count() == 6
+
+
 def test_text_stats_values(spark):
     df = spark.createDataFrame([(0, "the cat the dog")], ["doc_id", "text"])
     r = text_stats(df).collect()[0]
