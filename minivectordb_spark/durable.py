@@ -331,19 +331,30 @@ class DurableVectorTable:
                 # empty bucket has no generation dir to read — the ids are
                 # simply absent (strict contract, same as a miss below)
                 raise KeyError(f"Embedding ids not found: {ids}")
-            cur = self.spark.read.parquet(self._bucket_path(k))
-            present = {
-                r[id_col]
-                for r in cur.filter(
-                    F.col(id_col).cast("string").isin(ids)
-                ).select(id_col).collect()
-            }
-            missing = [i for i in ids if str(i) not in {str(p) for p in present}]
-            if missing:
-                raise KeyError(f"Embedding ids not found: {missing}")
-            kept = cur.filter(~F.col(id_col).cast("string").isin(ids))
-            n = buckets[str(k)]["rows"] - len(ids)
-            self._rewrite_bucket(k, kept, n, buckets)
+        # ONE pass over every touched bucket (the upsert/store r10
+        # discipline): one multi-path scan, one presence probe (ids are a
+        # driver-provided list — the probe result is |ids| rows, bounded
+        # by the caller's own argument), one partitioned write.  The old
+        # loop dispatched a collect + a write per bucket.
+        all_ids = [str(i) for ids in by_bucket.values() for i in ids]
+        cur_all = self.spark.read.parquet(
+            *[self._bucket_path(k) for k in by_bucket]
+        ).withColumn("__b", _bucket_expr(id_col, self.manifest["n_buckets"]))
+        present = {
+            str(r[id_col])
+            for r in cur_all.filter(
+                F.col(id_col).cast("string").isin(all_ids)
+            ).select(id_col).collect()
+        }
+        missing = [i for i in all_ids if i not in present]
+        if missing:
+            raise KeyError(f"Embedding ids not found: {missing}")
+        kept = cur_all.filter(~F.col(id_col).cast("string").isin(all_ids))
+        rows_after = {
+            k: buckets[str(k)]["rows"] - len(ids)
+            for k, ids in by_bucket.items()
+        }
+        self._rewrite_buckets_one_pass(kept, rows_after, buckets)
         new_manifest["version"] = next_version
         _publish(self.path, new_manifest)
         return DurableVectorTable(self.spark, self.path, new_manifest)

@@ -547,3 +547,9 @@ def test_mutations_run_constant_jobs_not_per_bucket(spark, tmp_path):
     insert_jobs = _jobs_run(spark) - j0
     assert insert_jobs <= 20, f"insert dispatched {insert_jobs} jobs"
     assert t3.count() == 144
+
+    j0 = _jobs_run(spark)
+    t4 = t3.delete_embeddings_batch([str(i) for i in range(64)])
+    delete_jobs = _jobs_run(spark) - j0
+    assert delete_jobs <= 20, f"delete dispatched {delete_jobs} jobs"
+    assert t4.count() == 80
