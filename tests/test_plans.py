@@ -359,3 +359,53 @@ def test_ohlc_single_keyed_exchange(spark, sf):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Window" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_interval_overlap_single_equi_join_no_distinct(spark, sf):
+    """The r10-graded interval x interval overlap join must plan as ONE
+    hash EQUI-join on (key, bucket) — never a nested loop / cartesian —
+    and must have NO aggregate at all: the first-common-bucket gate
+    replaces the pair-distinct a naive bucketing needs, so there is no
+    dedup shuffle in the plan."""
+    df = _q("interval_overlap", spark, sf)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    ), plan
+    assert "HashAggregate" not in plan, plan  # no distinct/dedup stage
+
+
+def test_activity_spans_two_keyed_exchanges(spark, sf):
+    """coalesce_intervals is one keyed window sweep + one combiner-
+    reduced groupBy: exactly two hash exchanges, both keyed on the
+    partition column, no join anywhere."""
+    df = _q("activity_spans", spark, sf)
+    plan = physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_coalesce_bucketed_no_join_no_explosion(spark, sf):
+    """The two-level split-merge sweep stays join-free and explode-free:
+    two window passes (level 1 per (key, bucket), level 2 per key), no
+    Generate node (each interval maps to ONE bucket), no join."""
+    from minivectordb_spark.operators.ranges import (
+        coalesce_intervals_bucketed,
+    )
+
+    ev = entry._t(spark, sf, "events")  # int64 epoch-nanos ts contract
+    iv = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.lit(1_800_000_000_000)).alias("hi"),
+    )
+    df = coalesce_intervals_bucketed(
+        iv, partition_cols=["user_id"], bucket_width=1_800_000_000_000
+    )
+    plan = physical_plan(df)
+    assert "Join" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert plan.count("Window") >= 2, plan
