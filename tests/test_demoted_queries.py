@@ -94,6 +94,16 @@ def test_rotation_registry_invariants():
     report = build_report()
     assert report["problems"] == []
     assert report["n_graded"] == len(graded)
+    # the committed artifact must match the live registry — a rotation
+    # that forgets `python tools/registry_report.py` fails here, the
+    # same discipline as the doc-count check
+    import json
+    from pathlib import Path
+
+    on_disk = json.loads(
+        (Path(__file__).resolve().parents[1] / "REGISTRY.json").read_text()
+    )
+    assert on_disk == report, "REGISTRY.json is stale — rerun tools/registry_report.py"
 
 
 def test_doc_counts_match_registry():
