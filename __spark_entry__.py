@@ -2737,6 +2737,46 @@ def q_interval_overlap(spark, sf_dir):
     )
 
 
+def q_interval_overlap_auto(spark, sf_dir):
+    """The graded interval_overlap pipeline with bucket_width="auto"
+    (operators/ranges.choose_bucket_width, new r10): the knob measures
+    the interval-length distribution and picks w itself — on this data
+    the smaller side's median is exactly the 30-min click window, so the
+    auto path must reproduce the graded row bit-for-bit against the SAME
+    brute theta-join oracle (correctness is w-independent by
+    construction; this row proves the auto plumbing on real data at the
+    gate every round, not just on unit fixtures)."""
+    from minivectordb_spark.operators.ranges import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.lit(OVERLAP_CLICK_NS)).alias("hi"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.lit(OVERLAP_PURCHASE_NS)).alias("hi"),
+    )
+    return interval_overlap_join(
+        clicks,
+        purchases,
+        "click_id",
+        "purchase_id",
+        bucket_width="auto",
+        partition_cols=["user_id"],
+    ).select(
+        F.col("user_id").alias("user"),
+        "click_id",
+        "purchase_id",
+        "overlap_lo",
+        "overlap_hi",
+    )
+
+
 def _oracle_interval_overlap() -> str:
     """q_interval_overlap twin: the BRUTE keyed theta-join with the same
     half-open overlap predicate — row equality proves the bucket
@@ -4364,6 +4404,7 @@ def rotation_registry() -> dict[str, dict]:
         "top_customers": {"kind": R, "siblings": ["revenue_by_region", "priority_returns", "tpch_q1"]},
         "stream_attribution_bounded": {"kind": C, "siblings": ["stream_attribution", "events_attribution"]},
         "dedup_best": {"kind": C, "siblings": ["dedup_resolve", "dedup_groups"]},
+        "interval_overlap_auto": {"kind": C, "siblings": ["interval_overlap"]},
     }
 
 
@@ -4669,6 +4710,9 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10 NEW capability: quality-aware dedup survivor selection
         # (keep the longest dup-group member, not the min id)
         "dedup_best": q_dedup_best,
+        # r10 NEW: the auto-width interval join against the SAME brute
+        # oracle — proves choose_bucket_width on real data every round
+        "interval_overlap_auto": q_interval_overlap_auto,
     }
 
 
@@ -6189,6 +6233,8 @@ FROM documents
         "qgram_edit_join": _oracle_qgram_edit_join(),
         "events_ohlc": _oracle_events_ohlc(),
         "interval_overlap": _oracle_interval_overlap(),
+        # w-independent by construction: the auto row shares the twin
+        "interval_overlap_auto": _oracle_interval_overlap(),
         "activity_spans": _oracle_activity_spans(),
         "source_overlap": _oracle_source_overlap(),
         "events_winsorized": _oracle_events_winsorized(),
