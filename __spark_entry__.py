@@ -3165,10 +3165,51 @@ def q_stream_attribution(spark, sf_dir):
 #: last-run state counters of q_stream_attribution_bounded, for the
 #: scaling/bench harness to pick up without re-running the stream
 STREAM_BOUNDED_COUNTERS: dict = {}
-#: per-sf_dir cache of the same counters: the pipeline is deterministic
-#: per input dir, so the scaling harness's counter pass can reuse the
-#: timed run's counters instead of re-staging + re-streaming (~40 s)
+#: counter cache keyed on (abs path, events-table fingerprint) — NOT the
+#: bare path (ADVICE r10): a dataset rebuilt at the same path within a
+#: session changes the fingerprint and so misses the cache instead of
+#: returning stale counters.  The pipeline is deterministic per input,
+#: so the scaling harness's counter pass can reuse the timed run's
+#: counters instead of re-staging + re-streaming (~40 s).
 STREAM_BOUNDED_COUNTERS_BY_DIR: dict = {}
+#: per-run mkdtemp roots staged by q_stream_attribution_bounded, swept
+#: at interpreter exit (the sink must outlive the returned lazy frame,
+#: so the run itself cannot delete them)
+_STREAM_BOUNDED_TMP_ROOTS: list = []
+
+
+def _events_fingerprint(sf_dir: str):
+    """Cheap content fingerprint of <sf_dir>/events.parquet: sorted
+    (name, mtime_ns, size) of its part files.  Used to key the bounded
+    streaming counter cache so a rebuilt dataset at the same path is a
+    cache MISS (ADVICE r10)."""
+    import os
+
+    p = os.path.join(sf_dir, "events.parquet")
+    try:
+        if os.path.isdir(p):
+            return tuple(
+                (n, os.stat(os.path.join(p, n)).st_mtime_ns,
+                 os.stat(os.path.join(p, n)).st_size)
+                for n in sorted(os.listdir(p))
+                if not n.endswith(".crc")
+            )
+        st = os.stat(p)
+        return (("", st.st_mtime_ns, st.st_size),)
+    except OSError:
+        return None
+
+
+def _sweep_stream_bounded_tmp() -> None:
+    import shutil
+
+    for root in _STREAM_BOUNDED_TMP_ROOTS:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+import atexit as _atexit  # noqa: E402
+
+_atexit.register(_sweep_stream_bounded_tmp)
 
 
 def q_stream_attribution_bounded(spark, sf_dir):
@@ -3185,7 +3226,6 @@ def q_stream_attribution_bounded(spark, sf_dir):
     oracle is the same self-join twin as the infinite-watermark row.
     Counters land in STREAM_BOUNDED_COUNTERS for the scaling harness."""
     import os
-    import shutil
     import tempfile
 
     from minivectordb_spark.streaming.events import (
@@ -3193,11 +3233,12 @@ def q_stream_attribution_bounded(spark, sf_dir):
         stage_time_ordered,
     )
 
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_attrb_{os.path.basename(sf_dir.rstrip('/'))}",
+    # per-run unique root (ADVICE r10): two concurrent runs over
+    # same-basename dirs must not race a shared rmtree + re-stage
+    root = tempfile.mkdtemp(
+        prefix=f"spark_graft_attrb_{os.path.basename(sf_dir.rstrip('/'))}_"
     )
-    shutil.rmtree(root, ignore_errors=True)
+    _STREAM_BOUNDED_TMP_ROOTS.append(root)
     src, ck, out = (os.path.join(root, d) for d in ("src", "ck", "out"))
     ev = _t(spark, sf_dir, "events").select(
         "event_id",
@@ -3216,9 +3257,17 @@ def q_stream_attribution_bounded(spark, sf_dir):
         watermark="1 minute",
     )
     counters["n_staged_files"] = n_files
+    if counters["n_batches"] < n_files:
+        raise RuntimeError(
+            f"bounded stream ran {counters['n_batches']} state-bearing "
+            f"batches for {n_files} staged slices (maxFilesPerTrigger=1 "
+            "should give one per slice); counters undercount"
+        )
     STREAM_BOUNDED_COUNTERS.clear()
     STREAM_BOUNDED_COUNTERS.update(counters)
-    STREAM_BOUNDED_COUNTERS_BY_DIR[sf_dir] = dict(counters)
+    STREAM_BOUNDED_COUNTERS_BY_DIR[
+        (os.path.abspath(sf_dir), _events_fingerprint(sf_dir))
+    ] = dict(counters)
     return spark.read.parquet(out).select(
         "user",
         "trigger_id",
@@ -4229,9 +4278,12 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
         # contract.  Reuse the timed run's counters when the harness
         # already drove this sf_dir (deterministic pipeline; re-staging
         # + re-streaming costs ~40 s for an identical dict).
-        if sf_dir not in STREAM_BOUNDED_COUNTERS_BY_DIR:
+        import os
+
+        key = (os.path.abspath(sf_dir), _events_fingerprint(sf_dir))
+        if key not in STREAM_BOUNDED_COUNTERS_BY_DIR:
             q_stream_attribution_bounded(spark, sf_dir)
-        return dict(STREAM_BOUNDED_COUNTERS_BY_DIR[sf_dir])
+        return dict(STREAM_BOUNDED_COUNTERS_BY_DIR[key])
 
     def c_interval_overlap(spark: SparkSession, sf_dir: str) -> dict:
         # the 100 TB claim: candidate pairs track the keyed ANSWER

@@ -750,7 +750,11 @@ def dedup_survivors_ranked(
     highest-quality one, not the one with the smallest id.
 
     ``score_col`` must be numeric (it is negated for the composite
-    min_by key).  Plan shape: the same connected-components resolution,
+    min_by key).  A NULL score is coalesced to -infinity so a NULL-scored
+    member can never out-rank a real score (a bare ``-NULL`` struct field
+    would sort FIRST under Spark's struct ordering and silently win) —
+    matching the ``ORDER BY score DESC NULLS LAST`` rule of the SQL twin.
+    Plan shape: the same connected-components resolution,
     then ONE hash join of the component frame (|ids in pairs| rows —
     dup-group members only, not the corpus) against the scores, one
     combiner-reduced min_by per component, and one anti-join back to the
@@ -758,7 +762,10 @@ def dedup_survivors_ranked(
     comp = connected_components(pairs, id_a, id_b)
     scored = comp.join(
         df.select(
-            F.col(id_col).alias("id"), F.col(score_col).cast("double").alias("__s")
+            F.col(id_col).alias("id"),
+            F.coalesce(
+                F.col(score_col).cast("double"), F.lit(float("-inf"))
+            ).alias("__s"),
         ),
         "id",
     )

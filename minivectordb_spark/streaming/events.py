@@ -1016,27 +1016,93 @@ def attribution_stream_bounded(
     memory exposure), ``state_rows_final``, ``state_rows_pruned`` (total
     evictions; > 0 is the proof the watermark actually bounds state) and
     ``rows_dropped_late`` (must be 0 under the staging contract).
+
+    Progress collection (ADVICE r10): ``q.recentProgress`` retains only
+    the last ``spark.sql.streaming.numRecentProgressUpdates`` (default
+    100) entries, so a source staged into >100 micro-batches would
+    silently undercount every counter.  A ``StreamingQueryListener``
+    therefore collects EVERY progress event; ``recentProgress`` is merged
+    in as a belt-and-braces source, and the union is asserted CONTIGUOUS
+    over batch ids 0..lastProgress.batchId — a gap raises instead of
+    returning silently-short counters.
     """
     import json as _json
+    import time as _time
 
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    q = (
-        attribution_join(stream, within=within, watermark=watermark)
-        .writeStream.format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(timeout):
-        q.stop()
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _ProgressCollector(StreamingQueryListener):
+        def __init__(self):
+            self.events: list[str] = []
+
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            self.events.append(event.progress.json)
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    collector = _ProgressCollector()
+    spark.streams.addListener(collector)
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            attribution_join(stream, within=within, watermark=watermark)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout):
+            q.stop()
+            raise RuntimeError(
+                f"attribution_stream_bounded did not finish within "
+                f"{timeout}s; refusing to read a partially-written sink"
+            )
+        last = q.lastProgress
+        final_batch = int(last["batchId"]) if last else -1
+        qid = str(q.id)
+
+        def _events() -> dict[int, dict]:
+            by_batch: dict[int, dict] = {}
+            for j in collector.events:
+                d = _json.loads(j)
+                if d.get("id") == qid:
+                    by_batch[int(d["batchId"])] = d
+            for p in q.recentProgress:
+                d = p if isinstance(p, dict) else _json.loads(p.json)
+                by_batch.setdefault(int(d["batchId"]), d)
+            return by_batch
+
+        # Listener delivery is async (a separate bus thread): wait until
+        # the union covers the final batch the engine itself reports.
+        deadline = _time.monotonic() + 30
+        by_batch = _events()
+        while (
+            final_batch >= 0
+            and max(by_batch, default=-1) < final_batch
+            and _time.monotonic() < deadline
+        ):
+            _time.sleep(0.2)
+            by_batch = _events()
+    finally:
+        spark.streams.removeListener(collector)
+
+    missing = [b for b in range(final_batch + 1) if b not in by_batch]
+    if missing:
         raise RuntimeError(
-            f"attribution_stream_bounded did not finish within {timeout}s; "
-            "refusing to read a partially-written sink"
+            f"attribution_stream_bounded lost progress events for batches "
+            f"{missing[:10]} of 0..{final_batch}; counters would undercount"
         )
     counters = {
         "n_batches": 0,
@@ -1045,9 +1111,8 @@ def attribution_stream_bounded(
         "state_rows_pruned": 0,
         "rows_dropped_late": 0,
     }
-    for p in q.recentProgress:
-        d = p if isinstance(p, dict) else _json.loads(p.json)
-        ops = d.get("stateOperators") or []
+    for b in sorted(by_batch):
+        ops = by_batch[b].get("stateOperators") or []
         if not ops:
             continue
         counters["n_batches"] += 1

@@ -506,50 +506,66 @@ def test_batch_nullability_only_difference_accepted(spark, base_df, tmp_path):
         DurableVectorTable.load(spark, root).store_embeddings_batch(wrong)
 
 
-def _jobs_run(spark) -> int:
-    # total Spark jobs this session has executed (AppStatusStore via
-    # py4j) — the regression lock for the one-pass mutation paths
-    return spark.sparkContext._jsc.sc().statusStore().jobsList(None).size()
+def _count_jobs(spark, group: str, fn):
+    """Run fn() under a named job group and count its Spark jobs via the
+    PUBLIC StatusTracker API (ADVICE r10: the old version reached into
+    the private AppStatusStore through py4j).  AQE sub-jobs inherit the
+    thread's job-group local property, so they are counted too — which
+    is why the caller asserts a RATIO vs bucket count, not a hardcoded
+    absolute that drifts across Spark/AQE versions."""
+    sc = spark.sparkContext
+    sc.setJobGroup(group, group)
+    try:
+        result = fn()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    return result, len(sc.statusTracker().getJobIdsForGroup(group))
 
 
 def test_mutations_run_constant_jobs_not_per_bucket(spark, tmp_path):
     """VERDICT r9 item 5 regression lock: upsert/store batches touching
-    EVERY bucket must dispatch a CONSTANT number of Spark jobs (one
+    EVERY bucket must dispatch a near-CONSTANT number of Spark jobs (one
     stats agg + one clash/matched join + one partitioned write, ~13
-    measured with AQE sub-jobs; bound 20), never ~3 jobs PER touched
-    bucket (16 buckets -> ~48) — the r9 shape whose
-    driver fan-out masqueraded as an 8-9 s 'commit IO' wall in the
-    durable_cdc waves."""
+    measured with AQE sub-jobs), never ~3 jobs PER touched bucket (16
+    buckets -> >=48) — the r9 shape whose driver fan-out masqueraded as
+    an 8-9 s 'commit IO' wall in the durable_cdc waves.  The bound is a
+    ratio vs bucket count (< 2 jobs/bucket) so AQE/version variance in
+    sub-job counts cannot false-fail it while the >=3-per-bucket
+    regression still trips it."""
+    n_buckets = 16
     wide = spark.createDataFrame(
         [(str(i), [float(i), 1.0], f"m{i}") for i in range(64)],
         "id string, embedding array<double>, tag string",
     )
     root = str(tmp_path / "cow_jobs")
-    t = DurableVectorTable.create(wide, root, id_col="id", n_buckets=16)
+    t = DurableVectorTable.create(wide, root, id_col="id", n_buckets=n_buckets)
+    bound = 2 * n_buckets  # per-bucket fan-out is >= 3 per bucket
 
     up = spark.createDataFrame(
         [(str(i), [9.0, 9.0], "up") for i in range(64)]
         + [(str(1000 + i), [7.0, 7.0], "new") for i in range(16)],
         "id string, embedding array<double>, tag string",
     )
-    j0 = _jobs_run(spark)
-    t2 = t.upsert_embeddings_batch(up)
-    upsert_jobs = _jobs_run(spark) - j0
-    assert upsert_jobs <= 20, f"upsert dispatched {upsert_jobs} jobs"
+    t2, upsert_jobs = _count_jobs(
+        spark, "durable-upsert", lambda: t.upsert_embeddings_batch(up)
+    )
+    assert upsert_jobs < bound, f"upsert dispatched {upsert_jobs} jobs"
     assert t2.count() == 80
 
     ins = spark.createDataFrame(
         [(str(2000 + i), [3.0, 3.0], "ins") for i in range(64)],
         "id string, embedding array<double>, tag string",
     )
-    j0 = _jobs_run(spark)
-    t3 = t2.store_embeddings_batch(ins)
-    insert_jobs = _jobs_run(spark) - j0
-    assert insert_jobs <= 20, f"insert dispatched {insert_jobs} jobs"
+    t3, insert_jobs = _count_jobs(
+        spark, "durable-insert", lambda: t2.store_embeddings_batch(ins)
+    )
+    assert insert_jobs < bound, f"insert dispatched {insert_jobs} jobs"
     assert t3.count() == 144
 
-    j0 = _jobs_run(spark)
-    t4 = t3.delete_embeddings_batch([str(i) for i in range(64)])
-    delete_jobs = _jobs_run(spark) - j0
-    assert delete_jobs <= 20, f"delete dispatched {delete_jobs} jobs"
+    t4, delete_jobs = _count_jobs(
+        spark,
+        "durable-delete",
+        lambda: t3.delete_embeddings_batch([str(i) for i in range(64)]),
+    )
+    assert delete_jobs < bound, f"delete dispatched {delete_jobs} jobs"
     assert t4.count() == 80

@@ -285,6 +285,26 @@ def test_dedup_survivors_ranked_keeps_best_scored(spark):
     assert dedup_survivors_ranked(df, empty, "quality").count() == 6
 
 
+def test_dedup_survivors_ranked_null_score_never_wins(spark):
+    """ADVICE r10: a NULL score coalesces to -inf — the NULL-scored member
+    must lose to ANY real score (bare -NULL would sort first in the
+    min_by struct and silently win), matching DESC NULLS LAST."""
+    from minivectordb_spark.operators.dedup import dedup_survivors_ranked
+
+    df = spark.createDataFrame(
+        [(0, None), (1, 5), (2, None), (3, None)],
+        "doc_id int, quality int",
+    )
+    pairs = spark.createDataFrame([(0, 1), (2, 3)], ["id_a", "id_b"])
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_survivors_ranked(df, pairs, "quality").collect()
+    )
+    # {0,1}: 0 is NULL-scored, 1 has a real score -> keep 1 (not 0!)
+    # {2,3}: both NULL -> both -inf -> tie -> min id 2
+    assert kept == [1, 2]
+
+
 def test_text_stats_values(spark):
     df = spark.createDataFrame([(0, "the cat the dog")], ["doc_id", "text"])
     r = text_stats(df).collect()[0]
