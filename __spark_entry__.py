@@ -3695,19 +3695,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and redundant twins are demoted to demoted_queries() (still
     # oracle-checked locally by tests/test_demoted_queries.py).
     return {
-        # r10 rotation (VERDICT r9 item 3): interval_overlap (keyed
-        # interval x interval overlap join — candidate law recorded at
-        # FOUR scales pre-promotion, the strongest evidence any row has
-        # had) and activity_spans (coalesce_intervals coverage rollup)
-        # promoted — each hash-verified at sf0.001/0.01/0.1 under the
-        # driver compare this round before promotion, in exchange for
-        # lm_score (covering siblings bigram_lm + dsir_logweights: the
-        # same corpus-fit broadcast-LM machinery with the identical
-        # DECIMAL(18,6)-frozen per-token -> per-doc aggregation
-        # discipline) and top_customers (covering siblings
-        # revenue_by_region + priority_returns + tpch_q1: the multi-join
-        # TPC-H aggregate + sort shape, graded three ways).
-        "interval_overlap": q_interval_overlap,
+        # r11 rotation (VERDICT r10 items 1, 5, 6) — each promotion
+        # hash-verified at sf0.001/0.01/0.1 under the driver compare
+        # this round before the swap:
+        # - stream_attribution_bounded: the bounded-state streaming
+        #   attribution row (realistic 1-min watermark, time-ordered
+        #   replay, state_rows_pruned exactly linear across decades) —
+        #   upgrades the graded streaming evidence from the
+        #   infinite-watermark row (demoted with siblings
+        #   stream_attribution_bounded + events_attribution).
+        # - interval_overlap_auto: the SAME interval x interval pipeline
+        #   with bucket_width="auto" — the knob the operator ships with
+        #   is now the one the gate grades (pinned-width twin demoted,
+        #   sibling interval_overlap_auto; identical brute oracle).
+        # - dedup_best: quality-aware dedup survivors (keep the longest
+        #   group member) over the graded LSH + connected-components
+        #   machinery (dedup_groups demoted: dedup_best runs the same
+        #   CC pipeline end-to-end, lsh_jaccard_pairs keeps the pair
+        #   source graded).
+        # - kcore_k2: iterative k-core peeling widens the graded graph
+        #   family (customer_distribution demoted: scan-agg-sort TPC-H
+        #   shape graded three other ways — revenue_by_region,
+        #   priority_returns, tpch_q1).
+        "stream_attribution_bounded": q_stream_attribution_bounded,
+        "interval_overlap_auto": q_interval_overlap_auto,
+        "dedup_best": q_dedup_best,
+        "kcore_k2": q_kcore_k2,
+        # r10 rotation (VERDICT r9 item 3): activity_spans
+        # (coalesce_intervals coverage rollup) promoted — hash-verified
+        # at sf0.001/0.01/0.1 under the driver compare before promotion,
+        # in exchange for lm_score (covering siblings bigram_lm +
+        # dsir_logweights) and top_customers (covering siblings
+        # revenue_by_region + priority_returns + tpch_q1).
+        # interval_overlap was promoted here in r10 with the pinned
+        # bucket width; r11 swapped it for the auto-width twin above.
         "activity_spans": q_activity_spans,
         # r9 rotation (VERDICT r8 item 6): qgram_edit_join (blocking-free
         # EDJoin, two-decade counters recorded r8) and events_mad (robust
@@ -3721,15 +3742,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # with sort; the demoted row still oracle-compares every round).
         "qgram_edit_join": q_qgram_edit_join,
         "events_mad": q_events_mad,
-        # r9 stretch (VERDICT r8 item 9): stream_attribution graded — the
-        # watermarked StreamingSymmetricHashJoin end-to-end (staged
-        # parquet -> file stream -> state-store join -> parquet sink),
-        # sink compared to the batch self-join oracle; its batch twin
-        # events_attribution is already graded, so the pair pins
-        # batch==stream at the driver gate itself.  In exchange
-        # dup_ngram_fraction demoted (covering sibling repeated_passages:
-        # the same bit-for-bit shingle machinery, graded).
-        "stream_attribution": q_stream_attribution,
+        # (r9's graded stream_attribution — the infinite-watermark
+        # variant — was demoted in r11 in favor of the bounded-state row
+        # above; events_attribution keeps the batch twin graded.)
         # r8 rotation (VERDICT r7 item 4): triangle_counts (graph family
         # widening), events_attribution (watermarked stream-stream join's
         # batch twin), setsim_against (cross-corpus prefix-filter join) —
@@ -3749,7 +3764,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "priority_returns": q_priority_returns,
         "revenue_by_region": q_revenue_by_region,
-        "customer_distribution": q_customer_distribution,
         "parts_below_avg": q_parts_below_avg,
         "events_cube": q_events_cube,
         "events_anomaly": q_events_anomaly,
@@ -3774,7 +3788,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "repeated_passages": q_repeated_passages,
         "hybrid_rrf_batch": q_hybrid_rrf_batch,
-        "dedup_groups": q_dedup_groups,
         "neardup_cosine": q_neardup_cosine,
         "neardup_lsh": q_neardup_lsh,
         "ivf_assign_kmeans": q_ivf_assign_kmeans,
@@ -4438,7 +4451,6 @@ def rotation_registry() -> dict[str, dict]:
         "event_transitions": {"kind": C, "siblings": []},
         "filter_docs_in": {"kind": R, "siblings": ["filter_events_or"]},
         "events_moving_avg": {"kind": C, "siblings": ["events_percentiles"]},
-        "kcore_k2": {"kind": C, "siblings": ["triangle_counts"]},
         "contamination_fraction": {"kind": C, "siblings": ["decontaminate", "repeated_passages"]},
         "cooccurrence_pmi": {"kind": C, "siblings": ["tfidf_keywords"]},
         "communities_lpa": {"kind": C, "siblings": ["pagerank"]},
@@ -4454,9 +4466,10 @@ def rotation_registry() -> dict[str, dict]:
         "dup_ngram_fraction": {"kind": R, "siblings": ["repeated_passages"]},
         "lm_score": {"kind": R, "siblings": ["bigram_lm", "dsir_logweights"]},
         "top_customers": {"kind": R, "siblings": ["revenue_by_region", "priority_returns", "tpch_q1"]},
-        "stream_attribution_bounded": {"kind": C, "siblings": ["stream_attribution", "events_attribution"]},
-        "dedup_best": {"kind": C, "siblings": ["dedup_resolve", "dedup_groups"]},
-        "interval_overlap_auto": {"kind": C, "siblings": ["interval_overlap"]},
+        "stream_attribution": {"kind": R, "siblings": ["stream_attribution_bounded", "events_attribution"]},
+        "interval_overlap": {"kind": R, "siblings": ["interval_overlap_auto"]},
+        "dedup_groups": {"kind": R, "siblings": ["dedup_best", "lsh_jaccard_pairs"]},
+        "customer_distribution": {"kind": R, "siblings": ["revenue_by_region", "priority_returns", "tpch_q1"]},
     }
 
 
@@ -4717,7 +4730,6 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "filter_docs_in": q_filter_docs_in,
         "events_moving_avg": q_events_moving_avg,
-        "kcore_k2": q_kcore_k2,
         "contamination_fraction": q_contamination_fraction,
         "cooccurrence_pmi": q_cooccurrence_pmi,
         "communities_lpa": q_communities_lpa,
@@ -4751,20 +4763,35 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multi-join TPC-H aggregate + sort shape, graded three ways).
         "lm_score": q_lm_score,
         "top_customers": q_top_customers,
-        # r10 NEW capability, registered here directly (graded window
-        # full): the bounded-state streaming attribution row — realistic
-        # 1-minute watermark over a deterministic time-ordered replay,
-        # state_rows_pruned counter recorded (VERDICT r9 item 1); the
-        # graded stream_attribution row keeps the sink-level
-        # batch==stream equivalence graded, this row adds the
-        # state-actually-bounded evidence at the same oracle bar
-        "stream_attribution_bounded": q_stream_attribution_bounded,
-        # r10 NEW capability: quality-aware dedup survivor selection
-        # (keep the longest dup-group member, not the min id)
-        "dedup_best": q_dedup_best,
-        # r10 NEW: the auto-width interval join against the SAME brute
-        # oracle — proves choose_bucket_width on real data every round
-        "interval_overlap_auto": q_interval_overlap_auto,
+        # r11 rotation demotions (in exchange for the promoted
+        # stream_attribution_bounded + interval_overlap_auto +
+        # dedup_best + kcore_k2, each hash-verified x3 scales
+        # pre-promotion):
+        # - stream_attribution: the infinite-watermark streaming row —
+        #   the graded stream_attribution_bounded runs the SAME
+        #   end-to-end pipeline (staged parquet -> file stream ->
+        #   state-store join -> parquet sink, same oracle) with a
+        #   realistic watermark and measured state bounds, and
+        #   events_attribution keeps the batch twin graded.
+        # - interval_overlap: the pinned-bucket-width interval join —
+        #   the graded interval_overlap_auto is the identical pipeline
+        #   against the identical brute theta-join oracle, differing
+        #   only in the width knob (correctness is w-independent by
+        #   construction; this row keeps the pinned path oracle-checked
+        #   every round).
+        # - dedup_groups: LSH pairs -> connected components — the graded
+        #   dedup_best runs the same q_lsh_jaccard_pairs ->
+        #   connected_components machinery end-to-end (plus the ranked
+        #   survivor pick) against the same recursive-CTE closure
+        #   oracle family; lsh_jaccard_pairs keeps the pair source
+        #   graded.
+        # - customer_distribution: scan-aggregate-sort TPC-H shape,
+        #   graded three other ways (revenue_by_region,
+        #   priority_returns, tpch_q1).
+        "stream_attribution": q_stream_attribution,
+        "interval_overlap": q_interval_overlap,
+        "dedup_groups": q_dedup_groups,
+        "customer_distribution": q_customer_distribution,
     }
 
 

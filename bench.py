@@ -223,6 +223,24 @@ def main():
     }
     print(json.dumps(early, separators=(",", ":")), flush=True)
 
+    # graded-row drift gate (VERDICT r10 item 3): the demoted registry
+    # has had a ratio+floor drift flag since r8, but graded rows'
+    # round-over-round movement was only visible to a human diffing
+    # BENCH_r{N}.json files.  Compare vs the last committed round and
+    # auto-attribute each flagged row standalone-cold (fresh process,
+    # min-of-3) — "noise" if the cold wall is back in band, else
+    # "reproduced".  Disable with SPARK_GRAFT_GRADED_DRIFT=0.
+    graded_drift = None
+    if os.environ.get("SPARK_GRAFT_GRADED_DRIFT", "1") != "0":
+        try:
+            from tools.graded_drift import graded_drift_section
+
+            graded_drift = graded_drift_section(
+                {k: v for k, v in timings.items()}, float(sf), sf_dir, cpus
+            )
+        except Exception as e:
+            print(f"bench graded-drift error: {e}", file=sys.stderr)
+
     # measured-scaling section (factor-x replicated inputs through the same
     # query builders) — the mechanical regression check for plan shapes
     # whose cost must stay ~linear; disable with SPARK_GRAFT_SCALED=0
@@ -341,6 +359,14 @@ def main():
             "walls": _s2(scaled2.get("queries", {})),
         }
         full["scaled2"] = scaled2
+    if graded_drift is not None:
+        # compact line: name -> attribution only; prev/now/cold detail
+        # lands in BENCH_LOCAL.json
+        out["drift"] = {
+            k: v.get("attribution", "flagged")
+            for k, v in graded_drift.get("flagged", {}).items()
+        }
+        full["drift"] = graded_drift
     if demoted is not None:
         out["demoted"] = {
             "n": demoted["n_queries"],

@@ -167,3 +167,38 @@ def test_drift_section_flags_only_real_jumps(tmp_path):
     # no previous artifact: report prev_found False, flag nothing
     d3 = drift_section(walls, str(tmp_path / "missing.json"))
     assert d3 == {"prev_found": False, "flagged": {}}
+
+
+def test_graded_drift_section_flags_and_scale_guard(tmp_path):
+    # VERDICT r10 item 3: the graded-window drift gate.  Pure function,
+    # no Spark: reads the newest BENCH_r{N}.json's parsed.queries, flags
+    # >1.3x growth over the floor, skips rotated-in rows (no prev) and
+    # errored rows, and refuses to compare across scale factors.
+    import json
+
+    from tools.graded_drift import graded_drift_section
+
+    (tmp_path / "BENCH_r03.json").write_text(json.dumps({
+        "parsed": {"sf": 0.1, "queries": {"old": 9.0}}}))
+    (tmp_path / "BENCH_r07.json").write_text(json.dumps({
+        "parsed": {"sf": 0.1, "queries": {
+            "grew": 1.0,     # 1.0 -> 1.5: flag (1.5x)
+            "steady": 1.0,   # 1.0 -> 1.2: inside band
+            "tiny": 0.1,     # 0.1 -> 0.2: under floor both sides
+            "was_err": -1.0,
+        }}}))
+    walls = {"grew": 1.5, "steady": 1.2, "tiny": 0.2, "was_err": 2.0,
+             "rotated_in": 5.0, "now_err": -1.0}
+    d = graded_drift_section(walls, 0.1, "/nonexistent", "8",
+                             attribute=False, repo_dir=str(tmp_path))
+    assert d["prev_found"] is True and d["prev_round"] == 7
+    assert set(d["flagged"]) == {"grew"}
+    assert d["flagged"]["grew"]["ratio"] == 1.5
+    # different sf: walls are not comparable, flag nothing
+    d2 = graded_drift_section(walls, 0.01, "/nonexistent", "8",
+                              attribute=False, repo_dir=str(tmp_path))
+    assert d2["prev_sf_mismatch"] == 0.1 and d2["flagged"] == {}
+    # no BENCH_r artifacts at all
+    d3 = graded_drift_section(walls, 0.1, "/nonexistent", "8",
+                              attribute=False, repo_dir=str(tmp_path / "x"))
+    assert d3["prev_found"] is False and d3["flagged"] == {}
