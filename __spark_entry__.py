@@ -3246,7 +3246,20 @@ def q_stream_attribution_bounded(spark, sf_dir):
         "user_id",
         F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
     )
-    n_files = stage_time_ordered(ev, "ts", src, n_slices=8)
+    # r11 wall trim (VERDICT r10 item 4): the row's cost is n_batches x
+    # a per-batch fixed cost dominated by state-store commits, so (a)
+    # n_slices 8 -> 4 (still >= 3 watermark advances — pruning stays
+    # positive at every scale, total evictions are data-determined and
+    # unchanged) and (b) state_partitions=8 (state is KB-scale here;
+    # committing 32 partitions x 4 store instances per batch was the
+    # floor: measured 30.8 s -> 5.4 s at sf0.1 with identical sink rows
+    # and identical state_rows_pruned).  Sub-wave walls are recorded in
+    # the counters so the split stays falsifiable per round.
+    import time as _time
+
+    t0 = _time.time()
+    n_files = stage_time_ordered(ev, "ts", src, n_slices=4)
+    t1 = _time.time()
     counters = attribution_stream_bounded(
         spark,
         src,
@@ -3255,7 +3268,10 @@ def q_stream_attribution_bounded(spark, sf_dir):
         schema="event_id long, event_type string, user_id long, ts timestamp",
         within="60 minutes",
         watermark="1 minute",
+        state_partitions=8,
     )
+    counters["stage_wall_s"] = round(t1 - t0, 3)
+    counters["stream_wall_s"] = round(_time.time() - t1, 3)
     counters["n_staged_files"] = n_files
     if counters["n_batches"] < n_files:
         raise RuntimeError(

@@ -990,6 +990,7 @@ def attribution_stream_bounded(
     within: str = "60 minutes",
     watermark: str = "1 minute",
     timeout: int = 300,
+    state_partitions: int | None = None,
 ) -> dict:
     """Run the attribution join as a BOUNDED-STATE stream over a
     time-ordered staged source (``stage_time_ordered``) and return the
@@ -1025,6 +1026,17 @@ def attribution_stream_bounded(
     in as a belt-and-braces source, and the union is asserted CONTIGUOUS
     over batch ids 0..lastProgress.batchId — a gap raises instead of
     returning silently-short counters.
+
+    ``state_partitions`` (r11): number of state-store partitions for
+    this query, bound PERMANENTLY at checkpoint creation from
+    ``spark.sql.shuffle.partitions`` (AQE cannot re-plan stateful
+    streams).  A stateful query's per-batch fixed cost is dominated by
+    committing every state-store instance every batch — 4 instances x
+    partitions delta files + 32-task stages over tiny slices — so
+    partitions should track STATE SIZE, not the session's batch scan
+    width (measured at sf0.1: 32 partitions -> ~3.7 s/batch, 8 -> ~1.1
+    s/batch, identical sink and counters).  The session conf is set
+    before ``start()`` and always restored.
     """
     import json as _json
     import time as _time
@@ -1049,6 +1061,10 @@ def attribution_stream_bounded(
 
     collector = _ProgressCollector()
     spark.streams.addListener(collector)
+    _parts_conf = "spark.sql.shuffle.partitions"
+    prev_parts = spark.conf.get(_parts_conf) if state_partitions else None
+    if state_partitions:
+        spark.conf.set(_parts_conf, str(state_partitions))
     try:
         stream = (
             spark.readStream.schema(schema)
@@ -1096,6 +1112,8 @@ def attribution_stream_bounded(
             _time.sleep(0.2)
             by_batch = _events()
     finally:
+        if prev_parts is not None:
+            spark.conf.set(_parts_conf, prev_parts)
         spark.streams.removeListener(collector)
 
     missing = [b for b in range(final_batch + 1) if b not in by_batch]

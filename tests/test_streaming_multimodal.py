@@ -1066,9 +1066,13 @@ def test_bounded_state_attribution_prunes_and_matches_batch(spark, tmp_path):
     src, ck, out = (str(tmp_path / d) for d in ("b_in", "b_ck", "b_out"))
     n_files = stage_time_ordered(batch, "ts", src, n_slices=6)
     assert n_files >= 2  # a single file would never advance the watermark
+    parts_before = spark.conf.get("spark.sql.shuffle.partitions")
     counters = attribution_stream_bounded(
-        spark, src, out, ck, schema=cols, watermark="1 minute"
+        spark, src, out, ck, schema=cols, watermark="1 minute",
+        state_partitions=5,  # r11 knob: state stores sized to state, not
+        # scan width; the session conf must come back untouched
     )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == parts_before
     got = sorted(
         (r["user"], r["trigger_id"], r["outcome_id"])
         for r in spark.read.parquet(out).collect()
