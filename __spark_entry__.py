@@ -3866,6 +3866,21 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
             "output_rows": int(q_dedup_groups(spark, sf_dir).count()),
         }
 
+    def c_dedup_best(spark: SparkSession, sf_dir: str) -> dict:
+        # the ranked-survivor pick's 100 TB claim (VERDICT r10 item 7):
+        # the min_by winner reduction shuffles GROUP MEMBERS, never the
+        # corpus — n_group_members is the exchange's input,
+        # max_group_size its skew bound (quadratic clique growth under
+        # replication is the harness's input shape, same as
+        # dedup_groups)
+        from minivectordb_spark.operators.dedup import (
+            survivors_ranked_diagnostics,
+        )
+
+        d = survivors_ranked_diagnostics(q_lsh_jaccard_pairs(spark, sf_dir))
+        d["output_rows"] = int(q_dedup_best(spark, sf_dir).count())
+        return d
+
     def c_lsh_jaccard(spark: SparkSession, sf_dir: str) -> dict:
         # banding candidates vs verified output: the wall follows the
         # candidate set (bucket collisions) and the verified pairs grow
@@ -4362,6 +4377,7 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
         "neardup_lsh": c_neardup_lsh,
         "neardup_cosine": c_neardup_cosine,
         "dedup_groups": c_dedup_groups,
+        "dedup_best": c_dedup_best,
         "lsh_jaccard_pairs": c_lsh_jaccard,
         "semantic_dedup": c_semantic_dedup,
         "decontaminate": c_decontaminate,

@@ -783,6 +783,36 @@ def dedup_survivors_ranked(
     return df.join(losers, id_col, "left_anti")
 
 
+def survivors_ranked_diagnostics(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> dict:
+    """Falsifiable scale counters for the ranked-survivor pick (r11):
+    the min_by winner reduction runs over DUP-GROUP MEMBERS ONLY, never
+    the corpus, so the recorded exposure is the group structure —
+    ``n_group_members`` (rows entering the one combiner-reduced min_by
+    exchange), ``n_groups`` (its output), ``max_group_size`` (the skew
+    bound of the per-component reduction) and ``n_removed`` (members -
+    groups = anti-join losers).  A super-linear wall with these flat
+    would indict the plan; growing max_group_size indicts the pair
+    generator's clique structure, not the survivor pick."""
+    comp = connected_components(pairs, id_a, id_b)
+    agg = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    row = agg.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.coalesce(F.max("sz"), F.lit(0)).alias("max_group_size"),
+        F.coalesce(F.sum("sz"), F.lit(0)).alias("n_members"),
+    ).first()
+    return {
+        "n_pairs": int(pairs.count()),
+        "n_groups": int(row["n_groups"]),
+        "max_group_size": int(row["max_group_size"]),
+        "n_group_members": int(row["n_members"]),
+        "n_removed": int(row["n_members"]) - int(row["n_groups"]),
+    }
+
+
 # ---------------- embedding cosine near-dup ----------------
 
 def _neardup_resolve_planes(

@@ -2405,3 +2405,31 @@ def test_leakage_free_split_weights(spark):
     assert out[0] == out[1] == out[2]
     assert out[10] == out[11]
     assert set(out.values()) <= {"train", "val", "test"}
+
+
+def test_survivors_ranked_diagnostics_counts_group_structure(spark):
+    from minivectordb_spark.operators.dedup import (
+        survivors_ranked_diagnostics,
+    )
+
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5), (1, 2)], ["id_a", "id_b"]
+    )
+    d = survivors_ranked_diagnostics(pairs)
+    # groups {0,3,5} and {1,2}: 5 members, 2 groups, 3 removed
+    assert d == {
+        "n_pairs": 3,
+        "n_groups": 2,
+        "max_group_size": 3,
+        "n_group_members": 5,
+        "n_removed": 3,
+    }
+    # empty pair set: all zeros, no NULL leaks from max/sum
+    z = survivors_ranked_diagnostics(pairs.limit(0))
+    assert z == {
+        "n_pairs": 0,
+        "n_groups": 0,
+        "max_group_size": 0,
+        "n_group_members": 0,
+        "n_removed": 0,
+    }
