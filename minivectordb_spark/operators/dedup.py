@@ -223,6 +223,12 @@ def _lsh_pairs_from_shingles(
     # the bucket frame is tiny (n_docs * n_bands short rows) and is read
     # twice by the self-join; _reused spills-not-OOMs and is auto-freed
     buckets = _reused(_band_buckets(sh, id_col, n_hashes, band_size, seed))
+    return _lsh_pairs_from_buckets(buckets, id_col)
+
+
+def _lsh_pairs_from_buckets(buckets: DataFrame, id_col: str) -> DataFrame:
+    """The band-bucket self-join, split out (r11) so ``lsh_diagnostics``
+    counts candidates through the IDENTICAL join it describes."""
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (
@@ -238,6 +244,51 @@ def _lsh_pairs_from_shingles(
         )
         .distinct()
     )
+
+
+def lsh_diagnostics(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = DEFAULT_N_HASHES,
+    band_size: int = 2,
+    k: int = DEFAULT_SHINGLE,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> dict:
+    """Falsifiable scale counters for the banded MinHash join (r11, the
+    LSH analogue of ``setsim_diagnostics``): the plan's 100 TB exposure
+    is BUCKET OCCUPANCY — candidates are emitted per shared bucket, so
+    ``sum C(occ, 2)`` bounds the join's output and ``max_bucket`` its
+    skew.  Counted through the same ``_band_buckets`` +
+    ``_lsh_pairs_from_buckets`` + ``_jaccard_verify`` stages the
+    operators run, so a recorded law can never describe a different
+    plan.  Returns: n_docs, n_buckets, max_bucket,
+    collision_pairs_bound (pre-distinct emission bound),
+    candidate_pairs (distinct), output_pairs (>= threshold verified)."""
+    sh = _reused(_shingle_frame(df, text_col, id_col, k))
+    buckets = _reused(_band_buckets(sh, id_col, n_hashes, band_size, seed))
+    occ = buckets.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row = occ.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.coalesce(F.max("n"), F.lit(0)).alias("max_bucket"),
+        F.coalesce(
+            F.sum(F.col("n") * (F.col("n") - 1) / 2), F.lit(0)
+        ).alias("bound"),
+    ).first()
+    pairs = _reused(_lsh_pairs_from_buckets(buckets, id_col))
+    return {
+        "n_docs": int(df.count()),
+        "n_buckets": int(row["n_buckets"]),
+        "max_bucket": int(row["max_bucket"]),
+        "collision_pairs_bound": int(row["bound"]),
+        "candidate_pairs": int(pairs.count()),
+        "output_pairs": int(
+            _jaccard_verify(sh, pairs, id_col, threshold).count()
+        ),
+    }
 
 
 def _jaccard_verify(

@@ -202,3 +202,27 @@ def test_graded_drift_section_flags_and_scale_guard(tmp_path):
     d3 = graded_drift_section(walls, 0.1, "/nonexistent", "8",
                               attribute=False, repo_dir=str(tmp_path / "x"))
     assert d3["prev_found"] is False and d3["flagged"] == {}
+
+
+def test_coverage_registry_section_is_derived():
+    """VERDICT r10 item 9: COVERAGE.md's registry section is GENERATED
+    from the live registry — a rotation that forgets to rerun
+    tools/registry_report.py fails here, exactly like a stale
+    REGISTRY.json."""
+    from pathlib import Path
+
+    from tools.registry_report import (
+        COVERAGE_BEGIN,
+        COVERAGE_END,
+        build_report,
+        coverage_markdown,
+    )
+
+    text = (Path(__file__).resolve().parents[1] / "COVERAGE.md").read_text()
+    lo, hi = text.find(COVERAGE_BEGIN), text.find(COVERAGE_END)
+    assert lo >= 0 and hi > lo, "COVERAGE.md lost its REGISTRY markers"
+    on_disk = text[lo:hi + len(COVERAGE_END)]
+    assert on_disk == coverage_markdown(build_report()), (
+        "COVERAGE.md registry section is stale — rerun "
+        "tools/registry_report.py"
+    )

@@ -28,7 +28,18 @@ machinery: one global df order, prefix filter, hash equi-join) at n =
 Results are recorded by hand into PLANS.md; this is a spot-check tool,
 not a per-round bench stage.
 
-Usage: python tools/decade3_pairs.py [n ...]   (default 5000 50000 500000)
+r11 extension: the same harness runs the LSH banding family
+(``lsh_diagnostics`` — the graded lsh_jaccard_pairs / minhash machinery:
+MinHash signatures, 8x2 banding, bucket self-join, exact Jaccard
+verify).  Its counter law: ``candidate_pairs`` must track
+``output_pairs`` (planted twins have word-3-gram Jaccard >= 0.71, so
+P(>=1 of 8 bands collides) >= 0.997 — the answer is ~linear by
+construction), ``max_bucket`` must stay O(1) on a non-degenerate
+corpus, and ``collision_pairs_bound`` (sum C(occ,2)) is the emission
+bound the join can never exceed.
+
+Usage: python tools/decade3_pairs.py [setsim|lsh] [n ...]
+       (default: setsim 5000 50000 500000)
 """
 
 from __future__ import annotations
@@ -83,10 +94,16 @@ def synth_docs(spark, n: int):
 
 
 def main() -> None:
+    from minivectordb_spark.operators.dedup import lsh_diagnostics
     from minivectordb_spark.operators.setsim import setsim_diagnostics
     from minivectordb_spark.session import get_spark
 
-    sizes = [int(a) for a in sys.argv[1:]] or [5_000, 50_000, 500_000]
+    args = sys.argv[1:]
+    family = "setsim"
+    if args and args[0] in ("setsim", "lsh"):
+        family = args[0]
+        args = args[1:]
+    sizes = [int(a) for a in args] or [5_000, 50_000, 500_000]
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(
         app_name="decade3_pairs", cores=cpus, shuffle_partitions=int(cpus)
@@ -95,7 +112,10 @@ def main() -> None:
     for n in sizes:
         docs = synth_docs(spark, n).localCheckpoint()
         t0 = time.time()
-        d = setsim_diagnostics(docs, "text", "doc_id", k=3, threshold=0.5)
+        if family == "lsh":
+            d = lsh_diagnostics(docs, "text", "doc_id", k=3, threshold=0.5)
+        else:
+            d = setsim_diagnostics(docs, "text", "doc_id", k=3, threshold=0.5)
         wall = round(time.time() - t0, 1)
         d.update(
             n=n,
