@@ -409,3 +409,33 @@ def test_coalesce_bucketed_no_join_no_explosion(spark, sf):
     assert "Join" not in plan, plan
     assert "Generate" not in plan, plan
     assert plan.count("Window") >= 2, plan
+
+
+def test_dedup_best_combiner_min_by_pruned_scores_anti_join(spark, sf):
+    """The r11-graded ranked-survivor pick: the winner reduction must be
+    COMBINER-REDUCED (partial_min_by before its exchange — group members
+    reduce map-side, never raw at the reducer), the score side must join
+    broadcast with the scan pruned to (id, score) columns, and the
+    survivors must come back via ONE anti-join — no cartesian anywhere."""
+    df = _q("dedup_best", spark, sf)
+    plan = physical_plan(df)
+    assert "partial_min_by" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "struct<doc_id:bigint,n_chars:bigint>" in plan, plan  # pruned
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_kcore_lineage_truncated_single_degree_exchange(spark, sf):
+    """The r11-graded k-core peel: iterations run behind checkpoint
+    barriers (pagerank's lineage rule — an unbounded iterative lineage
+    would re-execute every round at the final action), so the FINAL plan
+    is one combiner-reduced degree count over the peeled edge set:
+    exactly one keyed exchange, no join, no iteration residue."""
+    df = _q("kcore_k2", spark, sf)
+    plan = physical_plan(df)
+    assert "ExistingRDD" in plan, plan  # lineage truncated
+    assert "partial_count" in plan, plan  # map-side combine
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
