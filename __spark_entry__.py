@@ -1265,6 +1265,51 @@ FROM agg
 """.strip()
 
 
+DRIFT_BUCKET_W = 50  # n_chars buckets (corpus range ~44-577 -> ~12 buckets)
+
+
+def q_source_drift(spark, sf_dir):
+    """Per-source distribution drift vs the corpus (operators/anomaly.
+    distribution_drift, new r11): total-variation distance between each
+    ingest source's n_chars distribution and the global one over
+    fixed-width buckets, frozen to exact integer ppm (floor-divided
+    proportions — no float ever computed, so the score is bit-identical
+    on any engine).  The monitoring question a training pipeline asks
+    per source per snapshot: "does this slice still look like the
+    corpus?"  Scoring runs on the |sources| x |buckets| aggregate grid
+    only."""
+    from minivectordb_spark.operators.anomaly import distribution_drift
+
+    return distribution_drift(
+        _t(spark, sf_dir, "documents"),
+        value_col="n_chars",
+        group_col="source",
+        bucket_width=DRIFT_BUCKET_W,
+    )
+
+
+def _oracle_source_drift() -> str:
+    """q_source_drift twin: the same exact-integer ppm TV over the same
+    fixed-width buckets — floor division mirrors Spark's ``div``."""
+    w = DRIFT_BUCKET_W
+    return f"""
+WITH base AS (SELECT source AS g, (n_chars - (n_chars % {w})) AS b FROM documents),
+gb AS (SELECT g, b, count(*)::BIGINT AS cgb FROM base GROUP BY 1, 2),
+gt AS (SELECT g, count(*)::BIGINT AS ng FROM base GROUP BY 1),
+bt AS (SELECT b, count(*)::BIGINT AS cb FROM base GROUP BY 1),
+tot AS (SELECT count(*)::BIGINT AS nn FROM base),
+grid AS (SELECT gt.g, gt.ng,
+                coalesce(gb.cgb, 0) * 1000000 AS pn,
+                bt.cb * 1000000 AS qn, tot.nn
+         FROM gt CROSS JOIN bt
+         LEFT JOIN gb ON gb.g = gt.g AND gb.b = bt.b
+         CROSS JOIN tot)
+SELECT g AS source, ng AS n,
+       CAST(sum(abs(pn // ng - qn // nn)) // 2 AS BIGINT) AS tv_ppm
+FROM grid GROUP BY g, ng
+""".strip()
+
+
 def q_source_overlap(spark, sf_dir):
     """Pairwise source-overlap matrix (operators/dedup.source_overlap,
     new r8): shared distinct 3-gram counts + exact-rational gram
@@ -4502,6 +4547,7 @@ def rotation_registry() -> dict[str, dict]:
         "interval_overlap": {"kind": R, "siblings": ["interval_overlap_auto"]},
         "dedup_groups": {"kind": R, "siblings": ["dedup_best", "lsh_jaccard_pairs"]},
         "customer_distribution": {"kind": R, "siblings": ["revenue_by_region", "priority_returns", "tpch_q1"]},
+        "source_drift": {"kind": C, "siblings": ["events_histogram", "source_report"]},
     }
 
 
@@ -4824,6 +4870,11 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap": q_interval_overlap,
         "dedup_groups": q_dedup_groups,
         "customer_distribution": q_customer_distribution,
+        # r11 NEW capability (graded window full): per-source
+        # distribution drift vs the corpus — exact integer-ppm
+        # total-variation over fixed-width buckets; the monitoring score
+        # on top of the histogram family's shapes
+        "source_drift": q_source_drift,
     }
 
 
@@ -6348,6 +6399,7 @@ FROM documents
         "interval_overlap_auto": _oracle_interval_overlap(),
         "activity_spans": _oracle_activity_spans(),
         "source_overlap": _oracle_source_overlap(),
+        "source_drift": _oracle_source_drift(),
         "events_winsorized": _oracle_events_winsorized(),
         "events_histogram": _oracle_events_histogram(),
         "nation_balance": _oracle_nation_balance(),

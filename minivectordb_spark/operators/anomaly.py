@@ -533,3 +533,76 @@ def value_histogram(
             "n",
         )
     )
+
+
+def distribution_drift(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    bucket_width: int,
+    scale: int = 1,
+) -> DataFrame:
+    """Per-group distribution drift vs the whole corpus (r11): the
+    total-variation distance between each group's value distribution and
+    the global one, over fixed-width integer buckets —
+    ``TV(g) = 0.5 * sum_b |p_gb - q_b|`` in [0, 1].  The monitoring
+    question a training-data pipeline asks per ingest source / per
+    snapshot: "does this slice's shape still look like the corpus?"
+    (the histogram operator shows the shapes; this scores the gap).
+
+    Engine-portable by construction: proportions are frozen to EXACT
+    integer parts-per-million (``cnt * 1_000_000 div n`` — floor
+    division, identical on any engine), so ``tv_ppm`` never rides a
+    float rounding boundary; values are scaled to integers first like
+    the z-score family.  Output: ``(group_col, n, tv_ppm)`` with
+    ``tv_ppm = sum_b |p_ppm - q_ppm| div 2`` (0 = identical shape,
+    1_000_000 = disjoint support).
+
+    Plan: three combiner-reduced aggregates — (group, bucket) counts,
+    group totals, bucket totals — then the scoring join runs on the
+    GROUPS x BUCKETS grid only (a cross join of two aggregate dims,
+    bounded by their product, never row-scale; the grid is needed so a
+    bucket the group MISSES still contributes |0 - q_b|), one broadcast
+    of the one-row corpus total, and one final per-group sum.  Nothing
+    after the first aggregate touches more than |groups| x |buckets|
+    rows."""
+    if bucket_width < 1:
+        raise ValueError("bucket_width must be >= 1")
+    PPM = 1_000_000
+    v = F.floor(F.col(value_col) * F.lit(scale)).cast("long")
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        (v - (v % F.lit(bucket_width))).alias("__b"),
+    )
+    gb = base.groupBy("__g", "__b").agg(F.count(F.lit(1)).alias("__cgb"))
+    g = base.groupBy("__g").agg(F.count(F.lit(1)).alias("__ng"))
+    b = base.groupBy("__b").agg(F.count(F.lit(1)).alias("__cb"))
+    total = b.agg(F.sum("__cb").alias("__n"))
+    grid = (
+        g.crossJoin(b)  # dims: |groups| x |buckets| rows, by construction
+        .join(gb, ["__g", "__b"], "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "__g",
+            "__ng",
+            (
+                F.coalesce(F.col("__cgb"), F.lit(0)) * F.lit(PPM)
+            ).alias("__pn"),
+            (F.col("__cb") * F.lit(PPM)).alias("__qn"),
+            "__n",
+        )
+    )
+    scored = grid.select(
+        "__g",
+        "__ng",
+        F.abs(F.expr("__pn div __ng - __qn div __n")).alias("__t"),
+    )
+    return (
+        scored.groupBy("__g", "__ng")
+        .agg(F.expr("sum(__t) div 2").alias("tv_ppm"))
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__ng").alias("n"),
+            F.col("tv_ppm"),
+        )
+    )

@@ -2433,3 +2433,31 @@ def test_survivors_ranked_diagnostics_counts_group_structure(spark):
         "n_group_members": 0,
         "n_removed": 0,
     }
+
+
+def test_distribution_drift_exact_ppm_tv(spark):
+    """distribution_drift (r11): exact integer-ppm total variation vs
+    the corpus, hand-computed.  A={0,0,0,0,10}, B={10,10,20,20},
+    width 10 -> global buckets {0:4, 10:3, 20:2}, N=9 (ppm 444444 /
+    333333 / 222222).  A: p={800000, 200000, 0} -> terms 355556 +
+    133333 + 222222 = 711111 -> tv 355555.  B: p={0, 500000, 500000}
+    -> terms 444444 + 166667 + 277778 = 888889 -> tv 444444."""
+    from minivectordb_spark.operators.anomaly import distribution_drift
+
+    df = spark.createDataFrame(
+        [("A", 0), ("A", 0), ("A", 0), ("A", 0), ("A", 10),
+         ("B", 10), ("B", 10), ("B", 20), ("B", 20)],
+        ["source", "v"],
+    )
+    out = {
+        r["source"]: (r["n"], r["tv_ppm"])
+        for r in distribution_drift(df, "v", "source", 10).collect()
+    }
+    assert out == {"A": (5, 355555), "B": (4, 444444)}
+    # identical shape -> zero drift
+    same = spark.createDataFrame(
+        [("A", 1), ("A", 11), ("B", 1), ("B", 11)], ["source", "v"]
+    )
+    z = {r["source"]: r["tv_ppm"]
+         for r in distribution_drift(same, "v", "source", 10).collect()}
+    assert z == {"A": 0, "B": 0}
