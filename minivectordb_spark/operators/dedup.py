@@ -481,36 +481,13 @@ def simhash_fingerprints64(
     )
 
 
-def simhash_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    max_hamming: int = 3,
-    n_bands: int = 4,
-    bits: int = SIMHASH_BITS,
-) -> DataFrame:
-    """Hamming-neighbor pairs from SimHash fingerprints — the step that
-    turns the fingerprint (op: simhash) into an actual dedup.
-
-    Banding + pigeonhole: split the ``bits``-bit fingerprint into
-    ``n_bands`` equal chunks and self-join on chunk equality.  Any pair
-    with Hamming distance <= n_bands - 1 must agree on at least one whole
-    chunk, so recall is EXACT for ``max_hamming < n_bands``; larger
-    ``max_hamming`` values are probabilistic (documented, mirrored by the
-    oracle which replicates the banded candidate generation).
-
-    Plan: map-only fingerprints -> posexplode of n_bands chunk rows ->
-    self-join on (band_idx, band_val) -> distinct pairs -> bit_count
-    verify.  Same shuffle profile as MinHash-LSH banding: bounded by chunk
-    collisions, never O(N^2).
-
-    ``bits=64`` switches to the two-half fingerprint
-    (``simhash_fingerprints64``) with chunks sliced across both halves —
-    at n_bands=4 that is 16-bit chunks (65,536 band values), the variant
-    that stays collision-bounded at ~100x the corpus where 32-bit/8-bit
-    banding degenerates (measured: 32-bit at 50k replicated docs explodes
-    into ~20M random-collision candidates; 64-bit stays at clique pairs).
-    """
+def _simhash_fp_and_bands(
+    df: DataFrame, text_col: str, id_col: str, n_bands: int, bits: int
+):
+    """Fingerprint frame + band-chunk machinery shared by the pair join
+    and ``simhash_band_diagnostics`` (r11) — diagnostics counted through
+    a different band construction would describe a different plan.
+    Returns (fp_df, bands_col, fp_cols_a, fp_cols_b, hamming_expr)."""
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
     if bits == 64:
@@ -555,6 +532,42 @@ def simhash_pairs(
         hamming_expr = F.bit_count(
             F.col("__fp_a").bitwiseXOR(F.col("__fp_b"))
         ).cast("long")
+    return fp, bands, fp_cols_a, fp_cols_b, hamming_expr
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Hamming-neighbor pairs from SimHash fingerprints — the step that
+    turns the fingerprint (op: simhash) into an actual dedup.
+
+    Banding + pigeonhole: split the ``bits``-bit fingerprint into
+    ``n_bands`` equal chunks and self-join on chunk equality.  Any pair
+    with Hamming distance <= n_bands - 1 must agree on at least one whole
+    chunk, so recall is EXACT for ``max_hamming < n_bands``; larger
+    ``max_hamming`` values are probabilistic (documented, mirrored by the
+    oracle which replicates the banded candidate generation).
+
+    Plan: map-only fingerprints -> posexplode of n_bands chunk rows ->
+    self-join on (band_idx, band_val) -> distinct pairs -> bit_count
+    verify.  Same shuffle profile as MinHash-LSH banding: bounded by chunk
+    collisions, never O(N^2).
+
+    ``bits=64`` switches to the two-half fingerprint
+    (``simhash_fingerprints64``) with chunks sliced across both halves —
+    at n_bands=4 that is 16-bit chunks (65,536 band values), the variant
+    that stays collision-bounded at ~100x the corpus where 32-bit/8-bit
+    banding degenerates (measured: 32-bit at 50k replicated docs explodes
+    into ~20M random-collision candidates; 64-bit stays at clique pairs).
+    """
+    fp, bands, fp_cols_a, fp_cols_b, hamming_expr = _simhash_fp_and_bands(
+        df, text_col, id_col, n_bands, bits
+    )
     # Fingerprints are 1-2 longs, so carry them THROUGH the band self-join
     # (unlike the embedding near-dup path, where 64-dim arrays must stay
     # out of the exploded join): hamming verifies inline on the joined
@@ -588,6 +601,62 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def simhash_band_diagnostics(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+    bits: int = 64,
+    max_hamming: int = 3,
+    join: bool = True,
+) -> dict:
+    """Falsifiable scale counters for the SimHash banding join (r11):
+    occupancy of the (band_idx, band_val) buckets and the exact
+    pre-distinct emission bound ``sum C(occ, 2)``.  SimHash bands have a
+    FIXED value space (2^(bits/n_bands) per band — 65,536 at 64/4), so
+    unlike MinHash-LSH the bucket count cannot grow with the corpus:
+    past ~band_space docs the pigeonhole floor forces occupancy up and
+    the candidate bound turns quadratic.  This diagnostic measures WHERE
+    that happens — the documented reason the LSH/setsim rows are the
+    scale path and simhash is the cheap-fingerprint path.
+
+    ``join=False`` skips materializing the candidate join (at a corpus
+    past saturation the bound itself is the answer; running the join
+    would just prove it the slow way).  Counted through the SAME
+    ``_simhash_fp_and_bands`` machinery the pair join runs."""
+    fp, bands, _, _, _ = _simhash_fp_and_bands(
+        df, text_col, id_col, n_bands, bits
+    )
+    buckets = fp.select(
+        F.col(id_col), F.posexplode(bands).alias("band_idx", "band_val")
+    )
+    occ = buckets.groupBy("band_idx", "band_val").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row = occ.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.coalesce(F.max("n"), F.lit(0)).alias("max_bucket"),
+        F.coalesce(
+            F.sum(F.col("n") * (F.col("n") - 1) / 2), F.lit(0)
+        ).alias("bound"),
+    ).first()
+    out = {
+        "n_docs": int(df.count()),
+        "band_space": n_bands * (1 << (bits // n_bands)),
+        "n_buckets": int(row["n_buckets"]),
+        "max_bucket": int(row["max_bucket"]),
+        "collision_pairs_bound": int(row["bound"]),
+    }
+    if join:
+        out["output_pairs"] = int(
+            simhash_pairs(
+                df, text_col, id_col, max_hamming=max_hamming,
+                n_bands=n_bands, bits=bits,
+            ).count()
+        )
+    return out
 
 
 # ---------------- dedup resolution: pairs -> groups -> survivors ----------------

@@ -2461,3 +2461,30 @@ def test_distribution_drift_exact_ppm_tv(spark):
     z = {r["source"]: r["tv_ppm"]
          for r in distribution_drift(same, "v", "source", 10).collect()}
     assert z == {"A": 0, "B": 0}
+
+
+def test_simhash_band_diagnostics_occupancy_and_bound(spark):
+    """simhash_band_diagnostics (r11): occupancy counters computed
+    through the pair join's own band machinery.  Two identical docs
+    share all 4 band buckets (bound = 4*C(2,2) = 4, one verified pair);
+    a third distinct doc adds its own buckets without collisions."""
+    from minivectordb_spark.operators.dedup import simhash_band_diagnostics
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "alpha beta gamma delta"),
+         (2, "completely different words here entirely unrelated")],
+        ["doc_id", "text"],
+    )
+    d = simhash_band_diagnostics(df, join=True)
+    assert d["n_docs"] == 3
+    assert d["band_space"] == 4 * 65536
+    # doc 0 and 1 share every bucket; doc 2's 4 buckets are its own
+    # (band values could theoretically collide, but not for these texts)
+    assert d["n_buckets"] == 8
+    assert d["max_bucket"] == 2
+    assert d["collision_pairs_bound"] == 4
+    assert d["output_pairs"] == 1
+    # join=False skips the pair materialization but keeps the bound
+    d2 = simhash_band_diagnostics(df, join=False)
+    assert "output_pairs" not in d2
+    assert d2["collision_pairs_bound"] == 4

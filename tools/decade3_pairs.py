@@ -38,7 +38,16 @@ construction), ``max_bucket`` must stay O(1) on a non-degenerate
 corpus, and ``collision_pairs_bound`` (sum C(occ,2)) is the emission
 bound the join can never exceed.
 
-Usage: python tools/decade3_pairs.py [setsim|lsh] [n ...]
+simhash mode: SimHash bands have a FIXED value space (65,536 per band
+at 64/4 bits), so unlike LSH/setsim the bucket count cannot grow with
+the corpus — past ~band_space docs pigeonhole forces occupancy up and
+the candidate bound turns quadratic.  The harness measures that
+saturation curve (occupancy counters at every n; the candidate join is
+materialized only while the bound stays sane), making COVERAGE's
+"collision-bounded at ~100x" claim falsifiable and documenting why the
+LSH/setsim rows are the scale path.
+
+Usage: python tools/decade3_pairs.py [setsim|lsh|simhash] [n ...]
        (default: setsim 5000 50000 500000)
 """
 
@@ -100,7 +109,7 @@ def main() -> None:
 
     args = sys.argv[1:]
     family = "setsim"
-    if args and args[0] in ("setsim", "lsh"):
+    if args and args[0] in ("setsim", "lsh", "simhash"):
         family = args[0]
         args = args[1:]
     sizes = [int(a) for a in args] or [5_000, 50_000, 500_000]
@@ -114,6 +123,16 @@ def main() -> None:
         t0 = time.time()
         if family == "lsh":
             d = lsh_diagnostics(docs, "text", "doc_id", k=3, threshold=0.5)
+        elif family == "simhash":
+            from minivectordb_spark.operators.dedup import (
+                simhash_band_diagnostics,
+            )
+
+            # materialize the join only while the emission bound is sane
+            # (past saturation the bound IS the finding)
+            d = simhash_band_diagnostics(docs, "text", "doc_id", join=False)
+            if d["collision_pairs_bound"] <= 2_000_000:
+                d = simhash_band_diagnostics(docs, "text", "doc_id", join=True)
         else:
             d = setsim_diagnostics(docs, "text", "doc_id", k=3, threshold=0.5)
         wall = round(time.time() - t0, 1)
