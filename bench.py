@@ -236,7 +236,11 @@ def main():
             from tools.graded_drift import graded_drift_section
 
             graded_drift = graded_drift_section(
-                {k: v for k, v in timings.items()}, float(sf), sf_dir, cpus
+                {k: v for k, v in timings.items()},
+                float(sf),
+                sf_dir,
+                cpus,
+                jvm_calib=run_calib,
             )
         except Exception as e:
             print(f"bench graded-drift error: {e}", file=sys.stderr)

@@ -88,6 +88,10 @@ def _standalone_cold(names: list[str], sf_dir: str, cpus: str) -> dict:
     return {}
 
 
+#: idle jvm_codegen_wall sentinel (PLANS.md r8) — the load yardstick
+IDLE_JVM_CALIB = 0.21
+
+
 def graded_drift_section(
     timings: dict,
     sf: float,
@@ -95,6 +99,7 @@ def graded_drift_section(
     cpus: str,
     attribute: bool = True,
     repo_dir: str | None = None,
+    jvm_calib: float | None = None,
 ) -> dict:
     """Compare this run's graded walls vs the last committed round and
     auto-attribute each flagged row via a standalone-cold re-run."""
@@ -107,6 +112,12 @@ def graded_drift_section(
         "floor_sec": GRADED_DRIFT_FLOOR_SEC,
         "prev_round": prev_round,
     }
+    if jvm_calib is not None and jvm_calib > 0:
+        # context for the reader: a load factor well above 1 means the
+        # whole loop ran on a busy host and a crop of 1.3-1.9x "noise"
+        # flags is the expected signature (r11's first run: factor 2.3,
+        # 18 flags, every attributed one standalone-cold back in band)
+        base["host_load_factor"] = round(jvm_calib / IDLE_JVM_CALIB, 2)
     if not prev:
         return dict(base, prev_found=False, flagged={})
     if prev_sf is not None and float(prev_sf) != float(sf):
@@ -124,7 +135,10 @@ def graded_drift_section(
             flagged[name] = {"prev": p, "now": round(wall, 3),
                              "ratio": round(wall / p, 2)}
     if flagged and attribute:
-        names = sorted(flagged)[:MAX_ATTRIBUTED]
+        # attribute the WORST movements first — the cap must never leave
+        # the biggest ratio unexplained while explaining smaller ones
+        by_ratio = sorted(flagged, key=lambda n: -flagged[n]["ratio"])
+        names = by_ratio[:MAX_ATTRIBUTED]
         cold = _standalone_cold(names, sf_dir, cpus)
         for name in names:
             c = cold.get(name)
@@ -137,6 +151,6 @@ def graded_drift_section(
                 row["attribution"] = "noise"  # cold wall back in band
             else:
                 row["attribution"] = "reproduced"  # real; needs a plan look
-        for name in sorted(flagged)[MAX_ATTRIBUTED:]:
+        for name in by_ratio[MAX_ATTRIBUTED:]:
             flagged[name]["attribution"] = "not_attributed_cap"
     return dict(base, prev_found=True, flagged=flagged)
