@@ -130,16 +130,43 @@ def pagerank(
     base = total_micros // n
     teleport = ((100 - damping_pct) * base) // 100
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__odeg"))
-    # (src, dst, __odeg) is loop-invariant: join it once, keep it cached
-    # partitioned by src so each iteration only ships the rank frame.
-    ew = e.join(outdeg, "src").repartition("src").cache()
-    ranks = nodes.select("id", F.lit(base).cast("long").alias("rank_micro"))
+    # Iteration partitioning tracks the GRAPH, not the session's scan
+    # width (r11): every round's fixed cost is tasks x scheduling, so a
+    # dimension-sized graph at 32 scan-width partitions paid 32 tasks
+    # per exchange per round for rows that fit in one.  The scope picks
+    # p from the measured edge count (100 TB graphs keep full width) —
+    # and because shuffle partitioning binds at EXECUTION, rounds
+    # 0..N-2 checkpoint EAGERLY inside the scope; only the returned
+    # final round stays lazy (its one exchange runs at the session
+    # setting, preserving the .explain/lineage contract below).
+    n_edges = e.count()
+    spark = edges.sparkSession
+    from minivectordb_spark.plans import iteration_shuffle_scope
+
+    with iteration_shuffle_scope(spark, n_edges) as p:
+        # (src, dst, __odeg) is loop-invariant: join it once, keep it
+        # cached partitioned by src so each iteration only ships the
+        # rank frame.
+        ew = e.join(outdeg, "src").repartition(p, "src").cache()
+        nodes = nodes.repartition(p, "id").localCheckpoint(eager=False)
+        ranks = nodes.select(
+            "id", F.lit(base).cast("long").alias("rank_micro")
+        )
+        ranks = _pagerank_rounds(
+            ranks, nodes, ew, outdeg, iterations, n, teleport, damping_pct
+        )
+    return ranks
+
+
+def _pagerank_rounds(
+    ranks, nodes, ew, outdeg, iterations, n, teleport, damping_pct
+):
     for _ in range(iterations):
-        # lazy checkpoint: the LOGICAL plan is truncated to a LogicalRDD
-        # immediately (so round N never embeds rounds 0..N-1 at analysis
-        # time), but nothing executes until the caller's action — the
-        # rounds then materialize in sequence inside that one job chain.
-        ranks = ranks.localCheckpoint(eager=False)
+        # checkpoint per round: the LOGICAL plan is truncated to a
+        # LogicalRDD (so round N never embeds rounds 0..N-1 at analysis
+        # time); eager=True so every round but the last EXECUTES inside
+        # the caller's iteration_shuffle_scope (see contract there).
+        ranks = ranks.localCheckpoint(eager=True)
         # dangling mass: nodes with no outgoing edge (pure sinks).  A
         # one-row aggregate broadcast-crossed into the update keeps the
         # whole round inside the plan — no driver round-trip per round.

@@ -9,6 +9,8 @@ that silently introduces a shuffle fails CI.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 
 
@@ -58,3 +60,43 @@ def assert_no_keyed_shuffle(df: DataFrame) -> None:
         and "RoundRobinPartitioning" not in line
     ]
     assert not keyed, f"expected no keyed shuffle, found:\n" + "\n".join(keyed)
+
+
+#: one iteration-shuffle partition comfortably holds ~2M (long, long)
+#: edge rows (~32 MB + overhead) — the sizing unit for iterative loops
+EDGES_PER_ITER_PARTITION = 2_000_000
+
+
+@contextmanager
+def iteration_shuffle_scope(spark, n_rows: int, partitions: int | None = None):
+    """Scope ``spark.sql.shuffle.partitions`` to an iterative operator's
+    WORKING-SET size (r11): an iterative graph loop runs 5-30 rounds of
+    joins + aggregates over a frame whose size the operator just
+    measured, and each round's fixed cost is tasks x scheduling — at the
+    session's scan-width partitioning a 16k-edge graph pays 32 tasks per
+    exchange per round for rows that fit in one (measured: pagerank at
+    sf0.1 3.54 -> 2.25 s going 32 -> 8).  AQE cannot fix this: with
+    ``coalescePartitions.parallelismFirst`` (default true) it refuses to
+    coalesce below the session parallelism.  The scope picks
+    ``p = clamp(ceil(n_rows / EDGES_PER_ITER_PARTITION), 1, session)``
+    — a 100 TB graph keeps the session's full width, a dimension-sized
+    one stops paying scan-width scheduling — and always restores.
+
+    CONTRACT: the loop must EXECUTE inside the scope (eager per-round
+    checkpoints).  A lazy plan binds its exchanges at action time, after
+    the restore, and would silently run at the session setting."""
+    conf = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(conf)
+    p = (
+        int(partitions)
+        if partitions is not None
+        else min(
+            int(prev),
+            max(1, -(-int(n_rows) // EDGES_PER_ITER_PARTITION)),
+        )
+    )
+    spark.conf.set(conf, str(p))
+    try:
+        yield p
+    finally:
+        spark.conf.set(conf, prev)

@@ -439,3 +439,31 @@ def test_kcore_lineage_truncated_single_degree_exchange(spark, sf):
     assert "partial_count" in plan, plan  # map-side combine
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_iteration_shuffle_scope_sizes_and_restores(spark):
+    """r11: iterative loops scope shuffle partitions to the measured
+    working set — p = clamp(ceil(n / EDGES_PER_ITER_PARTITION), 1,
+    session), always restored, exception-safe."""
+    from minivectordb_spark.plans import (
+        EDGES_PER_ITER_PARTITION,
+        iteration_shuffle_scope,
+    )
+
+    conf = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(conf)
+    with iteration_shuffle_scope(spark, 100) as p:
+        assert p == 1 and spark.conf.get(conf) == "1"
+    assert spark.conf.get(conf) == prev
+    with iteration_shuffle_scope(spark, 10**12) as p:
+        assert p == int(prev)  # a 100 TB graph keeps the session width
+    with iteration_shuffle_scope(spark, 5 * EDGES_PER_ITER_PARTITION) as p:
+        assert p == min(int(prev), 5)
+    with iteration_shuffle_scope(spark, 100, partitions=7) as p:
+        assert p == 7  # explicit override wins
+    try:
+        with iteration_shuffle_scope(spark, 100):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get(conf) == prev
