@@ -202,6 +202,11 @@ def test_graded_drift_section_flags_and_scale_guard(tmp_path):
     d3 = graded_drift_section(walls, 0.1, "/nonexistent", "8",
                               attribute=False, repo_dir=str(tmp_path / "x"))
     assert d3["prev_found"] is False and d3["flagged"] == {}
+    # host-load context: calib 0.42 vs idle 0.21 -> factor 2.0
+    d4 = graded_drift_section(walls, 0.1, "/nonexistent", "8",
+                              attribute=False, repo_dir=str(tmp_path),
+                              jvm_calib=0.42)
+    assert d4["host_load_factor"] == 2.0
 
 
 def test_coverage_registry_section_is_derived():
