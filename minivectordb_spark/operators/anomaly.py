@@ -558,14 +558,14 @@ def distribution_drift(
     ``tv_ppm = sum_b |p_ppm - q_ppm| div 2`` (0 = identical shape,
     1_000_000 = disjoint support).
 
-    Plan: three combiner-reduced aggregates — (group, bucket) counts,
-    group totals, bucket totals — then the scoring join runs on the
-    GROUPS x BUCKETS grid only (a cross join of two aggregate dims,
-    bounded by their product, never row-scale; the grid is needed so a
-    bucket the group MISSES still contributes |0 - q_b|), one broadcast
-    of the one-row corpus total, and one final per-group sum.  Nothing
-    after the first aggregate touches more than |groups| x |buckets|
-    rows."""
+    Plan: ONE corpus pass — the combiner-reduced (group, bucket) count —
+    then group totals, bucket totals and the corpus total all derive
+    from that aggregate (|groups| x |buckets| rows), so the source is
+    scanned exactly once; the scoring join runs on the GROUPS x BUCKETS
+    grid only (a cross join of two aggregate dims, bounded by their
+    product, never row-scale; the grid is needed so a bucket the group
+    MISSES still contributes |0 - q_b|), one broadcast of the one-row
+    corpus total, and one final per-group sum."""
     if bucket_width < 1:
         raise ValueError("bucket_width must be >= 1")
     PPM = 1_000_000
@@ -574,9 +574,13 @@ def distribution_drift(
         F.col(group_col).alias("__g"),
         (v - (v % F.lit(bucket_width))).alias("__b"),
     )
-    gb = base.groupBy("__g", "__b").agg(F.count(F.lit(1)).alias("__cgb"))
-    g = base.groupBy("__g").agg(F.count(F.lit(1)).alias("__ng"))
-    b = base.groupBy("__b").agg(F.count(F.lit(1)).alias("__cb"))
+    from minivectordb_spark.operators.dedup import _reused
+
+    gb = _reused(
+        base.groupBy("__g", "__b").agg(F.count(F.lit(1)).alias("__cgb"))
+    )
+    g = gb.groupBy("__g").agg(F.sum("__cgb").alias("__ng"))
+    b = gb.groupBy("__b").agg(F.sum("__cgb").alias("__cb"))
     total = b.agg(F.sum("__cb").alias("__n"))
     grid = (
         g.crossJoin(b)  # dims: |groups| x |buckets| rows, by construction

@@ -47,7 +47,17 @@ materialized only while the bound stays sane), making COVERAGE's
 "collision-bounded at ~100x" claim falsifiable and documenting why the
 LSH/setsim rows are the scale path.
 
-Usage: python tools/decade3_pairs.py [setsim|lsh|simhash] [n ...]
+neardup mode: the embedding-cosine family (graded neardup_lsh
+machinery — adaptive random-projection planes, one-sided multiprobe,
+exact cosine verify) over deterministic hash-derived dim-16 vectors;
+every 50th is a twin nudged by 0.02 in one coordinate (cosine ~0.9999,
+above the 0.995 verify threshold).  Its counter law differs from the
+prefix/banding families BY DESIGN: the adaptive plane count targets a
+fixed block size, so candidates are ~(block_size x (1+probes))/2 PER
+ROW — candidates/n must stay FLAT across decades (bucket-bounded,
+linear in n) while brute pairs grow 100x; recall = output/planted.
+
+Usage: python tools/decade3_pairs.py [setsim|lsh|simhash|neardup] [n ...]
        (default: setsim 5000 50000 500000)
 """
 
@@ -102,6 +112,38 @@ def synth_docs(spark, n: int):
     )
 
 
+def synth_vecs(spark, n: int, dim: int = 16):
+    """n deterministic dim-16 embeddings (vec_id, embedding); every
+    TWIN_EVERY-th row is its predecessor's vector with +0.02 on the
+    first coordinate — the planted cosine near-duplicate."""
+    base = F.when(
+        F.col("id") % TWIN_EVERY == 1, F.col("id") - 1
+    ).otherwise(F.col("id"))
+    is_twin = F.col("id") % TWIN_EVERY == 1
+    comps = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda j: (
+            F.pmod(
+                F.xxhash64(base * F.lit(1_048_576) + j.cast("long"), F.lit(29)),
+                F.lit(2001),
+            )
+            - F.lit(1000)
+        ).cast("double")
+        / F.lit(1000.0),
+    )
+    vec = F.when(
+        is_twin,
+        F.concat(
+            F.array(F.element_at(comps, 1) + F.lit(0.02)),
+            F.slice(comps, 2, dim - 1),
+        ),
+    ).otherwise(comps)
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        vec.cast("array<float>").alias("embedding"),
+    )
+
+
 def main() -> None:
     from minivectordb_spark.operators.dedup import lsh_diagnostics
     from minivectordb_spark.operators.setsim import setsim_diagnostics
@@ -109,7 +151,7 @@ def main() -> None:
 
     args = sys.argv[1:]
     family = "setsim"
-    if args and args[0] in ("setsim", "lsh", "simhash"):
+    if args and args[0] in ("setsim", "lsh", "simhash", "neardup"):
         family = args[0]
         args = args[1:]
     sizes = [int(a) for a in args] or [5_000, 50_000, 500_000]
@@ -119,6 +161,30 @@ def main() -> None:
     )
     out = {}
     for n in sizes:
+        if family == "neardup":
+            from minivectordb_spark.operators.dedup import (
+                embedding_neardup_diagnostics,
+            )
+
+            vecs = synth_vecs(spark, n).localCheckpoint()
+            t0 = time.time()
+            d = embedding_neardup_diagnostics(
+                vecs,
+                threshold=0.995,
+                max_probes=4,
+                target_block_size=32,
+            )
+            wall = round(time.time() - t0, 1)
+            d.update(
+                n=n,
+                wall_sec=wall,
+                planted_pairs=len(range(1, n, TWIN_EVERY)),
+                brute_pairs=n * (n - 1) // 2,
+                cand_per_row=round(d["candidate_pairs"] / n, 1),
+            )
+            out[n] = d
+            print(json.dumps({str(n): d}, separators=(",", ":")), flush=True)
+            continue
         docs = synth_docs(spark, n).localCheckpoint()
         t0 = time.time()
         if family == "lsh":
