@@ -3926,6 +3926,26 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
         d["output_rows"] = int(q_dedup_best(spark, sf_dir).count())
         return d
 
+    def c_source_drift(spark: SparkSession, sf_dir: str) -> dict:
+        # the 100 TB claim: after ONE combiner-reduced corpus pass, the
+        # scoring join touches only the |groups| x |buckets| grid —
+        # grid_rows is that exposure, and it must track the DIMS (flat
+        # buckets, flat groups under user replication), never the corpus
+        docs = _t(spark, sf_dir, "documents")
+        n_groups = int(docs.select("source").distinct().count())
+        n_buckets = int(
+            docs.selectExpr(
+                f"count(distinct n_chars - (n_chars % {DRIFT_BUCKET_W}))"
+            ).first()[0]
+        )
+        return {
+            "n_rows": int(docs.count()),
+            "n_groups": n_groups,
+            "n_buckets": n_buckets,
+            "grid_rows": n_groups * n_buckets,
+            "output_rows": int(q_source_drift(spark, sf_dir).count()),
+        }
+
     def c_lsh_jaccard(spark: SparkSession, sf_dir: str) -> dict:
         # banding candidates vs verified output: the wall follows the
         # candidate set (bucket collisions) and the verified pairs grow
@@ -4423,6 +4443,7 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
         "neardup_cosine": c_neardup_cosine,
         "dedup_groups": c_dedup_groups,
         "dedup_best": c_dedup_best,
+        "source_drift": c_source_drift,
         "lsh_jaccard_pairs": c_lsh_jaccard,
         "semantic_dedup": c_semantic_dedup,
         "decontaminate": c_decontaminate,
