@@ -1310,6 +1310,51 @@ FROM grid GROUP BY g, ng
 """.strip()
 
 
+SHIFT_BUCKET_W = 1000  # integer cents: 10-unit buckets over value ~0-500
+
+
+def q_events_shift(spark, sf_dir):
+    """Snapshot-over-snapshot drift (operators/anomaly.
+    distribution_shift, new r11): one-row total-variation distance
+    between the click and view value distributions — the A-vs-B
+    companion of source_drift's group-vs-corpus score, same exact
+    integer-ppm discipline (no float ever formed).  One combiner-reduced
+    bucket count per side, a full outer join of two bucket DIMS, two
+    one-row totals broadcast in."""
+    from minivectordb_spark.operators.anomaly import distribution_shift
+
+    ev = _t(spark, sf_dir, "events")
+    return distribution_shift(
+        ev.filter(F.col("event_type") == "click").select("value"),
+        ev.filter(F.col("event_type") == "view").select("value"),
+        value_col="value",
+        bucket_width=SHIFT_BUCKET_W,
+        scale=100,
+    )
+
+
+def _oracle_events_shift() -> str:
+    """q_events_shift twin: same floor-scaled buckets, floor-divided ppm
+    proportions, full outer bucket join, exact integer TV."""
+    w = SHIFT_BUCKET_W
+    return f"""
+WITH a AS (SELECT (floor(value * 100)::BIGINT - (floor(value * 100)::BIGINT % {w})) AS b,
+                  count(*)::BIGINT AS ca
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+bb AS (SELECT (floor(value * 100)::BIGINT - (floor(value * 100)::BIGINT % {w})) AS b,
+              count(*)::BIGINT AS cb
+       FROM events WHERE event_type = 'view' GROUP BY 1),
+ta AS (SELECT coalesce(sum(ca), 0)::BIGINT AS na FROM a),
+tb AS (SELECT coalesce(sum(cb), 0)::BIGINT AS nb FROM bb),
+grid AS (SELECT coalesce(a.ca, 0) AS ca, coalesce(bb.cb, 0) AS cb, ta.na, tb.nb
+         FROM a FULL OUTER JOIN bb USING (b) CROSS JOIN ta CROSS JOIN tb)
+SELECT na AS n_a, nb AS n_b,
+       CAST(sum(abs(ca * 1000000 // greatest(na, 1)
+                    - cb * 1000000 // greatest(nb, 1))) // 2 AS BIGINT) AS tv_ppm
+FROM grid GROUP BY na, nb
+""".strip()
+
+
 def q_source_overlap(spark, sf_dir):
     """Pairwise source-overlap matrix (operators/dedup.source_overlap,
     new r8): shared distinct 3-gram counts + exact-rational gram
@@ -4569,6 +4614,7 @@ def rotation_registry() -> dict[str, dict]:
         "dedup_groups": {"kind": R, "siblings": ["dedup_best", "lsh_jaccard_pairs"]},
         "customer_distribution": {"kind": R, "siblings": ["revenue_by_region", "priority_returns", "tpch_q1"]},
         "source_drift": {"kind": C, "siblings": ["events_histogram", "source_report"]},
+        "events_shift": {"kind": C, "siblings": ["source_drift", "events_histogram"]},
     }
 
 
@@ -4896,6 +4942,9 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # total-variation over fixed-width buckets; the monitoring score
         # on top of the histogram family's shapes
         "source_drift": q_source_drift,
+        # r11 NEW capability: the A-vs-B companion — one-row TV distance
+        # between two slices' value distributions (snapshot drift)
+        "events_shift": q_events_shift,
     }
 
 
@@ -6421,6 +6470,7 @@ FROM documents
         "activity_spans": _oracle_activity_spans(),
         "source_overlap": _oracle_source_overlap(),
         "source_drift": _oracle_source_drift(),
+        "events_shift": _oracle_events_shift(),
         "events_winsorized": _oracle_events_winsorized(),
         "events_histogram": _oracle_events_histogram(),
         "nation_balance": _oracle_nation_balance(),

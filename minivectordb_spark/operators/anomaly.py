@@ -610,3 +610,63 @@ def distribution_drift(
             F.col("tv_ppm"),
         )
     )
+
+
+def distribution_shift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    bucket_width: int,
+    scale: int = 1,
+) -> DataFrame:
+    """Snapshot-over-snapshot drift (r11): ONE ROW with the
+    total-variation distance between two frames' value distributions —
+    the companion to ``distribution_drift`` (group vs corpus within one
+    frame) for the other monitoring question: "does TODAY's ingest look
+    like yesterday's?" / "does slice A look like slice B?".
+
+    Same exact-integer discipline: values scale to integers, buckets
+    are fixed-width, proportions freeze to floor-divided ppm, so
+    ``tv_ppm`` (0 = identical shape, 1_000_000 = disjoint support) is
+    bit-identical on any engine.  Output: ``(n_a, n_b, tv_ppm)``.
+
+    Plan: one combiner-reduced bucket count per side (each side's only
+    scan), a FULL outer join of the two bucket dims (a bucket one side
+    misses still contributes its whole ppm mass), two one-row totals
+    broadcast in, and a final global sum over |buckets| rows."""
+    if bucket_width < 1:
+        raise ValueError("bucket_width must be >= 1")
+    PPM = 1_000_000
+
+    def counts(df: DataFrame, cnt: str) -> DataFrame:
+        v = F.floor(F.col(value_col) * F.lit(scale)).cast("long")
+        return (
+            df.select((v - (v % F.lit(bucket_width))).alias("__b"))
+            .groupBy("__b")
+            .agg(F.count(F.lit(1)).alias(cnt))
+        )
+
+    a = counts(df_a, "__ca")
+    b = counts(df_b, "__cb")
+    na = a.agg(F.coalesce(F.sum("__ca"), F.lit(0)).alias("__na"))
+    nb = b.agg(F.coalesce(F.sum("__cb"), F.lit(0)).alias("__nb"))
+    grid = (
+        a.join(b, "__b", "full")
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "__na",
+            "__nb",
+            F.abs(
+                F.expr(f"coalesce(__ca, 0) * {PPM} div greatest(__na, 1)")
+                - F.expr(f"coalesce(__cb, 0) * {PPM} div greatest(__nb, 1)")
+            ).alias("__t"),
+        )
+    )
+    return grid.groupBy("__na", "__nb").agg(
+        F.expr("sum(__t) div 2").alias("tv_ppm")
+    ).select(
+        F.col("__na").alias("n_a"),
+        F.col("__nb").alias("n_b"),
+        F.col("tv_ppm"),
+    )

@@ -2488,3 +2488,21 @@ def test_simhash_band_diagnostics_occupancy_and_bound(spark):
     d2 = simhash_band_diagnostics(df, join=False)
     assert "output_pairs" not in d2
     assert d2["collision_pairs_bound"] == 4
+
+
+def test_distribution_shift_exact_ppm(spark):
+    """distribution_shift (r11): one-row A-vs-B TV, hand-computed.
+    A={0,0,10,20} buckets {0:2,10:1,20:1} (ppm 500000/250000/250000);
+    B={10,10,30} buckets {10:2,30:1} (ppm 666666/333333).  Terms:
+    |500000-0| + |250000-666666| + |250000-0| + |0-333333|
+    = 500000+416666+250000+333333 = 1499999 -> tv 749999."""
+    from minivectordb_spark.operators.anomaly import distribution_shift
+
+    a = spark.createDataFrame([(0,), (0,), (10,), (20,)], ["v"])
+    b = spark.createDataFrame([(10,), (10,), (30,)], ["v"])
+    r = distribution_shift(a, b, "v", 10).collect()
+    assert len(r) == 1
+    assert (r[0]["n_a"], r[0]["n_b"], r[0]["tv_ppm"]) == (4, 3, 749999)
+    # identical frames -> zero drift
+    z = distribution_shift(a, a, "v", 10).collect()[0]
+    assert z["tv_ppm"] == 0 and z["n_a"] == z["n_b"] == 4
