@@ -231,3 +231,28 @@ def test_coverage_registry_section_is_derived():
         "COVERAGE.md registry section is stale — rerun "
         "tools/registry_report.py"
     )
+
+
+def test_demoted_drift_auto_attribution(tmp_path, monkeypatch):
+    """r11: the demoted gate auto-attributes its catches standalone-cold
+    like the graded gate — 'noise' when the cold wall is back in band,
+    'reproduced' when it is not."""
+    import json
+
+    import tools.demoted_bench as db
+
+    prev = tmp_path / "DEMOTED_WALLS.json"
+    prev.write_text(json.dumps({"queries": {"a": 1.0, "b": 1.0}}))
+    monkeypatch.setattr(
+        "tools.graded_drift._standalone_cold",
+        lambda names, sf_dir, cpus: {"a": 1.1, "b": 4.5},
+    )
+    d = db.drift_section(
+        {"a": 3.0, "b": 5.0}, str(prev), sf_dir="/x", attribute=True
+    )
+    assert d["flagged"]["a"]["attribution"] == "noise"
+    assert d["flagged"]["b"]["attribution"] == "reproduced"
+    assert d["flagged"]["b"]["standalone_cold"] == 4.5
+    # no sf_dir (standalone tool use): flags only, no subprocess
+    d2 = db.drift_section({"a": 3.0}, str(prev))
+    assert "attribution" not in d2["flagged"]["a"]

@@ -30,15 +30,26 @@ DRIFT_RATIO = 2.0
 DRIFT_FLOOR_SEC = 0.5  # sub-half-second walls are scheduler noise at 1 run
 
 
-def drift_section(walls: dict, prev_path: str) -> dict:
+def drift_section(
+    walls: dict,
+    prev_path: str,
+    sf_dir: str | None = None,
+    attribute: bool = True,
+) -> dict:
     """Round-over-round drift gate (VERDICT r8 item 4): compare this
     round's demoted walls against the previously COMMITTED
     DEMOTED_WALLS.json and list every row whose wall grew more than
     DRIFT_RATIO x — a rotation can no longer park a regression where
     only a human diff would see it.  Rows under DRIFT_FLOOR_SEC on both
     sides are skipped (single-run sub-second walls flap with cold
-    codegen, documented above); confirm any flagged row with
-    tools/standalone_bench.py before acting."""
+    codegen, documented above).
+
+    r11: flagged rows are AUTO-ATTRIBUTED standalone-cold (a fresh
+    process, min-of-3, via the graded gate's shared helper) — the two
+    catches this gate made in r10/r11 (corpus_pipeline, insert_unique)
+    both needed the same manual protocol, so it is now mechanical:
+    ``noise`` if the cold wall is back inside the ratio band of the
+    previous round, ``reproduced`` otherwise."""
     try:
         with open(prev_path) as f:
             prev = json.load(f).get("queries", {})
@@ -54,6 +65,26 @@ def drift_section(walls: dict, prev_path: str) -> dict:
         if wall > DRIFT_RATIO * p:
             flagged[name] = {"prev": p, "now": wall,
                              "ratio": round(wall / p, 2)}
+    if flagged and attribute and sf_dir:
+        from tools.graded_drift import MAX_ATTRIBUTED, _standalone_cold
+
+        by_ratio = sorted(flagged, key=lambda n: -flagged[n]["ratio"])
+        names = by_ratio[:MAX_ATTRIBUTED]
+        cold = _standalone_cold(
+            names, sf_dir, os.environ.get("SPARK_GRAFT_CPUS", "32")
+        )
+        for name in names:
+            c = cold.get(name)
+            row = flagged[name]
+            if c is None:
+                row["attribution"] = "attribution_failed"
+                continue
+            row["standalone_cold"] = c
+            row["attribution"] = (
+                "noise" if c <= DRIFT_RATIO * row["prev"] else "reproduced"
+            )
+        for name in by_ratio[MAX_ATTRIBUTED:]:
+            flagged[name]["attribution"] = "not_attributed_cap"
     return {"prev_found": True, "ratio_gate": DRIFT_RATIO,
             "floor_sec": DRIFT_FLOOR_SEC, "flagged": flagged}
 
@@ -106,7 +137,7 @@ def demoted_walls_section(spark, sf_dir: str) -> dict:
         "sf_dir": sf_dir,
         "n_queries": len(walls),
         "total_wall_sec": round(time.time() - t_all, 3),
-        "drift": drift_section(walls, prev_path),
+        "drift": drift_section(walls, prev_path, sf_dir=sf_dir),
         "waves": waves,
         "queries": walls,
     }
