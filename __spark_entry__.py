@@ -1065,6 +1065,18 @@ def q_simhash_pairs64(spark, sf_dir):
     )
 
 
+def q_simhash_pairs128(spark, sf_dir):
+    """128-bit SimHash pairs (four 32-bit words from ONE md5 digest per
+    token, full-word 32-bit banding) — the band-SPACE scale fix for the
+    saturation the r11 decade run measured in the 64-bit variant: band
+    value space 2^32 per band vs 2^16, pushing the pigeonhole collision
+    floor from ~10^5 to ~10^9 docs with the same exact-recall guarantee
+    (hamming <= n_bands - 1) and the same banded-join plan."""
+    return simhash_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=SIMHASH_MAX_HAMMING, bits=128
+    )
+
+
 def q_setsim_pairs(spark, sf_dir):
     """Exact all-pairs shingle Jaccard >= 0.5 via prefix filtering
     (AllPairs/PPJoin family) — the EXACT-recall counterpart of the graded
@@ -4578,6 +4590,7 @@ def rotation_registry() -> dict[str, dict]:
         "events_json": {"kind": C, "siblings": []},
         "events_deciles": {"kind": C, "siblings": ["events_percentiles"]},
         "simhash_pairs64": {"kind": C, "siblings": ["lsh_jaccard_pairs"]},
+        "simhash_pairs128": {"kind": C, "siblings": ["simhash_pairs64"]},
         "late_sole_suppliers": {"kind": C, "siblings": []},
         "dormant_customers": {"kind": C, "siblings": []},
         "mmr_rerank": {"kind": C, "siblings": []},
@@ -4859,6 +4872,7 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "events_deciles": q_events_deciles,
         "simhash_pairs64": q_simhash_pairs64,
+        "simhash_pairs128": q_simhash_pairs128,
         "late_sole_suppliers": q_late_sole_suppliers,
         "dormant_customers": q_dormant_customers,
         "mmr_rerank": q_mmr_rerank,
@@ -5904,6 +5918,62 @@ SELECT id_a, id_b, hamming FROM (
 """.strip()
 
 
+def _oracle_simhash_pairs128() -> str:
+    """q_simhash_pairs128 twin: four 32-bit SimHash words from one md5
+    digest (hex chars 1-8 / 9-16 / 17-24 / 25-32), full-word banding
+    (band value = the word itself), hamming = sum of four xor popcounts —
+    mirrors _simhash_fp_and_bands' bits=128 branch."""
+
+    def votes(src: str, prefix: str) -> str:
+        return ",\n    ".join(
+            f"list_sum(list_transform({src}, h -> ((h >> {b}) & 1) * 2 - 1))::BIGINT"
+            f" AS {prefix}{b}"
+            for b in range(32)
+        )
+
+    def fp(prefix: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN {prefix}{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32)
+        )
+
+    word_lists = ",\n        ".join(
+        f"list_transform(d, x -> ('0x' || substr(x, {1 + 8 * w}, 8))::BIGINT) AS hw{w}"
+        for w in range(4)
+    )
+    vote_blocks = ",\n    ".join(votes(f"hw{w}", f"w{w}_") for w in range(4))
+    fp_cols = ", ".join(f"({fp(f'w{w}_')})::BIGINT AS fp{w}" for w in range(4))
+    band_case = (
+        "CASE u.b WHEN 0 THEN fp0 WHEN 1 THEN fp1 WHEN 2 THEN fp2 ELSE fp3 END"
+    )
+    hamming = " + ".join(
+        f"bit_count(xor(sa.fp{w}, sb.fp{w}))" for w in range(4)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+dg AS (SELECT doc_id, list_transform(tk, x -> md5(x)) AS d FROM t),
+th AS (SELECT doc_id,
+        {word_lists}
+       FROM dg),
+v AS (SELECT doc_id,
+    {vote_blocks}
+  FROM th),
+sim AS (SELECT doc_id, {fp_cols} FROM v),
+bk AS (SELECT sim.doc_id, u.b, {band_case} AS bv
+       FROM sim, unnest(range(0, 4)) AS u(b)),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bk l JOIN bk r ON l.b = r.b AND l.bv = r.bv AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b, hamming FROM (
+  SELECT c.id_a, c.id_b,
+         ({hamming})::BIGINT AS hamming
+  FROM cand c
+  JOIN sim sa ON sa.doc_id = c.id_a
+  JOIN sim sb ON sb.doc_id = c.id_b
+) WHERE hamming <= {SIMHASH_MAX_HAMMING}
+""".strip()
+
+
 def _sql_rp_bucket(emb: str, planes=None) -> str:
     terms = " + ".join(
         f"(CASE WHEN {_sql_dot_lit(emb, p)} >= 0 THEN {1 << i} ELSE 0 END)"
@@ -6447,6 +6517,7 @@ FROM documents
         "simhash": _oracle_simhash(),
         "simhash_pairs": _oracle_simhash_pairs(),
         "simhash_pairs64": _oracle_simhash_pairs64(),
+        "simhash_pairs128": _oracle_simhash_pairs128(),
         "setsim_jaccard_pairs": _oracle_setsim_pairs(),
         "late_sole_suppliers": _oracle_late_sole_suppliers(),
         "dormant_customers": _oracle_dormant_customers(),

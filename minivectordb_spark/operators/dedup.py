@@ -481,6 +481,60 @@ def simhash_fingerprints64(
     )
 
 
+def simhash_fingerprints128(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """128-bit SimHash as FOUR independent 32-bit words — the band-space
+    scale fix for the saturation the r11 decade run MEASURED in the
+    64-bit variant (band space 4x65,536 fills by ~500k docs and the
+    collision bound turns quadratic: 985 -> 85k -> 8.5M on 10x steps).
+
+    md5 emits exactly 128 bits, so all four words come from the SAME
+    single digest pass the 64-bit variant already pays (hex chars 1-8,
+    9-16, 17-24, 25-32; md5's output words are independent): the only
+    added cost is two more cheap hex->int extractions and two more SWAR
+    vote folds.  At n_bands=4 each band is a FULL 32-bit word — band
+    value space 2^32 per band vs 2^16, pushing the pigeonhole floor
+    from ~10^5 to ~10^9 docs while keeping the exact-recall guarantee
+    (hamming <= n_bands - 1 = 3) and the banded-join plan unchanged.
+
+    Reference parity note: the reference engine has no fingerprint dedup
+    at all — this family is part of the training-data-pipeline surface
+    layered on top of its vector-search core."""
+    toks_df = _barrier(_parallel(df), tokens(F.col(text_col)), "__toks", [id_col])
+    dg_df = _barrier(
+        toks_df,
+        F.transform(F.col("__toks"), lambda t: F.md5(t.cast("binary"))),
+        "__dg",
+        [id_col],
+    )
+    def word_extract(w: int):
+        # arity-1 lambda: F.transform feeds the element index to a second
+        # parameter, which would shadow a `w=w` default (observed: all-zero
+        # fingerprints from out-of-range substring -> NULL votes)
+        return lambda d: F.conv(F.substring(d, 1 + 8 * w, 8), 16, 10).cast("long")
+
+    carry: list[str] = [id_col]
+    cur = dg_df
+    for w in range(4):
+        cur = _barrier(
+            cur,
+            F.transform(F.col("__dg"), word_extract(w)),
+            f"__hw{w}",
+            carry + (["__dg"] if w < 3 else []),
+        )
+        carry = carry + [f"__hw{w}"]
+    return cur.select(
+        F.col(id_col),
+        *[
+            simhash_from_hashes(
+                F.col(f"__hw{w}"), F.size(F.col(f"__hw{w}"))
+            ).alias(f"simhash_w{w}")
+            for w in range(4)
+        ],
+    )
+
+
 def _simhash_fp_and_bands(
     df: DataFrame, text_col: str, id_col: str, n_bands: int, bits: int
 ):
@@ -490,6 +544,34 @@ def _simhash_fp_and_bands(
     Returns (fp_df, bands_col, fp_cols_a, fp_cols_b, hamming_expr)."""
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
+    if bits == 128:
+        if band_bits > 32 or 32 % band_bits != 0:
+            raise ValueError(
+                "bits=128 requires n_bands with 32 % (128/n_bands) == 0"
+            )
+        fp = _reused(simhash_fingerprints128(df, text_col, id_col))
+        per_word = 32 // band_bits
+
+        def chunk(b: int):
+            src = F.col(f"simhash_w{b // per_word}")
+            return (
+                F.shiftright(src, (b % per_word) * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .cast("long")
+            )
+
+        bands = F.array(*[chunk(b) for b in range(n_bands)])
+        fp_cols_a = [
+            F.col(f"simhash_w{w}").alias(f"__w{w}_a") for w in range(4)
+        ]
+        fp_cols_b = [
+            F.col(f"simhash_w{w}").alias(f"__w{w}_b") for w in range(4)
+        ]
+        hamming_expr = sum(
+            F.bit_count(F.col(f"__w{w}_a").bitwiseXOR(F.col(f"__w{w}_b")))
+            for w in range(4)
+        ).cast("long")
+        return fp, bands, fp_cols_a, fp_cols_b, hamming_expr
     if bits == 64:
         if 32 % band_bits != 0:
             raise ValueError("bits=64 requires n_bands with 32 % (64/n_bands) == 0")

@@ -138,6 +138,60 @@ def test_simhash_pairs64_pigeonhole_recall(docs):
     }
     assert got == expected
     assert got[(0, 1)] == 0  # identical texts -> identical 64-bit fingerprints
+
+
+def test_simhash_pairs128_pigeonhole_recall_and_word_reference(docs):
+    """128-bit variant: (a) the four words match an independent Python
+    md5 recomputation (majority vote over hex chars 1-8/9-16/17-24/25-32
+    of each token's digest), (b) every pair at Hamming <= n_bands-1 over
+    the 128 bits is found vs all-pairs brute force."""
+    import hashlib
+
+    from minivectordb_spark.operators.dedup import (
+        simhash_fingerprints128,
+        simhash_pairs,
+    )
+
+    fps = {
+        r["doc_id"]: tuple(r[f"simhash_w{w}"] for w in range(4))
+        for r in simhash_fingerprints128(docs).collect()
+    }
+
+    def py_ref(text: str):
+        toks = text.split(" ") if text else []
+        out = []
+        for w in range(4):
+            counts = [0] * 32
+            for t in toks:
+                h = int(hashlib.md5(t.encode()).hexdigest()[8 * w : 8 * w + 8], 16)
+                for b in range(32):
+                    counts[b] += (h >> b) & 1
+            out.append(
+                sum((1 << b) for b in range(32) if counts[b] * 2 > len(toks))
+            )
+        return tuple(out)
+
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for i, text in texts.items():
+        assert fps[i] == py_ref(text), f"doc {i}"
+
+    ids = sorted(fps)
+
+    def ham(a, b):
+        return sum(bin(fps[a][w] ^ fps[b][w]).count("1") for w in range(4))
+
+    expected = {
+        (a, b): ham(a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if ham(a, b) <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(docs, max_hamming=3, bits=128).collect()
+    }
+    assert got == expected
+    assert got[(0, 1)] == 0  # identical texts -> identical 128-bit fingerprints
     # halves are genuinely independent: lo == 32-bit simhash, hi differs
     from minivectordb_spark.operators.dedup import simhash_fingerprints
 

@@ -151,7 +151,7 @@ def main() -> None:
 
     args = sys.argv[1:]
     family = "setsim"
-    if args and args[0] in ("setsim", "lsh", "simhash", "neardup"):
+    if args and args[0] in ("setsim", "lsh", "simhash", "simhash128", "neardup"):
         family = args[0]
         args = args[1:]
     sizes = [int(a) for a in args] or [5_000, 50_000, 500_000]
@@ -189,16 +189,21 @@ def main() -> None:
         t0 = time.time()
         if family == "lsh":
             d = lsh_diagnostics(docs, "text", "doc_id", k=3, threshold=0.5)
-        elif family == "simhash":
+        elif family in ("simhash", "simhash128"):
             from minivectordb_spark.operators.dedup import (
                 simhash_band_diagnostics,
             )
 
+            bits = 128 if family == "simhash128" else 64
             # materialize the join only while the emission bound is sane
             # (past saturation the bound IS the finding)
-            d = simhash_band_diagnostics(docs, "text", "doc_id", join=False)
+            d = simhash_band_diagnostics(
+                docs, "text", "doc_id", bits=bits, join=False
+            )
             if d["collision_pairs_bound"] <= 2_000_000:
-                d = simhash_band_diagnostics(docs, "text", "doc_id", join=True)
+                d = simhash_band_diagnostics(
+                    docs, "text", "doc_id", bits=bits, join=True
+                )
         else:
             d = setsim_diagnostics(docs, "text", "doc_id", k=3, threshold=0.5)
         wall = round(time.time() - t0, 1)
