@@ -1077,6 +1077,20 @@ def q_simhash_pairs128(spark, sf_dir):
     )
 
 
+def q_simhash_pairs_auto(spark, sf_dir):
+    """bits="auto" twin of the fixed-width simhash rows: the operator
+    sizes the fingerprint from count(*) via auto_simhash_bits (smallest
+    width whose per-band space keeps expected bucket occupancy <= 1),
+    so the measured saturation law ships as the knob default.  The
+    oracle replays the same count thresholds (256 / 65,536 at 4 bands)
+    around the three fixed-width pipelines."""
+    return simhash_pairs(
+        _t(spark, sf_dir, "documents"),
+        max_hamming=SIMHASH_MAX_HAMMING,
+        bits="auto",
+    )
+
+
 def q_setsim_pairs(spark, sf_dir):
     """Exact all-pairs shingle Jaccard >= 0.5 via prefix filtering
     (AllPairs/PPJoin family) — the EXACT-recall counterpart of the graded
@@ -4591,6 +4605,7 @@ def rotation_registry() -> dict[str, dict]:
         "events_deciles": {"kind": C, "siblings": ["events_percentiles"]},
         "simhash_pairs64": {"kind": C, "siblings": ["lsh_jaccard_pairs"]},
         "simhash_pairs128": {"kind": C, "siblings": ["simhash_pairs64"]},
+        "simhash_pairs_auto": {"kind": C, "siblings": ["simhash_pairs128", "simhash_pairs64"]},
         "late_sole_suppliers": {"kind": C, "siblings": []},
         "dormant_customers": {"kind": C, "siblings": []},
         "mmr_rerank": {"kind": C, "siblings": []},
@@ -4873,6 +4888,7 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_deciles": q_events_deciles,
         "simhash_pairs64": q_simhash_pairs64,
         "simhash_pairs128": q_simhash_pairs128,
+        "simhash_pairs_auto": q_simhash_pairs_auto,
         "late_sole_suppliers": q_late_sole_suppliers,
         "dormant_customers": q_dormant_customers,
         "mmr_rerank": q_mmr_rerank,
@@ -5974,6 +5990,22 @@ SELECT id_a, id_b, hamming FROM (
 """.strip()
 
 
+def _oracle_simhash_pairs_auto() -> str:
+    """q_simhash_pairs_auto twin: auto_simhash_bits is deterministic in
+    count(*) (32 bits iff n <= 256, 64 iff n <= 65,536, else 128 — the
+    smallest width with per-band space >= n at 4 bands), so the twin
+    gates the three fixed-width pipelines on the same scalar subquery;
+    exactly one branch survives."""
+    n = "(SELECT count(*) FROM documents)"
+    return (
+        f"SELECT * FROM ({_oracle_simhash_pairs()}) WHERE {n} <= 256\n"
+        f"UNION ALL\n"
+        f"SELECT * FROM ({_oracle_simhash_pairs64()}) WHERE {n} > 256 AND {n} <= 65536\n"
+        f"UNION ALL\n"
+        f"SELECT * FROM ({_oracle_simhash_pairs128()}) WHERE {n} > 65536"
+    )
+
+
 def _sql_rp_bucket(emb: str, planes=None) -> str:
     terms = " + ".join(
         f"(CASE WHEN {_sql_dot_lit(emb, p)} >= 0 THEN {1 << i} ELSE 0 END)"
@@ -6518,6 +6550,7 @@ FROM documents
         "simhash_pairs": _oracle_simhash_pairs(),
         "simhash_pairs64": _oracle_simhash_pairs64(),
         "simhash_pairs128": _oracle_simhash_pairs128(),
+        "simhash_pairs_auto": _oracle_simhash_pairs_auto(),
         "setsim_jaccard_pairs": _oracle_setsim_pairs(),
         "late_sole_suppliers": _oracle_late_sole_suppliers(),
         "dormant_customers": _oracle_dormant_customers(),

@@ -617,13 +617,28 @@ def _simhash_fp_and_bands(
     return fp, bands, fp_cols_a, fp_cols_b, hamming_expr
 
 
+def auto_simhash_bits(n_docs: int, n_bands: int = 4) -> int:
+    """Smallest fingerprint width whose per-band value space keeps the
+    EXPECTED bucket occupancy <= 1 (space 2^(bits/n_bands) >= n_docs) —
+    the pigeonhole form of the saturation law the r11 decade runs
+    measured: 64-bit banding (space 65,536 at 4 bands) is collision-
+    bounded through ~its band space and quadratic past it (bound 985 ->
+    85k -> 8.5M at 5k/50k/500k docs), while 128-bit (space 2^32) stays
+    exactly linear through every measured decade.  Deterministic in
+    n_docs, so an oracle twin can replay the choice from count(*)."""
+    for bits in (32, 64, 128):
+        if (1 << (bits // n_bands)) >= n_docs:
+            return bits
+    return 128
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
     n_bands: int = 4,
-    bits: int = SIMHASH_BITS,
+    bits: int | str = SIMHASH_BITS,
 ) -> DataFrame:
     """Hamming-neighbor pairs from SimHash fingerprints — the step that
     turns the fingerprint (op: simhash) into an actual dedup.
@@ -646,7 +661,15 @@ def simhash_pairs(
     that stays collision-bounded at ~100x the corpus where 32-bit/8-bit
     banding degenerates (measured: 32-bit at 50k replicated docs explodes
     into ~20M random-collision candidates; 64-bit stays at clique pairs).
+
+    ``bits="auto"`` (r11) sizes the fingerprint from the corpus via
+    ``auto_simhash_bits`` — one count job, then the smallest width whose
+    per-band space keeps expected occupancy <= 1 — so the measured
+    saturation law ships as the knob's default path instead of being a
+    caller responsibility.
     """
+    if bits == "auto":
+        bits = auto_simhash_bits(int(df.count()), n_bands)
     fp, bands, fp_cols_a, fp_cols_b, hamming_expr = _simhash_fp_and_bands(
         df, text_col, id_col, n_bands, bits
     )

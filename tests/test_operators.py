@@ -140,6 +140,35 @@ def test_simhash_pairs64_pigeonhole_recall(docs):
     assert got[(0, 1)] == 0  # identical texts -> identical 64-bit fingerprints
 
 
+def test_auto_simhash_bits_thresholds_and_end_to_end(docs):
+    """auto_simhash_bits: smallest width with per-band space >= n at 4
+    bands (expected occupancy <= 1) — boundary-pinned; and bits="auto"
+    on a tiny corpus reproduces the explicit 32-bit result."""
+    from minivectordb_spark.operators.dedup import (
+        auto_simhash_bits,
+        simhash_pairs,
+    )
+
+    assert auto_simhash_bits(1) == 32
+    assert auto_simhash_bits(256) == 32
+    assert auto_simhash_bits(257) == 64
+    assert auto_simhash_bits(65_536) == 64
+    assert auto_simhash_bits(65_537) == 128
+    assert auto_simhash_bits(10**9) == 128
+    # n_bands=2 -> 16-bit bands at bits=32: space 65,536
+    assert auto_simhash_bits(65_536, n_bands=2) == 32
+
+    got_auto = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(docs, max_hamming=3, bits="auto").collect()
+    }
+    got_32 = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(docs, max_hamming=3, bits=32).collect()
+    }
+    assert got_auto == got_32
+
+
 def test_simhash_pairs128_pigeonhole_recall_and_word_reference(docs):
     """128-bit variant: (a) the four words match an independent Python
     md5 recomputation (majority vote over hex chars 1-8/9-16/17-24/25-32
