@@ -1438,6 +1438,33 @@ def q_dsir_logweights(spark, sf_dir):
 DEDUP_AGAINST_MOD = 10  # every 10th doc plays the existing reference corpus
 
 
+def q_dedup_against_indexed(spark, sf_dir):
+    """Incremental form of q_dedup_against: the reference side's
+    banding/shingling is PERSISTED once (save_dedup_index) and the
+    incoming batch probes the stored bucket table via an explicitly
+    broadcast join — the index side never shuffles (plan-asserted in
+    test_plans).  Same parameters, same survivors, same oracle as
+    dedup_against; the index is built into a fresh temp dir per call
+    (no cross-call cache — the r10 staleness lesson)."""
+    import tempfile
+
+    from minivectordb_spark.operators.dedup import (
+        dedup_against_indexed,
+        save_dedup_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % DEDUP_AGAINST_MOD == 0)
+    new = docs.filter(F.col("doc_id") % DEDUP_AGAINST_MOD != 0)
+    idx = tempfile.mkdtemp(prefix="dedup_idx_")
+    save_dedup_index(
+        ref, idx, n_hashes=N_HASHES, band_size=BAND_SIZE, k=SHINGLE_K, seed=42
+    )
+    return dedup_against_indexed(new, idx, threshold=JACCARD_MIN).select(
+        "doc_id", "lang"
+    )
+
+
 def q_dedup_against(spark, sf_dir):
     """Cross-corpus dedup (operators/dedup.dedup_against): docs with
     doc_id % DEDUP_AGAINST_MOD == 0 play the existing training set; the
@@ -4573,6 +4600,7 @@ def rotation_registry() -> dict[str, dict]:
         "events_agg": {"kind": R, "siblings": ["tpch_q1", "events_percentiles", "text_stats"]},
         "dsir_sample": {"kind": C, "siblings": ["dsir_logweights"]},
         "dedup_against": {"kind": C, "siblings": ["lsh_jaccard_pairs"]},
+        "dedup_against_indexed": {"kind": C, "siblings": ["dedup_against"]},
         "repetition_stats": {"kind": C, "siblings": []},
         "scrub_passages": {"kind": C, "siblings": ["repeated_passages"]},
         "mix_fractions": {"kind": R, "siblings": ["quality_mix"]},
@@ -4856,6 +4884,7 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_agg": q_events_agg,
         "dsir_sample": q_dsir_sample,
         "dedup_against": q_dedup_against,
+        "dedup_against_indexed": q_dedup_against_indexed,
         "repetition_stats": q_repetition_stats,
         "scrub_passages": q_scrub_passages,
         "mix_fractions": q_mix_fractions,
@@ -6625,6 +6654,7 @@ SELECT vec_id, scale,
         "dsir_logweights": _oracle_dsir_logweights(),
         "dsir_sample": _oracle_dsir_sample(),
         "dedup_against": _oracle_dedup_against(),
+        "dedup_against_indexed": _oracle_dedup_against(),
         "repetition_stats": _oracle_repetition_stats(),
         "scrub_passages": _oracle_scrub_passages(),
         "bigram_lm": _oracle_bigram_lm(),

@@ -1830,3 +1830,168 @@ def dedup_against(
         .distinct()
     )
     return df.join(hits, id_col, "left_anti")
+
+
+def save_dedup_index(
+    reference: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = DEFAULT_N_HASHES,
+    band_size: int = 2,
+    k: int = DEFAULT_SHINGLE,
+    seed: int = 42,
+    prefix_len: int = 2,
+) -> None:
+    """Persist the reference side of ``dedup_against`` ONCE: the band
+    buckets (id, band_idx, band_hash) and the exact-verify shingle-hash
+    arrays (id, sh), plus a manifest pinning the hash parameters so every
+    future probe replays join-compatible keys.  This is the contract
+    ``dedup_against``'s docstring promises for 100 TB: the training-set
+    side of "dedup the new crawl against the training set" is static
+    between refreshes, so its banding/shingling pass should be paid once
+    per refresh, not once per incoming batch.  Layout mirrors
+    ``save_ivf_index`` (parquet tables + JSON manifest beside them).
+
+    The bucket table is PARTITIONED BY the first ``prefix_len`` hex chars
+    of band_hash (16^prefix_len dirs — md5 hex is uniform over them), so
+    a probe can prune to the directories its batch's keys actually
+    touch: a small batch against a huge index reads ~|batch bands| /
+    16^prefix_len of the files at rest, the same file-level-pruning
+    story as ``save_ivf_index``.  Size prefix_len to the index (256 dirs
+    default; a 100 TB index wants 3-4 — each directory should still hold
+    many row groups)."""
+    import json as _json
+    import os as _os
+
+    sh_ref = _reused(_shingle_frame(reference, text_col, id_col, k))
+    buckets = _band_buckets(sh_ref, id_col, n_hashes, band_size, seed).withColumn(
+        "bp", F.substring(F.col("band_hash"), 1, prefix_len)
+    )
+    (
+        buckets.repartition("bp")
+        .write.partitionBy("bp")
+        .mode("overwrite")
+        .parquet(f"{path}/buckets")
+    )
+    sh_ref.select(F.col(id_col), F.col("sh")).write.mode("overwrite").parquet(
+        f"{path}/shingles"
+    )
+    _os.makedirs(path, exist_ok=True)
+    with open(_os.path.join(path, "_dedup_index_manifest.json"), "w") as fh:
+        _json.dump(
+            {
+                "id_col": id_col,
+                "n_hashes": n_hashes,
+                "band_size": band_size,
+                "k": k,
+                "seed": seed,
+                "prefix_len": prefix_len,
+            },
+            fh,
+        )
+
+
+def _load_dedup_manifest(path: str, id_col: str) -> dict:
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_dedup_index_manifest.json")) as fh:
+        m = _json.load(fh)
+    if m["id_col"] != id_col:
+        raise ValueError(
+            f"index was built with id_col={m['id_col']!r}, got {id_col!r}"
+        )
+    return m
+
+
+def dedup_index_candidates(
+    sh_new: DataFrame, path: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id_new, id_ref) candidate pairs from probing a ``save_dedup_index``
+    bucket table with an already-shingled new batch (``_shingle_frame``
+    output).  The scale contract, plan-asserted in tests/test_plans.py:
+    the new side's bucket keys are EXPLICITLY BROADCAST, so the stored
+    bucket table — the 100 TB side — streams through a BroadcastHashJoin
+    probe with NO exchange on the scan; the scan itself is PRUNED to the
+    partition directories the batch's key prefixes touch (PartitionFilters
+    on the ``bp`` layout column — file-level pruning, so a small batch
+    reads a small fraction of a huge index's bytes at rest); the only
+    keyed shuffle is the candidate-sized distinct."""
+    m = _load_dedup_manifest(path, id_col)
+    nb = _reused(
+        _band_buckets(sh_new, id_col, m["n_hashes"], m["band_size"], m["seed"])
+    )
+    prefix_len = m.get("prefix_len", 2)
+    # distinct batch-key prefixes: bounded by min(16^prefix_len, batch
+    # bands) — a constant-size driver collect, same class as centroid
+    # ranking in ivf_search
+    prefixes = [
+        r["bp"]
+        for r in nb.select(
+            F.substring(F.col("band_hash"), 1, prefix_len).alias("bp")
+        )
+        .distinct()
+        .collect()
+    ]
+    rb = sh_new.sparkSession.read.parquet(f"{path}/buckets").filter(
+        F.col("bp").isin(prefixes)
+    )
+    return (
+        rb.alias("r")
+        .join(
+            F.broadcast(nb.alias("n")),
+            (F.col("n.band_idx") == F.col("r.band_idx"))
+            & (F.col("n.band_hash") == F.col("r.band_hash")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("id_new"),
+            F.col(f"r.{id_col}").alias("id_ref"),
+        )
+        .distinct()
+    )
+
+
+def dedup_against_indexed(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Probe a ``save_dedup_index`` layout: drop rows of ``df`` that
+    near-duplicate the indexed reference corpus.  Same answer as
+    ``dedup_against(df, reference, ...)`` with the index's pinned
+    parameters (equivalence-pinned in tests), but the reference-side
+    banding/shingling never recomputes and — the scale point — the index
+    side NEVER SHUFFLES: the incoming batch is small relative to a 100 TB
+    index, so its bucket keys are explicitly broadcast and the stored
+    bucket table streams through a BroadcastHashJoin probe
+    (``dedup_index_candidates``, plan-asserted); the verify step
+    likewise semi-joins the stored shingle table down to candidate ids
+    via broadcast before the (candidate-sized) jaccard join.  Shuffles
+    touching non-candidate-scale data: new-side banding only.
+    """
+    spark = df.sparkSession
+    m = _load_dedup_manifest(path, id_col)
+    sh_new = _reused(_shingle_frame(df, text_col, id_col, m["k"]))
+    cand = _reused(dedup_index_candidates(sh_new, path, id_col=id_col))
+    sh_ref = spark.read.parquet(f"{path}/shingles")
+    ref_needed = sh_ref.join(
+        F.broadcast(cand.select(F.col("id_ref").alias(id_col)).distinct()),
+        id_col,
+        "left_semi",
+    )
+    a = sh_new.select(F.col(id_col).alias("id_new"), F.col("sh").alias("sh_a"))
+    b = ref_needed.select(F.col(id_col).alias("id_ref"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    jac = inter.cast("double") / union.cast("double")
+    hits = (
+        cand.join(a, "id_new")
+        .join(b, "id_ref")
+        .filter(F.round(jac, 6) >= threshold)
+        .select(F.col("id_new").alias(id_col))
+        .distinct()
+    )
+    return df.join(hits, id_col, "left_anti")

@@ -1860,6 +1860,57 @@ def test_dedup_against_empty_reference_keeps_all(spark):
     assert dedup_against(new, ref).count() == 1
 
 
+def test_dedup_against_indexed_equivalence(spark, tmp_path):
+    """save_dedup_index + dedup_against_indexed == dedup_against at every
+    threshold tried: the persisted-reference path must change the PLAN
+    (reference banding paid once; index side probed via broadcast join,
+    never shuffled), never the answer.  Also pins the manifest id_col
+    guard and that a second probe reuses the index files unchanged."""
+    from minivectordb_spark.operators.dedup import (
+        dedup_against,
+        dedup_against_indexed,
+        save_dedup_index,
+    )
+
+    ref = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),
+            (101, "the quick brown fox jumps over the lazy dog"),
+            (102, "spark catalyst optimizer rewrites logical plans"),
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy cat"),
+            (2, "completely different content about parquet files"),
+            (3, "spark catalyst optimizer rewrites logical plans quickly"),
+        ],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "dedup_idx")
+    save_dedup_index(ref, idx)
+    for thr in (0.5, 0.99):
+        direct = sorted(
+            r["doc_id"] for r in dedup_against(new, ref, threshold=thr).collect()
+        )
+        probed = sorted(
+            r["doc_id"]
+            for r in dedup_against_indexed(new, idx, threshold=thr).collect()
+        )
+        assert probed == direct, f"threshold {thr}"
+    # second probe (index reuse) still agrees
+    again = sorted(
+        r["doc_id"] for r in dedup_against_indexed(new, idx, threshold=0.5).collect()
+    )
+    assert again == sorted(
+        r["doc_id"] for r in dedup_against(new, ref, threshold=0.5).collect()
+    )
+    with pytest.raises(ValueError, match="id_col"):
+        dedup_against_indexed(new, idx, id_col="other_id")
+
+
 def test_repetition_stats_hand_computed(spark):
     """Gopher repetition fractions on constructed docs: a degenerate
     repetition loop scores high, normal prose scores low, short docs drop."""

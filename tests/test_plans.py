@@ -467,3 +467,34 @@ def test_iteration_shuffle_scope_sizes_and_restores(spark):
     except RuntimeError:
         pass
     assert spark.conf.get(conf) == prev
+
+
+def test_dedup_index_probe_broadcasts_never_shuffles_index(spark, tmp_path):
+    """dedup_index_candidates: the stored bucket table (the 100 TB side)
+    must stream through a BroadcastHashJoin probe built from the NEW
+    side's keys — no SortMergeJoin, no exchange on the index scan; the
+    only keyed shuffle is the candidate-sized distinct."""
+    from minivectordb_spark.operators.dedup import (
+        _shingle_frame,
+        dedup_index_candidates,
+        save_dedup_index,
+    )
+
+    ref = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "idx")
+    save_dedup_index(ref, idx)
+    cand = dedup_index_candidates(_shingle_frame(new, "text", "doc_id", 3), idx)
+    plan = physical_plan(cand)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    assert plan.count("Exchange hashpartitioning") == 1  # the distinct only
+    # file-level pruning: the scan reads only the partition dirs the
+    # batch's band_hash prefixes touch
+    assert "PartitionFilters: [bp" in plan and "IN (" in plan
