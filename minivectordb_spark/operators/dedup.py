@@ -1995,3 +1995,36 @@ def dedup_against_indexed(
         .distinct()
     )
     return df.join(hits, id_col, "left_anti")
+
+
+def update_dedup_index(
+    df_new: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Incremental dedup-index maintenance — the step that closes the
+    ingest loop: probe (``dedup_against_indexed``) -> accept the
+    survivors -> APPEND the survivors' buckets and shingles so the next
+    batch dedups against them too.  Bands/shingles are computed with the
+    index's OWN manifest parameters (join-compatible keys by
+    construction) and appended to the same band-hash-prefix partition
+    dirs the probe prunes on, so cost scales with the batch, never the
+    indexed corpus — the same lifecycle contract as ``update_ivf_index``
+    (append between full rebuilds).  Id uniqueness vs already-indexed
+    docs is the caller's contract (the ingest gates enforce it
+    upstream)."""
+    m = _load_dedup_manifest(path, id_col)
+    sh_new = _reused(_shingle_frame(df_new, text_col, id_col, m["k"]))
+    buckets = _band_buckets(
+        sh_new, id_col, m["n_hashes"], m["band_size"], m["seed"]
+    ).withColumn("bp", F.substring(F.col("band_hash"), 1, m.get("prefix_len", 2)))
+    (
+        buckets.repartition("bp")
+        .write.partitionBy("bp")
+        .mode("append")
+        .parquet(f"{path}/buckets")
+    )
+    sh_new.select(F.col(id_col), F.col("sh")).write.mode("append").parquet(
+        f"{path}/shingles"
+    )

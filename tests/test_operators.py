@@ -1911,6 +1911,45 @@ def test_dedup_against_indexed_equivalence(spark, tmp_path):
         dedup_against_indexed(new, idx, id_col="other_id")
 
 
+def test_update_dedup_index_ingest_loop(spark, tmp_path):
+    """The incremental loop: probe -> accept survivors -> append them to
+    the index -> the NEXT batch dedups against the appended docs too."""
+    from minivectordb_spark.operators.dedup import (
+        dedup_against_indexed,
+        save_dedup_index,
+        update_dedup_index,
+    )
+
+    ref = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "idx")
+    save_dedup_index(ref, idx)
+
+    batch1 = spark.createDataFrame(
+        [(0, "spark catalyst optimizer rewrites logical plans")],
+        ["doc_id", "text"],
+    )
+    survivors1 = dedup_against_indexed(batch1, idx, threshold=0.5)
+    assert survivors1.count() == 1  # novel doc survives
+    update_dedup_index(survivors1, idx)
+
+    batch2 = spark.createDataFrame(
+        [
+            (1, "spark catalyst optimizer rewrites logical plans"),  # dup of appended
+            (2, "the quick brown fox jumps over the lazy dog"),  # dup of original ref
+            (3, "entirely novel content about parquet row groups"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = sorted(
+        r["doc_id"]
+        for r in dedup_against_indexed(batch2, idx, threshold=0.5).collect()
+    )
+    assert out == [3]  # both the appended and the original dup are dropped
+
+
 def test_repetition_stats_hand_computed(spark):
     """Gopher repetition fractions on constructed docs: a degenerate
     repetition loop scores high, normal prose scores low, short docs drop."""
