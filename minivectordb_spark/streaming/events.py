@@ -305,6 +305,71 @@ def stream_decontaminated_ingest(
     )
 
 
+def stream_corpus_dedup_ingest(
+    stream_df: DataFrame,
+    index_path: str,
+    table_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    update_index: bool = True,
+):
+    """Streaming corpus ingest gated by the PERSISTED dedup index: each
+    micro-batch probes the ``save_dedup_index`` layout
+    (``dedup_against_indexed`` — the index side never shuffles and the
+    bucket scan prunes to the batch's key prefixes), appends the
+    survivors, and with ``update_index`` appends their buckets/shingles
+    back (``update_dedup_index``) so LATER micro-batches dedup against
+    earlier ones too.
+
+    This is the 100 TB-sane shape of cross-batch dedup state: the seen-
+    corpus lives ON DISK in the partitioned index, not in the state
+    store — ``streaming_dedup``'s TTL-bounded in-memory state answers
+    "same id replayed recently?", this gate answers "near-duplicate of
+    ANYTHING ever accepted?", which no bounded in-memory state can.
+
+    Failure/replay note: if a batch re-runs after appending, re-appended
+    bucket/shingle rows are benign for correctness (candidates are
+    distinct-ed, verify hits are distinct-ed) — they cost index bytes
+    only, reclaimed at the next full ``save_dedup_index`` rebuild; the
+    table append itself is guarded by the same per-batch uniqueness
+    anti-join as ``stream_vector_ingest``."""
+    from pyspark.errors import AnalysisException
+
+    from minivectordb_spark.operators.dedup import (
+        dedup_against_indexed,
+        update_dedup_index,
+    )
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = batch_df.dropDuplicates([id_col])
+        survivors = dedup_against_indexed(
+            fresh, index_path, text_col=text_col, id_col=id_col,
+            threshold=threshold,
+        )
+        try:
+            existing_ids = spark.read.parquet(table_path).select(id_col)
+        except AnalysisException:
+            existing_ids = None
+        if existing_ids is not None:
+            survivors = survivors.join(existing_ids, id_col, "left_anti")
+        survivors = survivors.localCheckpoint(eager=True)
+        survivors.write.mode("append").parquet(table_path)
+        if update_index:
+            update_dedup_index(
+                survivors.select(id_col, text_col), index_path,
+                text_col=text_col, id_col=id_col,
+            )
+
+    return (
+        stream_df.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
 def stream_neardup_ingest(
     stream_df: DataFrame,
     table_path: str,

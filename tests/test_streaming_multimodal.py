@@ -1223,3 +1223,56 @@ def test_stream_anomaly_ingest_mad_flagger_matches_batch(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown flagger"):
         stream_anomaly_ingest(stream, stats, table, quar, ck, flagger="iqr")
+
+
+def test_stream_corpus_dedup_ingest_cross_batch(spark, tmp_path):
+    """The persisted-index streaming gate: batch 1's survivors are
+    appended to the index, so batch 2's near-dup of a batch-1 doc is
+    dropped — cross-batch dedup with the state on disk, not in memory.
+    First batch matches the batch-mode dedup_against_indexed answer."""
+    from minivectordb_spark.operators.dedup import (
+        dedup_against_indexed,
+        save_dedup_index,
+    )
+    from minivectordb_spark.streaming import stream_corpus_dedup_ingest
+
+    ref = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "didx")
+    save_dedup_index(ref, idx)
+
+    batch1 = [
+        (0, "the quick brown fox jumps over the lazy dog"),  # dup of ref
+        (1, "spark catalyst optimizer rewrites logical plans"),  # novel
+    ]
+    docs1 = spark.createDataFrame(batch1, ["doc_id", "text"])
+    batch_kept = sorted(
+        r["doc_id"]
+        for r in dedup_against_indexed(docs1, idx, threshold=0.5).collect()
+    )
+
+    src = str(tmp_path / "stream_in")
+    docs1.write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    table_path = str(tmp_path / "corpus_out")
+    ck = str(tmp_path / "ck_corpus_dedup")
+    q = stream_corpus_dedup_ingest(stream, idx, table_path, ck, threshold=0.5).start()
+    q.awaitTermination(120)
+    got1 = sorted(r["doc_id"] for r in spark.read.parquet(table_path).collect())
+    assert got1 == batch_kept == [1]
+
+    # batch 2: near-dup of batch 1's ACCEPTED doc + a novel doc
+    docs2 = spark.createDataFrame(
+        [
+            (2, "spark catalyst optimizer rewrites logical plans"),  # dup of doc 1
+            (3, "entirely novel content about parquet row groups"),
+        ],
+        ["doc_id", "text"],
+    )
+    docs2.write.mode("append").parquet(src)
+    q = stream_corpus_dedup_ingest(stream, idx, table_path, ck, threshold=0.5).start()
+    q.awaitTermination(120)
+    got2 = sorted(r["doc_id"] for r in spark.read.parquet(table_path).collect())
+    assert got2 == [1, 3]  # doc 2 dropped by the index update from batch 1
