@@ -1457,8 +1457,14 @@ def q_dedup_against_indexed(spark, sf_dir):
     ref = docs.filter(F.col("doc_id") % DEDUP_AGAINST_MOD == 0)
     new = docs.filter(F.col("doc_id") % DEDUP_AGAINST_MOD != 0)
     idx = tempfile.mkdtemp(prefix="dedup_idx_")
+    # prefix_len=1 (16 partition dirs) at the gate's scale: the pruning
+    # MECHANISM is identical at any width (plan-locked in test_plans) and
+    # a 256-dir layout over a 2.5k-doc reference is pure small-file
+    # overhead (measured: 7.1 -> ~3 s demoted wall); production indexes
+    # size prefix_len to the batch/corpus ratio (3-4 at 100 TB)
     save_dedup_index(
-        ref, idx, n_hashes=N_HASHES, band_size=BAND_SIZE, k=SHINGLE_K, seed=42
+        ref, idx, n_hashes=N_HASHES, band_size=BAND_SIZE, k=SHINGLE_K, seed=42,
+        prefix_len=1,
     )
     return dedup_against_indexed(new, idx, threshold=JACCARD_MIN).select(
         "doc_id", "lang"
