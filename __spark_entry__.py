@@ -1438,6 +1438,24 @@ def q_dsir_logweights(spark, sf_dir):
 DEDUP_AGAINST_MOD = 10  # every 10th doc plays the existing reference corpus
 
 
+def q_neardup_against(spark, sf_dir):
+    """Cross-corpus EMBEDDING near-dup (operators/dedup.neardup_against):
+    even vec_ids play the existing corpus, odd ones the incoming batch,
+    returned minus rows with cosine >= NEARDUP_COS against some corpus
+    row.  Planes adapt from the REFERENCE count (4 at sf0.001/0.01, 7 at
+    sf0.1) — the twin replays the choice from count(*) with the same
+    prefix-stable plane literals and the same query-directed capped
+    multiprobe as the graded neardup_lsh twin."""
+    from minivectordb_spark.operators.dedup import neardup_against
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ref = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 != 0)
+    return neardup_against(
+        new, ref, threshold=NEARDUP_COS, max_probes=4, target_block_size=32
+    ).select("vec_id", "label")
+
+
 def q_dedup_against_indexed(spark, sf_dir):
     """Incremental form of q_dedup_against: the reference side's
     banding/shingling is PERSISTED once (save_dedup_index) and the
@@ -4607,6 +4625,7 @@ def rotation_registry() -> dict[str, dict]:
         "dsir_sample": {"kind": C, "siblings": ["dsir_logweights"]},
         "dedup_against": {"kind": C, "siblings": ["lsh_jaccard_pairs"]},
         "dedup_against_indexed": {"kind": C, "siblings": ["dedup_against"]},
+        "neardup_against": {"kind": C, "siblings": ["neardup_lsh", "dedup_against"]},
         "repetition_stats": {"kind": C, "siblings": []},
         "scrub_passages": {"kind": C, "siblings": ["repeated_passages"]},
         "mix_fractions": {"kind": R, "siblings": ["quality_mix"]},
@@ -4891,6 +4910,7 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": q_dsir_sample,
         "dedup_against": q_dedup_against,
         "dedup_against_indexed": q_dedup_against_indexed,
+        "neardup_against": q_neardup_against,
         "repetition_stats": q_repetition_stats,
         "scrub_passages": q_scrub_passages,
         "mix_fractions": q_mix_fractions,
@@ -6137,6 +6157,60 @@ SELECT * FROM (
 """.strip()
 
 
+def _oracle_neardup_against(
+    max_probes: int = 4, target_block_size: int = 32
+) -> str:
+    """q_neardup_against twin: same scale-parameterized machinery as
+    _oracle_neardup_lsh_adaptive, but the plane count derives from the
+    REFERENCE side's count (even vec_ids) and probing is asymmetric —
+    reference rows expose home buckets only, incoming (odd) rows probe
+    home + query-directed capped Hamming-1 flips; hits drop from the
+    incoming side."""
+    import math as _m
+
+    from minivectordb_spark.operators.ann import default_projection_planes
+
+    planes = default_projection_planes(DIM, n_planes=NEARDUP_PMAX)
+    invs = []
+    for p in planes:
+        nrm = _m.sqrt(sum(x * x for x in p))
+        invs.append(1.0 / nrm if nrm > 0 else 0.0)
+    dots_list = "[" + ",\n   ".join(_sql_dot_lit("embedding", p) for p in planes) + "]"
+    invs_list = "[" + ", ".join(repr(x) for x in invs) + "]::DOUBLE[]"
+    cos = _sql_cos_cols("ea.embedding", "eb.embedding")
+    return f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM embeddings WHERE vec_id % 2 = 0),
+pp AS (SELECT MIN(CASE WHEN ({target_block_size}::BIGINT << u.i) >= nn.n THEN u.i END)::INT AS np
+       FROM nn, unnest(range(4, {NEARDUP_PMAX + 1})) u(i)),
+d AS (SELECT vec_id, {dots_list} AS dots FROM embeddings),
+bref AS (SELECT d.vec_id,
+              list_sum(list_transform(range(1, pp.np + 1),
+                 i -> CASE WHEN dots[i] >= 0 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END))::BIGINT AS bucket
+       FROM d, pp WHERE d.vec_id % 2 = 0),
+bnew AS (SELECT d.vec_id, dots,
+              list_sum(list_transform(range(1, pp.np + 1),
+                 i -> CASE WHEN dots[i] >= 0 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END))::BIGINT AS bucket
+       FROM d, pp WHERE d.vec_id % 2 != 0),
+fl AS (SELECT vec_id, bucket,
+              unnest(list_slice(list_sort(list_transform(range(1, pp.np + 1),
+                    i -> {{'m': abs(dots[i]) * ({invs_list})[i], 'i': i - 1}})), 1, LEAST({max_probes}, pp.np))) AS s
+       FROM bnew, pp),
+pr AS (SELECT vec_id, bucket AS probe FROM bnew
+       UNION ALL
+       SELECT vec_id, xor(bucket, 1::BIGINT << s.i) AS probe FROM fl),
+cand AS (SELECT DISTINCT a.vec_id AS id_new, b.vec_id AS id_ref
+         FROM pr a JOIN bref b ON a.probe = b.bucket),
+hits AS (SELECT DISTINCT id_new FROM (
+  SELECT c.id_new, round({cos}, 6) AS cosine
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_new
+  JOIN embeddings eb ON eb.vec_id = c.id_ref
+) WHERE cosine >= {NEARDUP_COS})
+SELECT vec_id, label FROM embeddings
+WHERE vec_id % 2 != 0 AND vec_id NOT IN (SELECT id_new FROM hits)
+""".strip()
+
+
 def _oracle_ivf_assign() -> str:
     cos = _sql_cos_cols("e.embedding", "c.ce")
     return f"""
@@ -6661,6 +6735,7 @@ SELECT vec_id, scale,
         "dsir_sample": _oracle_dsir_sample(),
         "dedup_against": _oracle_dedup_against(),
         "dedup_against_indexed": _oracle_dedup_against(),
+        "neardup_against": _oracle_neardup_against(),
         "repetition_stats": _oracle_repetition_stats(),
         "scrub_passages": _oracle_scrub_passages(),
         "bigram_lm": _oracle_bigram_lm(),

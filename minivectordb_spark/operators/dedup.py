@@ -1307,6 +1307,104 @@ def embedding_neardup_pairs(
     )
 
 
+def neardup_against(
+    df: DataFrame,
+    reference: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    planes: list[list[float]] | None = None,
+    multiprobe: bool = True,
+    max_probes: int | None = None,
+    target_block_size: int = 64,
+) -> DataFrame:
+    """Cross-corpus EMBEDDING near-dup — the embedding-space form of
+    ``dedup_against``: drop incoming rows whose cosine against some
+    reference-corpus row >= ``threshold``, return the survivors of
+    ``df``.  The missing half of the pipeline symmetry: text near-dups
+    had both in-corpus (lsh_jaccard_pairs) and cross-corpus
+    (dedup_against) forms, embeddings had in-corpus only.
+
+    Plan: planes resolve from the REFERENCE corpus (the side whose size
+    sets the bucket count — deterministic in count(*) + dim, so the SQL
+    twin replays the choice); the reference side exposes HOME buckets
+    only while the incoming side probes with query-directed Hamming-1
+    multiprobe (same machinery as ``embedding_neardup_pairs``, same
+    documented-miss recall contract — a qualifying pair whose differing
+    plane is outside the new row's closest-``max_probes`` margin set is
+    missed).  Candidates are (id, id) pairs only — embeddings re-attach
+    after the bucket join; the candidate frame is explicitly
+    repartitioned so the cosine verify parallelizes (same AQE-coalesce
+    trap as the in-corpus operator).  Reference-internal duplicates are
+    never paired (cross-frame join, no self-join of the union)."""
+    from minivectordb_spark.operators.ann import (
+        random_projection_buckets,
+        random_projection_probes,
+    )
+    from minivectordb_spark.operators.util import materialize
+    from minivectordb_spark.scoring import norm_expr
+
+    planes = _neardup_resolve_planes(
+        reference, emb_col, id_col, planes, target_block_size
+    )
+    n_planes = len(planes)
+    k_probes = n_planes if max_probes is None else min(max_probes, n_planes)
+    probes = random_projection_probes(
+        df,
+        planes,
+        id_col=id_col,
+        emb_col=emb_col,
+        max_probes=(k_probes if multiprobe else 0),
+    )
+    a_ids = probes.select(
+        F.col(id_col).alias("id_new"), F.explode("probes").alias("__probe")
+    )
+    b_ids = random_projection_buckets(
+        reference, planes, id_col=id_col, emb_col=emb_col
+    ).select(F.col(id_col).alias("id_ref"), F.col("bucket").alias("__home"))
+    # a given (new, ref) pair matches at most ONE probe (the one equal to
+    # the ref row's home bucket); distinct is contract, not dedup work
+    cand = (
+        a_ids.join(b_ids, F.col("__probe") == F.col("__home"))
+        .select("id_new", "id_ref")
+        .distinct()
+    )
+    n_part = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    cand = cand.repartition(n_part, F.col("id_new"))
+    base_a = materialize(
+        df.select(id_col, emb_col), norm_expr(F.col(emb_col)), "__n",
+        [id_col, emb_col],
+    )
+    base_b = materialize(
+        reference.select(id_col, emb_col), norm_expr(F.col(emb_col)), "__n",
+        [id_col, emb_col],
+    )
+    a = base_a.select(
+        F.col(id_col).alias("id_new"),
+        F.col(emb_col).alias("emb_a"),
+        F.col("__n").alias("n_a"),
+    )
+    b = base_b.select(
+        F.col(id_col).alias("id_ref"),
+        F.col(emb_col).alias("emb_b"),
+        F.col("__n").alias("n_b"),
+    )
+    sim = cosine_sim_cols(
+        F.col("emb_a"), F.col("emb_b"), norm_a=F.col("n_a"), norm_b=F.col("n_b")
+    )
+    hits = (
+        cand.join(a, "id_new")
+        .join(b, "id_ref")
+        .withColumn("cosine", F.round(sim, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("id_new").alias(id_col))
+        .distinct()
+    )
+    return df.join(hits, id_col, "left_anti")
+
+
 def semantic_blocks(
     assigned: DataFrame,
     id_col: str,

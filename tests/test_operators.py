@@ -1911,6 +1911,46 @@ def test_dedup_against_indexed_equivalence(spark, tmp_path):
         dedup_against_indexed(new, idx, id_col="other_id")
 
 
+def test_neardup_against_drops_reference_neardups(spark):
+    """Cross-corpus embedding near-dup: (a) an exact duplicate of a
+    reference vector is dropped, a far vector survives; (b) every DROP is
+    a true near-dup (the verify is exact cosine, so the ANN path can only
+    MISS hits, never invent them) — survivors are a superset of the brute
+    answer by construction, pinned against a numpy brute pass; (c) the
+    reference is never self-paired (ref-internal dups irrelevant)."""
+    import numpy as np
+
+    from minivectordb_spark.operators.dedup import neardup_against
+
+    rng = np.random.RandomState(11)
+    ref_vecs = rng.randn(40, 8).astype("float32")
+    ref_rows = [(100 + i, v.tolist()) for i, v in enumerate(ref_vecs)]
+    new_rows = [
+        (0, ref_vecs[3].tolist()),                      # exact dup of ref 103
+        (1, (-ref_vecs[5]).tolist()),                   # antipode: cos = -1
+        (2, rng.randn(8).astype("float32").tolist()),   # random
+        (3, (ref_vecs[7] * 2.0).tolist()),              # scaled dup: cos = 1
+    ]
+    ref = spark.createDataFrame(ref_rows, ["vec_id", "embedding"])
+    new = spark.createDataFrame(new_rows, ["vec_id", "embedding"])
+    got = {
+        r["vec_id"]
+        for r in neardup_against(
+            new, ref, threshold=0.95, max_probes=None, target_block_size=8
+        ).collect()
+    }
+    assert 0 not in got and 3 not in got  # exact + scaled dups dropped
+    assert 1 in got  # antipode survives
+
+    # one-sided error direction: drops must be true near-dups
+    R = ref_vecs / np.linalg.norm(ref_vecs, axis=1, keepdims=True)
+    for vid, v in new_rows:
+        if vid in got:
+            continue
+        vn = np.array(v) / np.linalg.norm(v)
+        assert np.round(R @ vn, 6).max() >= 0.95, f"false drop of {vid}"
+
+
 def test_update_dedup_index_ingest_loop(spark, tmp_path):
     """The incremental loop: probe -> accept survivors -> append them to
     the index -> the NEXT batch dedups against the appended docs too."""
