@@ -1456,6 +1456,30 @@ def q_neardup_against(spark, sf_dir):
     ).select("vec_id", "label")
 
 
+def q_neardup_against_indexed(spark, sf_dir):
+    """Persisted-index form of q_neardup_against: the reference side's
+    planes/buckets are frozen at build (save_neardup_index with the same
+    adaptive policy, so the frozen planes equal the direct resolution and
+    the same oracle grades both); the probe broadcasts the batch's keys
+    (index side never shuffles, PartitionFilters pruned — plan-locked).
+    Fresh temp dir per call, no cross-call cache."""
+    import tempfile
+
+    from minivectordb_spark.operators.dedup import (
+        neardup_against_indexed,
+        save_neardup_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ref = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 != 0)
+    idx = tempfile.mkdtemp(prefix="neardup_idx_")
+    save_neardup_index(ref, idx, target_block_size=32, n_dirs=16)
+    return neardup_against_indexed(
+        new, idx, threshold=NEARDUP_COS, max_probes=4
+    ).select("vec_id", "label")
+
+
 def q_dedup_against_indexed(spark, sf_dir):
     """Incremental form of q_dedup_against: the reference side's
     banding/shingling is PERSISTED once (save_dedup_index) and the
@@ -4626,6 +4650,7 @@ def rotation_registry() -> dict[str, dict]:
         "dedup_against": {"kind": C, "siblings": ["lsh_jaccard_pairs"]},
         "dedup_against_indexed": {"kind": C, "siblings": ["dedup_against"]},
         "neardup_against": {"kind": C, "siblings": ["neardup_lsh", "dedup_against"]},
+        "neardup_against_indexed": {"kind": C, "siblings": ["neardup_against"]},
         "repetition_stats": {"kind": C, "siblings": []},
         "scrub_passages": {"kind": C, "siblings": ["repeated_passages"]},
         "mix_fractions": {"kind": R, "siblings": ["quality_mix"]},
@@ -4911,6 +4936,7 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against": q_dedup_against,
         "dedup_against_indexed": q_dedup_against_indexed,
         "neardup_against": q_neardup_against,
+        "neardup_against_indexed": q_neardup_against_indexed,
         "repetition_stats": q_repetition_stats,
         "scrub_passages": q_scrub_passages,
         "mix_fractions": q_mix_fractions,
@@ -6736,6 +6762,7 @@ SELECT vec_id, scale,
         "dedup_against": _oracle_dedup_against(),
         "dedup_against_indexed": _oracle_dedup_against(),
         "neardup_against": _oracle_neardup_against(),
+        "neardup_against_indexed": _oracle_neardup_against(),
         "repetition_stats": _oracle_repetition_stats(),
         "scrub_passages": _oracle_scrub_passages(),
         "bigram_lm": _oracle_bigram_lm(),

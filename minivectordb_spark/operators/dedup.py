@@ -2126,3 +2126,212 @@ def update_dedup_index(
     sh_new.select(F.col(id_col), F.col("sh")).write.mode("append").parquet(
         f"{path}/shingles"
     )
+
+
+def save_neardup_index(
+    reference: DataFrame,
+    path: str,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: list[list[float]] | None = None,
+    target_block_size: int = 64,
+    n_dirs: int = 64,
+) -> None:
+    """Persist the reference side of ``neardup_against`` ONCE: the
+    sign-bit LSH bucket table (partitioned by ``pmod(bucket, n_dirs)``
+    for file-level probe pruning), the embedding table for the exact
+    verify, and a manifest pinning the PLANES as literals — the bucket
+    keys of every future probe stay join-compatible by construction,
+    exactly the role the MinHash parameter manifest plays for
+    ``save_dedup_index``.  Planes resolve adaptively from the reference
+    (count + dim) at build time and are then FROZEN: an index is a
+    snapshot of one plane choice, rebuilt when the corpus outgrows it
+    (same lifecycle as IVF centroids)."""
+    import json as _json
+    import os as _os
+
+    from minivectordb_spark.operators.ann import random_projection_buckets
+
+    planes = _neardup_resolve_planes(
+        reference, emb_col, id_col, planes, target_block_size
+    )
+    buckets = random_projection_buckets(
+        reference, planes, id_col=id_col, emb_col=emb_col
+    ).withColumn("bp", F.pmod(F.col("bucket"), F.lit(n_dirs)))
+    (
+        buckets.repartition("bp")
+        .write.partitionBy("bp")
+        .mode("overwrite")
+        .parquet(f"{path}/buckets")
+    )
+    reference.select(F.col(id_col), F.col(emb_col)).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/embeddings")
+    _os.makedirs(path, exist_ok=True)
+    with open(_os.path.join(path, "_neardup_index_manifest.json"), "w") as fh:
+        _json.dump(
+            {
+                "id_col": id_col,
+                "emb_col": emb_col,
+                "planes": planes,
+                "n_dirs": n_dirs,
+            },
+            fh,
+        )
+
+
+def neardup_index_candidates(
+    df: DataFrame,
+    path: str,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    multiprobe: bool = True,
+    max_probes: int | None = None,
+) -> DataFrame:
+    """(id_new, id_ref) candidates from probing a ``save_neardup_index``
+    bucket table.  Plan contract (locked in tests/test_plans.py): the
+    batch's probe keys are explicitly BROADCAST so the stored bucket
+    table never shuffles, and the scan carries PartitionFilters on the
+    ``pmod(bucket, n_dirs)`` layout column (the probe dirs are a bounded
+    <= n_dirs driver collect); the only keyed shuffle is the
+    candidate-sized distinct."""
+    import json as _json
+    import os as _os
+
+    from minivectordb_spark.operators.ann import random_projection_probes
+
+    spark = df.sparkSession
+    with open(_os.path.join(path, "_neardup_index_manifest.json")) as fh:
+        m = _json.load(fh)
+    if m["id_col"] != id_col or m["emb_col"] != emb_col:
+        raise ValueError(
+            f"index was built with (id_col, emb_col)=({m['id_col']!r}, "
+            f"{m['emb_col']!r}), got ({id_col!r}, {emb_col!r})"
+        )
+    planes = m["planes"]
+    n_planes = len(planes)
+    k_probes = n_planes if max_probes is None else min(max_probes, n_planes)
+    probes = random_projection_probes(
+        df,
+        planes,
+        id_col=id_col,
+        emb_col=emb_col,
+        max_probes=(k_probes if multiprobe else 0),
+    )
+    a_ids = _reused(
+        probes.select(
+            F.col(id_col).alias("id_new"), F.explode("probes").alias("__probe")
+        )
+    )
+    dirs = [
+        int(r["bp"])
+        for r in a_ids.select(
+            F.pmod(F.col("__probe"), F.lit(m["n_dirs"])).alias("bp")
+        )
+        .distinct()
+        .collect()
+    ]
+    rb = spark.read.parquet(f"{path}/buckets").filter(F.col("bp").isin(dirs))
+    return (
+        rb.join(F.broadcast(a_ids), F.col("__probe") == F.col("bucket"))
+        .select(F.col("id_new"), F.col(id_col).alias("id_ref"))
+        .distinct()
+    )
+
+
+def neardup_against_indexed(
+    df: DataFrame,
+    path: str,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    multiprobe: bool = True,
+    max_probes: int | None = None,
+) -> DataFrame:
+    """Probe a ``save_neardup_index`` layout: drop rows of ``df`` whose
+    cosine against some indexed reference row >= ``threshold``.  Same
+    answer as ``neardup_against`` under the index's frozen planes
+    (equivalence-pinned in tests); the scale contract mirrors
+    ``dedup_against_indexed`` — the incoming batch's probe keys are
+    explicitly broadcast so the stored bucket table never shuffles, and
+    the scan prunes to the ``pmod(bucket, n_dirs)`` partition dirs the
+    probes touch (a bounded driver collect of <= n_dirs values); the
+    verify semi-joins the stored embedding table down to candidate ids
+    before the exact cosine.  Probing policy (``max_probes``) is a
+    probe-time choice — bucket KEYS depend only on the frozen planes."""
+    from minivectordb_spark.operators.util import materialize
+    from minivectordb_spark.scoring import norm_expr
+
+    spark = df.sparkSession
+    cand = _reused(
+        neardup_index_candidates(
+            df, path, emb_col=emb_col, id_col=id_col,
+            multiprobe=multiprobe, max_probes=max_probes,
+        )
+    )
+    ref_needed = spark.read.parquet(f"{path}/embeddings").join(
+        F.broadcast(cand.select(F.col("id_ref").alias(id_col)).distinct()),
+        id_col,
+        "left_semi",
+    )
+    base_a = materialize(
+        df.select(id_col, emb_col), norm_expr(F.col(emb_col)), "__n",
+        [id_col, emb_col],
+    )
+    base_b = materialize(
+        ref_needed, norm_expr(F.col(emb_col)), "__n", [id_col, emb_col]
+    )
+    a = base_a.select(
+        F.col(id_col).alias("id_new"),
+        F.col(emb_col).alias("emb_a"),
+        F.col("__n").alias("n_a"),
+    )
+    b = base_b.select(
+        F.col(id_col).alias("id_ref"),
+        F.col(emb_col).alias("emb_b"),
+        F.col("__n").alias("n_b"),
+    )
+    sim = cosine_sim_cols(
+        F.col("emb_a"), F.col("emb_b"), norm_a=F.col("n_a"), norm_b=F.col("n_b")
+    )
+    hits = (
+        cand.join(a, "id_new")
+        .join(b, "id_ref")
+        .withColumn("cosine", F.round(sim, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("id_new").alias(id_col))
+        .distinct()
+    )
+    return df.join(hits, id_col, "left_anti")
+
+
+def update_neardup_index(
+    df_new: DataFrame,
+    path: str,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Append accepted survivors to a ``save_neardup_index`` layout under
+    the index's FROZEN planes — the probe -> accept -> append loop for
+    embeddings, batch-cost only (same lifecycle as ``update_ivf_index`` /
+    ``update_dedup_index``; rebuild when the corpus outgrows the plane
+    count)."""
+    import json as _json
+    import os as _os
+
+    from minivectordb_spark.operators.ann import random_projection_buckets
+
+    with open(_os.path.join(path, "_neardup_index_manifest.json")) as fh:
+        m = _json.load(fh)
+    buckets = random_projection_buckets(
+        df_new, m["planes"], id_col=id_col, emb_col=emb_col
+    ).withColumn("bp", F.pmod(F.col("bucket"), F.lit(m["n_dirs"])))
+    (
+        buckets.repartition("bp")
+        .write.partitionBy("bp")
+        .mode("append")
+        .parquet(f"{path}/buckets")
+    )
+    df_new.select(F.col(id_col), F.col(emb_col)).write.mode("append").parquet(
+        f"{path}/embeddings"
+    )

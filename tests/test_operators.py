@@ -1951,6 +1951,74 @@ def test_neardup_against_drops_reference_neardups(spark):
         assert np.round(R @ vn, 6).max() >= 0.95, f"false drop of {vid}"
 
 
+def test_neardup_against_indexed_equivalence_and_loop(spark, tmp_path):
+    """save_neardup_index + neardup_against_indexed == neardup_against
+    under the index's frozen planes; update_neardup_index closes the
+    probe -> accept -> append loop (an appended survivor dedups the next
+    batch); manifest column guard raises."""
+    import numpy as np
+
+    from minivectordb_spark.operators.dedup import (
+        neardup_against,
+        neardup_against_indexed,
+        save_neardup_index,
+        update_neardup_index,
+    )
+
+    rng = np.random.RandomState(23)
+    ref_vecs = rng.randn(60, 8).astype("float32")
+    ref = spark.createDataFrame(
+        [(100 + i, v.tolist()) for i, v in enumerate(ref_vecs)],
+        ["vec_id", "embedding"],
+    )
+    new_vecs = [ref_vecs[4].tolist()] + [
+        rng.randn(8).astype("float32").tolist() for _ in range(9)
+    ]
+    new = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(new_vecs)], ["vec_id", "embedding"]
+    )
+    idx = str(tmp_path / "nidx")
+    save_neardup_index(ref, idx, target_block_size=8)
+    # the index froze the adaptive planes; replay the same choice directly
+    from minivectordb_spark.operators.dedup import _neardup_resolve_planes
+
+    planes = _neardup_resolve_planes(ref, "embedding", "vec_id", None, 8)
+    for thr in (0.95, 0.5):
+        direct = sorted(
+            r["vec_id"]
+            for r in neardup_against(
+                new, ref, threshold=thr, planes=planes, max_probes=4
+            ).collect()
+        )
+        probed = sorted(
+            r["vec_id"]
+            for r in neardup_against_indexed(
+                new, idx, threshold=thr, max_probes=4
+            ).collect()
+        )
+        assert probed == direct, f"threshold {thr}"
+        assert 0 not in probed  # the exact dup of ref 104 is dropped
+
+    survivors = neardup_against_indexed(new, idx, threshold=0.95, max_probes=4)
+    update_neardup_index(survivors, idx)
+    # a copy of an appended survivor is now dropped by the next batch
+    kept_vec = survivors.orderBy("vec_id").first()["embedding"]
+    batch2 = spark.createDataFrame(
+        [(50, list(kept_vec)), (51, rng.randn(8).astype("float32").tolist())],
+        ["vec_id", "embedding"],
+    )
+    got2 = sorted(
+        r["vec_id"]
+        for r in neardup_against_indexed(
+            batch2, idx, threshold=0.95, max_probes=4
+        ).collect()
+    )
+    assert 50 not in got2
+
+    with pytest.raises(ValueError, match="id_col"):
+        neardup_against_indexed(new, idx, id_col="other")
+
+
 def test_update_dedup_index_ingest_loop(spark, tmp_path):
     """The incremental loop: probe -> accept survivors -> append them to
     the index -> the NEXT batch dedups against the appended docs too."""

@@ -498,3 +498,33 @@ def test_dedup_index_probe_broadcasts_never_shuffles_index(spark, tmp_path):
     # file-level pruning: the scan reads only the partition dirs the
     # batch's band_hash prefixes touch
     assert "PartitionFilters: [bp" in plan and "IN (" in plan
+
+
+def test_neardup_index_probe_broadcasts_never_shuffles_index(spark, tmp_path):
+    """neardup_index_candidates: the stored RP-bucket table streams
+    through a BroadcastHashJoin built from the batch's probe keys — no
+    SortMergeJoin, PartitionFilters on the pmod layout column, and the
+    only keyed shuffle is the candidate-sized distinct."""
+    import numpy as np
+
+    from minivectordb_spark.operators.dedup import (
+        neardup_index_candidates,
+        save_neardup_index,
+    )
+
+    rng = np.random.RandomState(5)
+    ref = spark.createDataFrame(
+        [(100 + i, v.tolist()) for i, v in enumerate(rng.randn(30, 8).astype("float32"))],
+        ["vec_id", "embedding"],
+    )
+    new = spark.createDataFrame(
+        [(0, rng.randn(8).astype("float32").tolist())], ["vec_id", "embedding"]
+    )
+    idx = str(tmp_path / "nidx")
+    save_neardup_index(ref, idx, target_block_size=8)
+    cand = neardup_index_candidates(new, idx, max_probes=4)
+    plan = physical_plan(cand)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    assert plan.count("Exchange hashpartitioning") == 1  # the distinct only
+    assert "PartitionFilters: [bp" in plan and "IN (" in plan
