@@ -2164,9 +2164,14 @@ def save_neardup_index(
         .mode("overwrite")
         .parquet(f"{path}/buckets")
     )
-    reference.select(F.col(id_col), F.col(emb_col)).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/embeddings")
+    # canonical float32 storage: appends from sources with a different
+    # element type (double-inferred createDataFrame frames vs float
+    # parquet) would otherwise mix element types in one directory and
+    # poison every later read (FAILED_READ_FILE.PARQUET_COLUMN_DATA_TYPE
+    # _MISMATCH — found by the streaming-gate test)
+    reference.select(
+        F.col(id_col), F.col(emb_col).cast("array<float>").alias(emb_col)
+    ).write.mode("overwrite").parquet(f"{path}/embeddings")
     _os.makedirs(path, exist_ok=True)
     with open(_os.path.join(path, "_neardup_index_manifest.json"), "w") as fh:
         _json.dump(
@@ -2332,6 +2337,6 @@ def update_neardup_index(
         .mode("append")
         .parquet(f"{path}/buckets")
     )
-    df_new.select(F.col(id_col), F.col(emb_col)).write.mode("append").parquet(
-        f"{path}/embeddings"
-    )
+    df_new.select(
+        F.col(id_col), F.col(emb_col).cast("array<float>").alias(emb_col)
+    ).write.mode("append").parquet(f"{path}/embeddings")

@@ -370,6 +370,62 @@ def stream_corpus_dedup_ingest(
     )
 
 
+def stream_neardup_corpus_ingest(
+    stream_df: DataFrame,
+    index_path: str,
+    table_path: str,
+    checkpoint: str,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    max_probes: int | None = 4,
+    update_index: bool = True,
+):
+    """Streaming EMBEDDING ingest gated by the persisted near-dup index —
+    the embedding-space twin of ``stream_corpus_dedup_ingest``: each
+    micro-batch probes the ``save_neardup_index`` layout under its
+    FROZEN planes (``neardup_against_indexed`` — broadcast probe, pruned
+    scan), appends the cosine-survivors, and with ``update_index``
+    appends their buckets/embeddings back so later batches dedup against
+    earlier ones.  Cross-batch "near-duplicate of any embedding ever
+    accepted?" with the state on disk; same replay-benign contract as
+    the text gate (distinct-ed candidates/hits; table append uniqueness
+    anti-joined)."""
+    from pyspark.errors import AnalysisException
+
+    from minivectordb_spark.operators.dedup import (
+        neardup_against_indexed,
+        update_neardup_index,
+    )
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = batch_df.dropDuplicates([id_col])
+        survivors = neardup_against_indexed(
+            fresh, index_path, emb_col=emb_col, id_col=id_col,
+            threshold=threshold, max_probes=max_probes,
+        )
+        try:
+            existing_ids = spark.read.parquet(table_path).select(id_col)
+        except AnalysisException:
+            existing_ids = None
+        if existing_ids is not None:
+            survivors = survivors.join(existing_ids, id_col, "left_anti")
+        survivors = survivors.localCheckpoint(eager=True)
+        survivors.write.mode("append").parquet(table_path)
+        if update_index:
+            update_neardup_index(
+                survivors.select(id_col, emb_col), index_path,
+                emb_col=emb_col, id_col=id_col,
+            )
+
+    return (
+        stream_df.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
 def stream_neardup_ingest(
     stream_df: DataFrame,
     table_path: str,

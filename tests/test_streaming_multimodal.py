@@ -1276,3 +1276,62 @@ def test_stream_corpus_dedup_ingest_cross_batch(spark, tmp_path):
     q.awaitTermination(120)
     got2 = sorted(r["doc_id"] for r in spark.read.parquet(table_path).collect())
     assert got2 == [1, 3]  # doc 2 dropped by the index update from batch 1
+
+
+def test_stream_neardup_corpus_ingest_cross_batch(spark, tmp_path):
+    """Embedding twin of the corpus-dedup gate: batch 1's accepted vector
+    is appended to the frozen-plane index, so batch 2's copy of it is
+    dropped; batch 1 matches the batch-mode neardup_against_indexed."""
+    import numpy as np
+
+    from minivectordb_spark.operators.dedup import (
+        neardup_against_indexed,
+        save_neardup_index,
+    )
+    from minivectordb_spark.streaming import stream_neardup_corpus_ingest
+
+    rng = np.random.RandomState(31)
+    ref_vecs = rng.randn(40, 8).astype("float32")
+    ref = spark.createDataFrame(
+        [(100 + i, v.tolist()) for i, v in enumerate(ref_vecs)],
+        ["vec_id", "embedding"],
+    )
+    idx = str(tmp_path / "sidx")
+    save_neardup_index(ref, idx, target_block_size=8)
+
+    novel = rng.randn(8).astype("float32").tolist()
+    batch1 = spark.createDataFrame(
+        [(0, ref_vecs[2].tolist()), (1, novel)], ["vec_id", "embedding"]
+    )
+    batch_kept = sorted(
+        r["vec_id"]
+        for r in neardup_against_indexed(
+            batch1, idx, threshold=0.95, max_probes=4
+        ).collect()
+    )
+
+    from pyspark.sql import functions as SF
+
+    src = str(tmp_path / "vec_in")
+    batch1.select("vec_id", SF.col("embedding").cast("array<float>").alias("embedding")).write.parquet(src)
+    stream = spark.readStream.schema("vec_id long, embedding array<float>").parquet(src)
+    table_path = str(tmp_path / "vec_out")
+    ck = str(tmp_path / "ck_neardup_corpus")
+    q = stream_neardup_corpus_ingest(
+        stream, idx, table_path, ck, threshold=0.95, max_probes=4
+    ).start()
+    q.awaitTermination(120)
+    got1 = sorted(r["vec_id"] for r in spark.read.parquet(table_path).collect())
+    assert got1 == batch_kept == [1]  # ref dup dropped, novel kept
+
+    batch2 = spark.createDataFrame(
+        [(2, novel), (3, rng.randn(8).astype("float32").tolist())],
+        ["vec_id", "embedding"],
+    )
+    batch2.select("vec_id", SF.col("embedding").cast("array<float>").alias("embedding")).write.mode("append").parquet(src)
+    q = stream_neardup_corpus_ingest(
+        stream, idx, table_path, ck, threshold=0.95, max_probes=4
+    ).start()
+    q.awaitTermination(120)
+    got2 = sorted(r["vec_id"] for r in spark.read.parquet(table_path).collect())
+    assert 2 not in got2 and 1 in got2 and 3 in got2
