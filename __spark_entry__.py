@@ -888,6 +888,22 @@ def q_sample_stratified(spark, sf_dir):
     )
 
 
+def q_quota_sample(spark, sf_dir):
+    """Exact-count per-stratum sampling (operators/prep.quota_sample):
+    exactly 20 'de' docs, 50 'en', 5 of every other language — the
+    fixed-budget mix op.  The md5 order key reproduces in DuckDB, so
+    the oracle verifies the selected SET, not just the counts."""
+    from minivectordb_spark.operators.prep import quota_sample
+
+    return quota_sample(
+        _t(spark, sf_dir, "documents"),
+        quotas={"de": 20, "en": 50},
+        strata_col="lang",
+        id_col="doc_id",
+        default_quota=5,
+    ).select("doc_id", "lang")
+
+
 BM25_QUERY = ["vector", "hash", "join"]
 
 
@@ -4658,6 +4674,7 @@ def rotation_registry() -> dict[str, dict]:
         "ivf_search": {"kind": R, "siblings": ["ivf_search_indexed"]},
         "fingerprints": {"kind": R, "siblings": ["lsh_jaccard_pairs", "simhash_pairs64"]},
         "sample_stratified": {"kind": R, "siblings": ["quality_mix"]},
+        "quota_sample": {"kind": C, "siblings": ["sample_stratified"]},
         "point_lookup": {"kind": U, "siblings": ["filter_events_or"]},
         "delete_batch": {"kind": U, "siblings": ["filter_events_or"]},
         "insert_unique": {"kind": U, "siblings": []},
@@ -4944,6 +4961,7 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_search": q_ivf_search,
         "fingerprints": q_fingerprints,
         "sample_stratified": q_sample_stratified,
+        "quota_sample": q_quota_sample,
         "point_lookup": q_point_lookup,
         "delete_batch": q_delete_batch,
         "insert_unique": q_insert_unique,
@@ -5461,6 +5479,23 @@ SELECT * FROM documents
 WHERE (lang = 'de' AND {gate(1.0)})
    OR (lang = 'en' AND {gate(0.25)})
    OR (lang NOT IN ('de', 'en') AND {gate(0.10)})
+""".strip()
+
+
+def _oracle_quota_sample() -> str:
+    """q_quota_sample twin: identical md5 order key + id tiebreak inside
+    a per-stratum row_number, quota via the same literal CASE."""
+    key = "concat_ws('#', 'q0', lang, doc_id::VARCHAR)"
+    return f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {_sql_hash(key)} ASC, doc_id ASC
+         ) AS rn
+  FROM documents)
+SELECT doc_id, lang FROM r
+WHERE rn <= (CASE lang WHEN 'de' THEN 20 WHEN 'en' THEN 50 ELSE 5 END)
 """.strip()
 
 
@@ -6750,6 +6785,7 @@ SELECT vec_id, scale,
         "doc_chunks": _oracle_doc_chunks(),
         "scrub_text": _oracle_scrub(),
         "sample_stratified": _oracle_sample_stratified(),
+        "quota_sample": _oracle_quota_sample(),
         "corpus_pipeline": _oracle_corpus_pipeline(),
         "bm25_search": _oracle_bm25(),
         "hybrid_rrf": _oracle_hybrid_rrf(),

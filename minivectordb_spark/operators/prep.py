@@ -190,6 +190,53 @@ def stratified_sample(
     return df.filter(gate)
 
 
+def quota_sample(
+    df: DataFrame,
+    quotas: dict[str, int],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_quota: int = 0,
+    salt: str = "q0",
+) -> DataFrame:
+    """Exact-COUNT per-stratum sampling — the fixed-budget mix op
+    ("exactly Q_s docs of stratum s per epoch") that the fraction-based
+    ``stratified_sample`` cannot hit (a fraction approximates a budget;
+    a quota IS one) and the global ``gumbel_topk`` cannot floor
+    per-stratum.  A stratum with fewer rows than its quota keeps them
+    all (row_number never pads).
+
+    Order within a stratum is the deterministic md5 draw over
+    (salt, stratum, id) with id tiebreak — the same row ORDER in any
+    engine, so the oracle reproduces the selected SET, not just its
+    size; changing ``salt`` redraws.  One window shuffle keyed on the
+    stratum; quotas resolve via a literal CASE — no join.  Strata
+    absent from ``quotas`` (including NULL) get ``default_quota``.
+
+    At 100 TB: the window shuffles each stratum's rows to its
+    partitions; a single mega-stratum is the skew exposure — the same
+    one events_salted_skew documents, with the same salting escape
+    hatch — but unlike a global sort the shuffle is per-stratum and
+    the filter drops everything past the quota at the first read."""
+    from pyspark.sql import Window
+
+    key = F.concat_ws(
+        "#", F.lit(salt), F.col(strata_col), F.col(id_col).cast("string")
+    )
+    w = Window.partitionBy(strata_col).orderBy(
+        md5i32(key).asc(), F.col(id_col).asc()
+    )
+    quota_expr: Column = F.lit(int(default_quota))
+    for stratum, q in sorted(quotas.items()):
+        quota_expr = F.when(
+            F.col(strata_col) == stratum, F.lit(int(q))
+        ).otherwise(quota_expr)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= quota_expr)
+        .drop("__rn")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

@@ -2787,3 +2787,43 @@ def test_distribution_shift_exact_ppm(spark):
     # identical frames -> zero drift
     z = distribution_shift(a, a, "v", 10).collect()[0]
     assert z["tv_ppm"] == 0 and z["n_a"] == z["n_b"] == 4
+
+
+def test_quota_sample_exact_counts_and_determinism(spark):
+    """quota_sample: exact per-stratum counts (capped at stratum size),
+    deterministic set across calls, salt redraws, NULL strata get the
+    default quota, and the selected rows are the md5-order prefix."""
+    from minivectordb_spark.operators.prep import quota_sample
+
+    rows = (
+        [(i, "en") for i in range(30)]
+        + [(100 + i, "de") for i in range(4)]
+        + [(200 + i, "fr") for i in range(10)]
+        + [(300, None)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = quota_sample(
+        df, quotas={"en": 5, "de": 9}, default_quota=2
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert len(by["en"]) == 5        # exact quota
+    assert by["de"] == {100, 101, 102, 103}  # under-full stratum keeps all
+    assert len(by["fr"]) == 2        # default quota
+    assert by[None] == {300}         # NULL stratum: default quota, kept
+
+    again = {
+        (r["doc_id"], r["lang"])
+        for r in quota_sample(df, quotas={"en": 5, "de": 9}, default_quota=2).collect()
+    }
+    assert again == {(r["doc_id"], r["lang"]) for r in out}  # deterministic
+
+    redraw = {
+        r["doc_id"]
+        for r in quota_sample(
+            df, quotas={"en": 5, "de": 9}, default_quota=2, salt="q1"
+        ).collect()
+        if r["lang"] == "en"
+    }
+    assert redraw != by["en"]  # salt redraws the sample
