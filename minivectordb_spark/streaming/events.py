@@ -305,6 +305,46 @@ def stream_decontaminated_ingest(
     )
 
 
+def _index_gated_ingest(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    id_col: str,
+    probe_fn,
+    append_fn,
+):
+    """Shared skeleton of the persisted-index ingest gates
+    (``stream_corpus_dedup_ingest`` text / ``stream_neardup_corpus_ingest``
+    embeddings): per micro-batch, dedup ids in-batch, drop rows
+    ``probe_fn`` rejects against the index, anti-join already-ingested
+    ids, append survivors, then hand the SAME eagerly-checkpointed
+    survivors to ``append_fn`` to grow the index — one probe
+    materialization shared by the table append and the index update (no
+    read-write race against the index being updated)."""
+    from pyspark.errors import AnalysisException
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = batch_df.dropDuplicates([id_col])
+        survivors = probe_fn(fresh)
+        try:
+            existing_ids = spark.read.parquet(table_path).select(id_col)
+        except AnalysisException:
+            existing_ids = None
+        if existing_ids is not None:
+            survivors = survivors.join(existing_ids, id_col, "left_anti")
+        survivors = survivors.localCheckpoint(eager=True)
+        survivors.write.mode("append").parquet(table_path)
+        if append_fn is not None:
+            append_fn(survivors)
+
+    return (
+        stream_df.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
 def stream_corpus_dedup_ingest(
     stream_df: DataFrame,
     index_path: str,
@@ -335,38 +375,30 @@ def stream_corpus_dedup_ingest(
     only, reclaimed at the next full ``save_dedup_index`` rebuild; the
     table append itself is guarded by the same per-batch uniqueness
     anti-join as ``stream_vector_ingest``."""
-    from pyspark.errors import AnalysisException
-
     from minivectordb_spark.operators.dedup import (
         dedup_against_indexed,
         update_dedup_index,
     )
 
-    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        fresh = batch_df.dropDuplicates([id_col])
-        survivors = dedup_against_indexed(
+    return _index_gated_ingest(
+        stream_df,
+        table_path,
+        checkpoint,
+        id_col,
+        probe_fn=lambda fresh: dedup_against_indexed(
             fresh, index_path, text_col=text_col, id_col=id_col,
             threshold=threshold,
-        )
-        try:
-            existing_ids = spark.read.parquet(table_path).select(id_col)
-        except AnalysisException:
-            existing_ids = None
-        if existing_ids is not None:
-            survivors = survivors.join(existing_ids, id_col, "left_anti")
-        survivors = survivors.localCheckpoint(eager=True)
-        survivors.write.mode("append").parquet(table_path)
-        if update_index:
-            update_dedup_index(
-                survivors.select(id_col, text_col), index_path,
-                text_col=text_col, id_col=id_col,
+        ),
+        append_fn=(
+            (
+                lambda survivors: update_dedup_index(
+                    survivors.select(id_col, text_col), index_path,
+                    text_col=text_col, id_col=id_col,
+                )
             )
-
-    return (
-        stream_df.writeStream.foreachBatch(_write_batch)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
+            if update_index
+            else None
+        ),
     )
 
 
@@ -391,38 +423,30 @@ def stream_neardup_corpus_ingest(
     accepted?" with the state on disk; same replay-benign contract as
     the text gate (distinct-ed candidates/hits; table append uniqueness
     anti-joined)."""
-    from pyspark.errors import AnalysisException
-
     from minivectordb_spark.operators.dedup import (
         neardup_against_indexed,
         update_neardup_index,
     )
 
-    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        fresh = batch_df.dropDuplicates([id_col])
-        survivors = neardup_against_indexed(
+    return _index_gated_ingest(
+        stream_df,
+        table_path,
+        checkpoint,
+        id_col,
+        probe_fn=lambda fresh: neardup_against_indexed(
             fresh, index_path, emb_col=emb_col, id_col=id_col,
             threshold=threshold, max_probes=max_probes,
-        )
-        try:
-            existing_ids = spark.read.parquet(table_path).select(id_col)
-        except AnalysisException:
-            existing_ids = None
-        if existing_ids is not None:
-            survivors = survivors.join(existing_ids, id_col, "left_anti")
-        survivors = survivors.localCheckpoint(eager=True)
-        survivors.write.mode("append").parquet(table_path)
-        if update_index:
-            update_neardup_index(
-                survivors.select(id_col, emb_col), index_path,
-                emb_col=emb_col, id_col=id_col,
+        ),
+        append_fn=(
+            (
+                lambda survivors: update_neardup_index(
+                    survivors.select(id_col, emb_col), index_path,
+                    emb_col=emb_col, id_col=id_col,
+                )
             )
-
-    return (
-        stream_df.writeStream.foreachBatch(_write_batch)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
+            if update_index
+            else None
+        ),
     )
 
 
