@@ -904,6 +904,23 @@ def q_quota_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_token_budget_sample(spark, sf_dir):
+    """Per-stratum TOKEN-budget sampling (prep.token_budget_sample):
+    keep each language's md5-order prefix whose running whitespace-token
+    sum stays within the budget — 2,000 tokens of 'en', 800 of 'de',
+    300 of everything else.  The twin replays the same window running
+    sum over the same md5 order."""
+    from minivectordb_spark.operators.prep import token_budget_sample
+
+    return token_budget_sample(
+        _t(spark, sf_dir, "documents"),
+        budgets={"en": 2000, "de": 800},
+        strata_col="lang",
+        id_col="doc_id",
+        default_budget=300,
+    ).select("doc_id", "lang")
+
+
 BM25_QUERY = ["vector", "hash", "join"]
 
 
@@ -4675,6 +4692,7 @@ def rotation_registry() -> dict[str, dict]:
         "fingerprints": {"kind": R, "siblings": ["lsh_jaccard_pairs", "simhash_pairs64"]},
         "sample_stratified": {"kind": R, "siblings": ["quality_mix"]},
         "quota_sample": {"kind": C, "siblings": ["sample_stratified"]},
+        "token_budget_sample": {"kind": C, "siblings": ["quota_sample", "pack_sequences"]},
         "point_lookup": {"kind": U, "siblings": ["filter_events_or"]},
         "delete_batch": {"kind": U, "siblings": ["filter_events_or"]},
         "insert_unique": {"kind": U, "siblings": []},
@@ -4962,6 +4980,7 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "sample_stratified": q_sample_stratified,
         "quota_sample": q_quota_sample,
+        "token_budget_sample": q_token_budget_sample,
         "point_lookup": q_point_lookup,
         "delete_batch": q_delete_batch,
         "insert_unique": q_insert_unique,
@@ -5496,6 +5515,25 @@ WITH r AS (
   FROM documents)
 SELECT doc_id, lang FROM r
 WHERE rn <= (CASE lang WHEN 'de' THEN 20 WHEN 'en' THEN 50 ELSE 5 END)
+""".strip()
+
+
+def _oracle_token_budget_sample() -> str:
+    """q_token_budget_sample twin: same md5 order, same running token
+    sum (len of the split-token list — _SQL_TOKS matches Spark's
+    tokens()), same literal CASE budgets."""
+    key = "concat_ws('#', 't0', lang, doc_id::VARCHAR)"
+    return f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         sum(len({_SQL_TOKS})) OVER (
+           PARTITION BY lang
+           ORDER BY {_sql_hash(key)} ASC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM documents)
+SELECT doc_id, lang FROM r
+WHERE cum <= (CASE lang WHEN 'en' THEN 2000 WHEN 'de' THEN 800 ELSE 300 END)
 """.strip()
 
 
@@ -6786,6 +6824,7 @@ SELECT vec_id, scale,
         "scrub_text": _oracle_scrub(),
         "sample_stratified": _oracle_sample_stratified(),
         "quota_sample": _oracle_quota_sample(),
+        "token_budget_sample": _oracle_token_budget_sample(),
         "corpus_pipeline": _oracle_corpus_pipeline(),
         "bm25_search": _oracle_bm25(),
         "hybrid_rrf": _oracle_hybrid_rrf(),

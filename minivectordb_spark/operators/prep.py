@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from minivectordb_spark.operators.hashing import md5i32
-from minivectordb_spark.operators.text import tokens
+from minivectordb_spark.operators.text import token_count, tokens
 from minivectordb_spark.operators.util import materialize
 
 # Java-regex AND RE2-compatible patterns (no lookaround/backrefs) so the
@@ -234,6 +234,52 @@ def quota_sample(
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= quota_expr)
         .drop("__rn")
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    default_budget: int = 0,
+    salt: str = "t0",
+) -> DataFrame:
+    """Per-stratum TOKEN-budget sampling — the unit training mixes are
+    actually specified in ("N tokens of language s per epoch", Llama/
+    Gemma-style data cards), where ``quota_sample`` counts rows.  Keeps
+    each stratum's md5-order prefix of documents whose RUNNING token sum
+    stays within the stratum's budget: the first doc that would overflow
+    is cut, so the kept sum is <= budget (never padded, never split —
+    document-granular budgets; pack_sequences handles the within-budget
+    sequence layout downstream).
+
+    Same determinism contract as quota_sample: the (salt, stratum, id)
+    md5 draw orders each stratum identically in any engine, so the twin
+    verifies the selected SET; one stratum-keyed window shuffle
+    (running sum + the same window's ordering), budgets via literal
+    CASE, NULL strata get ``default_budget``."""
+    from pyspark.sql import Window
+
+    key = F.concat_ws(
+        "#", F.lit(salt), F.col(strata_col), F.col(id_col).cast("string")
+    )
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(md5i32(key).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget_expr: Column = F.lit(int(default_budget))
+    for stratum, b in sorted(budgets.items()):
+        budget_expr = F.when(
+            F.col(strata_col) == stratum, F.lit(int(b))
+        ).otherwise(budget_expr)
+    cum = F.sum(token_count(F.col(text_col))).over(w)
+    return (
+        df.withColumn("__cum_toks", cum)
+        .filter(F.col("__cum_toks") <= budget_expr)
+        .drop("__cum_toks")
     )
 
 

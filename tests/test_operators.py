@@ -2827,3 +2827,48 @@ def test_quota_sample_exact_counts_and_determinism(spark):
         if r["lang"] == "en"
     }
     assert redraw != by["en"]  # salt redraws the sample
+
+
+def test_token_budget_sample_running_sum_contract(spark):
+    """token_budget_sample: the kept set is the md5-order prefix whose
+    RUNNING token sum fits the stratum budget — verified against a
+    Python replay of the same order and sum; never padded, never split;
+    NULL strata get the default budget."""
+    import hashlib
+
+    from minivectordb_spark.operators.prep import token_budget_sample
+
+    rows = (
+        [(i, "en", "w " * (i % 7 + 1)) for i in range(20)]
+        + [(100, "de", "a b c"), (101, "de", "d e"), (102, None, "x y z")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    got = {
+        r["doc_id"]
+        for r in token_budget_sample(
+            df, budgets={"en": 15, "de": 4}, default_budget=3
+        ).collect()
+    }
+
+    def order_key(lang, doc_id):
+        key = f"t0#{lang}#{doc_id}" if lang is not None else f"t0#{doc_id}"
+        # concat_ws skips NULL segments, mirroring Spark
+        return (int(hashlib.md5(key.encode()).hexdigest()[:8], 16), doc_id)
+
+    expected = set()
+    for lang, budget in (("en", 15), ("de", 4), (None, 3)):
+        members = [(i, t) for i, l, t in rows if l == lang]
+        members.sort(key=lambda it: order_key(lang, it[0]))
+        cum = 0
+        for i, t in members:
+            # Spark's split(text, ' ') keeps a trailing empty token;
+            # Python's bare split() would strip it
+            cum += len(t.split(" "))
+            if cum <= budget:
+                expected.add(i)
+            else:
+                break
+    assert got == expected
+    # the de budget of 4 keeps exactly one of the two 3/2-token docs
+    assert len({i for i in got if 100 <= i <= 101}) == 1
+    assert 102 in expected or 102 not in got  # NULL stratum followed default
