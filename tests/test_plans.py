@@ -528,3 +528,15 @@ def test_neardup_index_probe_broadcasts_never_shuffles_index(spark, tmp_path):
     assert plan.count("BroadcastHashJoin") == 1
     assert plan.count("Exchange hashpartitioning") == 1  # the distinct only
     assert "PartitionFilters: [bp" in plan and "IN (" in plan
+
+
+def test_budget_samplers_one_stratum_shuffle_no_join(spark, sf):
+    """quota_sample / token_budget_sample: exactly ONE keyed exchange
+    (the stratum window) and zero joins — budgets/quotas resolve via a
+    literal CASE, so the cost is one scan + one per-stratum window."""
+    for name in ("quota_sample", "token_budget_sample"):
+        df = _q(name, spark, sf)
+        plan = physical_plan(df)
+        assert "Join" not in plan, name
+        assert plan.count("Exchange hashpartitioning") == 1, name
+        assert "Window" in plan, name
