@@ -161,9 +161,13 @@ def test_drift_section_flags_only_real_jumps(tmp_path):
     assert d["prev_found"] is True
     assert set(d["flagged"]) == {"slow_grew"}
     assert d["flagged"]["slow_grew"]["ratio"] == 2.33
-    # 0.1 -> 0.6 crosses the floor on the NOW side: that one counts
+    # sub-floor prevs can't support a ratio test (r11: the fingerprints
+    # false catch — a 0.18s map-only row reading 0.72s is scheduler
+    # noise): a 0.1 prev flags only past ratio x floor = 1.0
     d2 = drift_section({"noise": 0.6}, str(prev))
-    assert set(d2["flagged"]) == {"noise"}
+    assert d2["flagged"] == {}
+    d2b = drift_section({"noise": 1.2}, str(prev))
+    assert set(d2b["flagged"]) == {"noise"}
     # no previous artifact: report prev_found False, flag nothing
     d3 = drift_section(walls, str(tmp_path / "missing.json"))
     assert d3 == {"prev_found": False, "flagged": {}}

@@ -62,7 +62,10 @@ def drift_section(
             continue
         if max(p, wall) < DRIFT_FLOOR_SEC:
             continue
-        if wall > DRIFT_RATIO * p:
+        # sub-floor prevs cannot support a ratio test (see
+        # tools/graded_drift.py — the r11 fingerprints false catch): the
+        # new wall must exceed ratio x max(prev, floor)
+        if wall > DRIFT_RATIO * max(p, DRIFT_FLOOR_SEC):
             flagged[name] = {"prev": p, "now": wall,
                              "ratio": round(wall / p, 2)}
     if flagged and attribute and sf_dir:

@@ -131,7 +131,12 @@ def graded_drift_section(
             continue  # new/rotated-in or errored rows have no trend line
         if max(p, wall) < GRADED_DRIFT_FLOOR_SEC:
             continue
-        if wall > GRADED_DRIFT_RATIO * p:
+        # a prev below the noise floor cannot support a ratio test: a
+        # 0.18s map-only row reading 0.72s is scheduler noise, not a 4x
+        # regression (r11: the fingerprints "reproduced" false catch —
+        # protocol reruns spanned 0.46-0.68s with no code change on the
+        # row's path).  The new wall must exceed ratio x max(prev, floor).
+        if wall > GRADED_DRIFT_RATIO * max(p, GRADED_DRIFT_FLOOR_SEC):
             flagged[name] = {"prev": p, "now": round(wall, 3),
                              "ratio": round(wall / p, 2)}
     if flagged and attribute:
