@@ -2872,3 +2872,31 @@ def test_token_budget_sample_running_sum_contract(spark):
     # the de budget of 4 keeps exactly one of the two 3/2-token docs
     assert len({i for i in got if 100 <= i <= 101}) == 1
     assert 102 in expected or 102 not in got  # NULL stratum followed default
+
+
+def test_auto_simhash_bits_properties():
+    """Property pins for the width law: widths only come from {32,64,128},
+    never shrink as the corpus grows, and whenever the chosen width is
+    below the ceiling its per-band space covers the corpus (expected
+    occupancy <= 1) while the next-smaller width's does not."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from minivectordb_spark.operators.dedup import auto_simhash_bits
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=10**12),
+        n_bands=st.sampled_from([2, 4]),
+    )
+    def check(n, n_bands):
+        b = auto_simhash_bits(n, n_bands)
+        assert b in (32, 64, 128)
+        assert auto_simhash_bits(n * 10, n_bands) >= b  # monotone in n
+        if b < 128:
+            assert (1 << (b // n_bands)) >= n  # covering
+        smaller = {64: 32, 128: 64}.get(b)
+        if smaller is not None:
+            assert (1 << (smaller // n_bands)) < n  # minimal
+
+    check()
