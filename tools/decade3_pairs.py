@@ -112,6 +112,55 @@ def synth_docs(spark, n: int):
     )
 
 
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def synth_names(spark, n: int):
+    """n deterministic name-like strings (12-24 chars over a 26-char
+    alphabet); every TWIN_EVERY-th row is its predecessor's string with
+    the LAST character substituted by a guaranteed-different one — the
+    planted edit-distance-1 twin.  Random 12+-char strings over 26
+    characters collide at distance <= 1 essentially never, so the
+    planted pairs ARE the answer."""
+    from pyspark.sql import functions as F
+
+    base = F.when(
+        F.col("id") % TWIN_EVERY == 1, F.col("id") - 1
+    ).otherwise(F.col("id"))
+    is_twin = F.col("id") % TWIN_EVERY == 1
+    length = (F.pmod(F.xxhash64(base, F.lit(11)), F.lit(13)) + F.lit(12)).cast(
+        "int"
+    )
+    alpha = F.split(F.lit(",".join(ALPHA)), ",")
+
+    def char_idx(j):
+        return F.pmod(
+            F.xxhash64(base * F.lit(1_048_576) + j.cast("long"), F.lit(19)),
+            F.lit(26),
+        ).cast("int")
+
+    chars = F.transform(
+        F.sequence(F.lit(1), length),
+        lambda j: F.element_at(alpha, char_idx(j) + 1),
+    )
+    s_base = F.concat_ws("", chars)
+    # twin: substitute the LAST char with an offset-shifted one (offset in
+    # 1..25, so always different -> edit distance exactly 1)
+    last_idx = char_idx(length)
+    twin_idx = F.pmod(
+        last_idx + F.pmod(F.xxhash64(F.col("id"), F.lit(23)), F.lit(25)) + 1,
+        F.lit(26),
+    ).cast("int")
+    s = F.when(
+        is_twin,
+        F.concat(
+            F.substring(s_base, F.lit(1), length - 1),
+            F.element_at(alpha, twin_idx + 1),
+        ),
+    ).otherwise(s_base)
+    return spark.range(n).select(F.col("id").alias("rec_id"), s.alias("name"))
+
+
 def synth_vecs(spark, n: int, dim: int = 16):
     """n deterministic dim-16 embeddings (vec_id, embedding); every
     TWIN_EVERY-th row is its predecessor's vector with +0.02 on the
@@ -151,7 +200,9 @@ def main() -> None:
 
     args = sys.argv[1:]
     family = "setsim"
-    if args and args[0] in ("setsim", "lsh", "simhash", "simhash128", "neardup"):
+    if args and args[0] in (
+        "setsim", "lsh", "simhash", "simhash128", "neardup", "qgram"
+    ):
         family = args[0]
         args = args[1:]
     sizes = [int(a) for a in args] or [5_000, 50_000, 500_000]
@@ -161,6 +212,36 @@ def main() -> None:
     )
     out = {}
     for n in sizes:
+        if family == "qgram":
+            from minivectordb_spark.operators.linkage import (
+                choose_qgram_q,
+                qgram_join_diagnostics,
+            )
+
+            names = synth_names(spark, n).localCheckpoint()
+            left = names.filter(
+                (F.col("rec_id") % TWIN_EVERY == 1) & (F.col("rec_id") > 0)
+            )
+            right = names.filter(F.col("rec_id") % TWIN_EVERY != 1)
+            q, pred, sat = choose_qgram_q(n, 12, max_dist=1, alphabet_size=26)
+            t0 = time.time()
+            d = qgram_join_diagnostics(
+                left, right, "rec_id", "rec_id", "name", "name",
+                max_dist=1, q=q,
+            )
+            wall = round(time.time() - t0, 1)
+            d.update(
+                n=n,
+                q=q,
+                predicted_candidates=int(pred),
+                saturated=sat,
+                wall_sec=wall,
+                planted_pairs=len(range(1, n, TWIN_EVERY)),
+                brute_pairs=(n // TWIN_EVERY) * (n - n // TWIN_EVERY),
+            )
+            out[n] = d
+            print(json.dumps({str(n): d}, separators=(",", ":")), flush=True)
+            continue
         if family == "neardup":
             from minivectordb_spark.operators.dedup import (
                 embedding_neardup_diagnostics,
