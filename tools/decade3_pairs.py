@@ -207,8 +207,14 @@ def main() -> None:
         args = args[1:]
     sizes = [int(a) for a in args] or [5_000, 50_000, 500_000]
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # the deepest decades need more shuffle partitions than cores: at 5M
+    # docs the qgram doc-frequency aggregate over ~75M occurrence rows
+    # exceeds per-partition aggregation memory at width 32
+    # (AGGREGATE_OUT_OF_MEMORY) — the standard partitions-fit-memory
+    # sizing, overridable per run
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
     spark = get_spark(
-        app_name="decade3_pairs", cores=cpus, shuffle_partitions=int(cpus)
+        app_name="decade3_pairs", cores=cpus, shuffle_partitions=shuffle
     )
     out = {}
     for n in sizes:
