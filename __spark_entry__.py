@@ -1194,6 +1194,10 @@ def q_neardup_lsh(spark, sf_dir):
         # driver at 10x — while still resolving to P=4 at N=500 (sf0.01),
         # so the oracle's 4-plane literal plan is unchanged
         target_block_size=32,
+        # clamp the adaptive P at the twin's inlined plane-literal prefix
+        # (ADVICE r11): both sides agree at EVERY corpus size; past
+        # N = 32 * 2^PMAX occupancy grows instead of the twin breaking
+        max_planes=NEARDUP_PMAX,
     )
 
 
@@ -1485,7 +1489,8 @@ def q_neardup_against(spark, sf_dir):
     ref = emb.filter(F.col("vec_id") % 2 == 0)
     new = emb.filter(F.col("vec_id") % 2 != 0)
     return neardup_against(
-        new, ref, threshold=NEARDUP_COS, max_probes=4, target_block_size=32
+        new, ref, threshold=NEARDUP_COS, max_probes=4, target_block_size=32,
+        max_planes=NEARDUP_PMAX,
     ).select("vec_id", "label")
 
 
@@ -1495,9 +1500,8 @@ def q_neardup_against_indexed(spark, sf_dir):
     adaptive policy, so the frozen planes equal the direct resolution and
     the same oracle grades both); the probe broadcasts the batch's keys
     (index side never shuffles, PartitionFilters pruned — plan-locked).
-    Fresh temp dir per call, no cross-call cache."""
-    import tempfile
-
+    Fresh temp dir per call (no cross-call cache), swept at interpreter
+    exit via _gate_tmpdir (ADVICE r11)."""
     from minivectordb_spark.operators.dedup import (
         neardup_against_indexed,
         save_neardup_index,
@@ -1506,8 +1510,10 @@ def q_neardup_against_indexed(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     ref = emb.filter(F.col("vec_id") % 2 == 0)
     new = emb.filter(F.col("vec_id") % 2 != 0)
-    idx = tempfile.mkdtemp(prefix="neardup_idx_")
-    save_neardup_index(ref, idx, target_block_size=32, n_dirs=16)
+    idx = _gate_tmpdir("neardup_idx_")
+    save_neardup_index(
+        ref, idx, target_block_size=32, n_dirs=16, max_planes=NEARDUP_PMAX
+    )
     return neardup_against_indexed(
         new, idx, threshold=NEARDUP_COS, max_probes=4
     ).select("vec_id", "label")
@@ -1520,9 +1526,8 @@ def q_dedup_against_indexed(spark, sf_dir):
     broadcast join — the index side never shuffles (plan-asserted in
     test_plans).  Same parameters, same survivors, same oracle as
     dedup_against; the index is built into a fresh temp dir per call
-    (no cross-call cache — the r10 staleness lesson)."""
-    import tempfile
-
+    (no cross-call cache — the r10 staleness lesson), swept at
+    interpreter exit via _gate_tmpdir (ADVICE r11)."""
     from minivectordb_spark.operators.dedup import (
         dedup_against_indexed,
         save_dedup_index,
@@ -1531,7 +1536,7 @@ def q_dedup_against_indexed(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     ref = docs.filter(F.col("doc_id") % DEDUP_AGAINST_MOD == 0)
     new = docs.filter(F.col("doc_id") % DEDUP_AGAINST_MOD != 0)
-    idx = tempfile.mkdtemp(prefix="dedup_idx_")
+    idx = _gate_tmpdir("dedup_idx_")
     # prefix_len=1 (16 partition dirs) at the gate's scale: the pruning
     # MECHANISM is identical at any width (plan-locked in test_plans) and
     # a 256-dir layout over a 2.5k-doc reference is pure small-file
@@ -3396,10 +3401,23 @@ STREAM_BOUNDED_COUNTERS: dict = {}
 #: so the scaling harness's counter pass can reuse the timed run's
 #: counters instead of re-staging + re-streaming (~40 s).
 STREAM_BOUNDED_COUNTERS_BY_DIR: dict = {}
-#: per-run mkdtemp roots staged by q_stream_attribution_bounded, swept
-#: at interpreter exit (the sink must outlive the returned lazy frame,
-#: so the run itself cannot delete them)
-_STREAM_BOUNDED_TMP_ROOTS: list = []
+#: per-run mkdtemp roots staged by gate queries whose on-disk artifacts
+#: (streaming sinks, persisted indexes) must outlive the returned LAZY
+#: frame — the run itself cannot delete them, so they are registered
+#: here and swept at interpreter exit (ADVICE r11: the indexed-probe
+#: gates previously leaked one /tmp dir per invocation)
+_GATE_TMP_ROOTS: list = []
+
+
+def _gate_tmpdir(prefix: str) -> str:
+    """mkdtemp registered for the interpreter-exit sweep: the fresh-dir-
+    per-call contract stays (no cross-call cache — the r10 staleness
+    lesson) but the directory no longer outlives the process."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix=prefix)
+    _GATE_TMP_ROOTS.append(root)
+    return root
 
 
 def _events_fingerprint(sf_dir: str):
@@ -3424,16 +3442,16 @@ def _events_fingerprint(sf_dir: str):
         return None
 
 
-def _sweep_stream_bounded_tmp() -> None:
+def _sweep_gate_tmp() -> None:
     import shutil
 
-    for root in _STREAM_BOUNDED_TMP_ROOTS:
+    for root in _GATE_TMP_ROOTS:
         shutil.rmtree(root, ignore_errors=True)
 
 
 import atexit as _atexit  # noqa: E402
 
-_atexit.register(_sweep_stream_bounded_tmp)
+_atexit.register(_sweep_gate_tmp)
 
 
 def q_stream_attribution_bounded(spark, sf_dir):
@@ -3462,7 +3480,7 @@ def q_stream_attribution_bounded(spark, sf_dir):
     root = tempfile.mkdtemp(
         prefix=f"spark_graft_attrb_{os.path.basename(sf_dir.rstrip('/'))}_"
     )
-    _STREAM_BOUNDED_TMP_ROOTS.append(root)
+    _GATE_TMP_ROOTS.append(root)
     src, ck, out = (os.path.join(root, d) for d in ("src", "ck", "out"))
     ev = _t(spark, sf_dir, "events").select(
         "event_id",
@@ -4058,6 +4076,7 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
             threshold=NEARDUP_COS,
             max_probes=4,
             target_block_size=32,
+            max_planes=NEARDUP_PMAX,
         )
 
     def c_neardup_cosine(spark: SparkSession, sf_dir: str) -> dict:
@@ -6198,7 +6217,8 @@ def _oracle_neardup() -> str:
     return _oracle_neardup_lsh(planes=NEARDUP_COS_PLANES)
 
 
-NEARDUP_PMAX = 16  # oracle covers adaptive P up to 16 (N <= 32 * 2^16 ~ 2.1M)
+NEARDUP_PMAX = 16  # shared adaptive-P cap: Spark passes max_planes=PMAX, the
+# twins COALESCE np to PMAX — both sides hold P=16 past N = 32 * 2^16 ~ 2.1M
 
 
 def _oracle_neardup_lsh_adaptive(
@@ -6216,9 +6236,10 @@ def _oracle_neardup_lsh_adaptive(
     at exact powers of two), and replays the operator's query-directed
     one-sided multiprobe (flip the ``max_probes`` planes with smallest
     |dot|/||plane||, margin ties by plane index) over just the first np
-    dots.  Matches the Spark plan at EVERY corpus size up to
-    32 * 2^NEARDUP_PMAX rows — beyond that np is NULL and the compare
-    fails loudly rather than silently pinning."""
+    dots.  Matches the Spark plan at EVERY corpus size: the Spark side
+    passes ``max_planes=NEARDUP_PMAX`` and the twin COALESCEs np to the
+    same cap (ADVICE r11), so past 32 * 2^NEARDUP_PMAX rows BOTH sides
+    hold P at the cap (occupancy grows instead of the twin breaking)."""
     import math as _m
 
     planes = default_projection_planes(DIM, n_planes=NEARDUP_PMAX)
@@ -6231,7 +6252,7 @@ def _oracle_neardup_lsh_adaptive(
     cos = _sql_cos_cols("ea.embedding", "eb.embedding")
     return f"""
 WITH nn AS (SELECT count(*)::BIGINT AS n FROM embeddings),
-pp AS (SELECT MIN(CASE WHEN ({target_block_size}::BIGINT << u.i) >= nn.n THEN u.i END)::INT AS np
+pp AS (SELECT COALESCE(MIN(CASE WHEN ({target_block_size}::BIGINT << u.i) >= nn.n THEN u.i END), {NEARDUP_PMAX})::INT AS np
        FROM nn, unnest(range(4, {NEARDUP_PMAX + 1})) u(i)),
 d AS (SELECT vec_id, {dots_list} AS dots FROM embeddings),
 bb AS (SELECT vec_id, dots,
@@ -6279,7 +6300,7 @@ def _oracle_neardup_against(
     cos = _sql_cos_cols("ea.embedding", "eb.embedding")
     return f"""
 WITH nn AS (SELECT count(*)::BIGINT AS n FROM embeddings WHERE vec_id % 2 = 0),
-pp AS (SELECT MIN(CASE WHEN ({target_block_size}::BIGINT << u.i) >= nn.n THEN u.i END)::INT AS np
+pp AS (SELECT COALESCE(MIN(CASE WHEN ({target_block_size}::BIGINT << u.i) >= nn.n THEN u.i END), {NEARDUP_PMAX})::INT AS np
        FROM nn, unnest(range(4, {NEARDUP_PMAX + 1})) u(i)),
 d AS (SELECT vec_id, {dots_list} AS dots FROM embeddings),
 bref AS (SELECT d.vec_id,

@@ -1046,10 +1046,18 @@ def _neardup_resolve_planes(
     id_col: str,
     planes: list[list[float]] | None,
     target_block_size: int,
+    max_planes: int | None = None,
 ) -> list[list[float]]:
     """Adaptive plane count: P = max(4, ceil(log2(N / target_block_size)))
     so bucket count grows with the corpus and expected block population
-    stays ~target_block_size (one count + one-row dim peek)."""
+    stays ~target_block_size (one count + one-row dim peek).
+
+    ``max_planes`` caps P (ADVICE r11): callers whose SQL twin inlines a
+    fixed plane-literal prefix pass the twin's cap so BOTH sides keep
+    agreeing past N = target_block_size * 2^max_planes — beyond the cap
+    block population grows past target_block_size instead of the plane
+    count growing past what the twin can replay.  Leave ``None`` for the
+    unconstrained production behavior."""
     if planes is not None:
         return planes
     import math
@@ -1060,6 +1068,8 @@ def _neardup_resolve_planes(
     dim = int(first["d"]) if first else 0
     n = df.select(id_col).count()
     n_planes = max(4, math.ceil(math.log2(max(n, 1) / target_block_size)))
+    if max_planes is not None:
+        n_planes = min(n_planes, max_planes)
     return default_projection_planes(dim, n_planes=n_planes)
 
 
@@ -1143,6 +1153,7 @@ def embedding_neardup_diagnostics(
     multiprobe: bool = True,
     max_probes: int | None = None,
     target_block_size: int = 64,
+    max_planes: int | None = None,
 ) -> dict:
     """Recorded, falsifiable counters for the LSH near-dup plan: every
     scaling claim about this operator belongs in bench JSON, not prose
@@ -1158,7 +1169,9 @@ def embedding_neardup_diagnostics(
     """
     from minivectordb_spark.operators.ann import random_projection_buckets
 
-    planes = _neardup_resolve_planes(df, emb_col, id_col, planes, target_block_size)
+    planes = _neardup_resolve_planes(
+        df, emb_col, id_col, planes, target_block_size, max_planes
+    )
     n_planes = len(planes)
     k_probes = n_planes if max_probes is None else min(max_probes, n_planes)
     n_rows = df.count()
@@ -1207,6 +1220,7 @@ def embedding_neardup_pairs(
     max_probes: int | None = None,
     brute_force: bool = False,
     target_block_size: int = 64,
+    max_planes: int | None = None,
 ) -> DataFrame:
     """Cosine near-dup pairs over an embedding column.
 
@@ -1252,7 +1266,7 @@ def embedding_neardup_pairs(
 
     if use_lsh:
         planes = _neardup_resolve_planes(
-            df, emb_col, id_col, planes, target_block_size
+            df, emb_col, id_col, planes, target_block_size, max_planes
         )
 
     a_cols = [
@@ -1317,6 +1331,7 @@ def neardup_against(
     multiprobe: bool = True,
     max_probes: int | None = None,
     target_block_size: int = 64,
+    max_planes: int | None = None,
 ) -> DataFrame:
     """Cross-corpus EMBEDDING near-dup — the embedding-space form of
     ``dedup_against``: drop incoming rows whose cosine against some
@@ -1345,7 +1360,7 @@ def neardup_against(
     from minivectordb_spark.scoring import norm_expr
 
     planes = _neardup_resolve_planes(
-        reference, emb_col, id_col, planes, target_block_size
+        reference, emb_col, id_col, planes, target_block_size, max_planes
     )
     n_planes = len(planes)
     k_probes = n_planes if max_probes is None else min(max_probes, n_planes)
@@ -2128,6 +2143,15 @@ def update_dedup_index(
     )
 
 
+def _emb_element_type(df: DataFrame, emb_col: str) -> str:
+    """Canonical storage element type for an embedding column: ``double``
+    when the source is double (preserves the exact-verify cosine bit-for-
+    bit vs the unindexed operator), ``float`` for everything else (float
+    sources stay float; exotic numerics normalize to float32)."""
+    et = df.schema[emb_col].dataType.elementType.simpleString()
+    return "double" if et == "double" else "float"
+
+
 def save_neardup_index(
     reference: DataFrame,
     path: str,
@@ -2136,6 +2160,7 @@ def save_neardup_index(
     planes: list[list[float]] | None = None,
     target_block_size: int = 64,
     n_dirs: int = 64,
+    max_planes: int | None = None,
 ) -> None:
     """Persist the reference side of ``neardup_against`` ONCE: the
     sign-bit LSH bucket table (partitioned by ``pmod(bucket, n_dirs)``
@@ -2153,7 +2178,7 @@ def save_neardup_index(
     from minivectordb_spark.operators.ann import random_projection_buckets
 
     planes = _neardup_resolve_planes(
-        reference, emb_col, id_col, planes, target_block_size
+        reference, emb_col, id_col, planes, target_block_size, max_planes
     )
     buckets = random_projection_buckets(
         reference, planes, id_col=id_col, emb_col=emb_col
@@ -2164,13 +2189,17 @@ def save_neardup_index(
         .mode("overwrite")
         .parquet(f"{path}/buckets")
     )
-    # canonical float32 storage: appends from sources with a different
-    # element type (double-inferred createDataFrame frames vs float
-    # parquet) would otherwise mix element types in one directory and
-    # poison every later read (FAILED_READ_FILE.PARQUET_COLUMN_DATA_TYPE
-    # _MISMATCH — found by the streaming-gate test)
+    # canonical element type = the SOURCE's element type, pinned in the
+    # manifest (ADVICE r11): storing at source precision keeps the exact
+    # verify cosine identical to neardup_against / the oracle (a float32
+    # downcast can flip round(cosine, 6) >= threshold for borderline
+    # pairs when the source is double); appends cast to the pinned type
+    # so one directory never mixes element types (FAILED_READ_FILE.
+    # PARQUET_COLUMN_DATA_TYPE_MISMATCH — found by the streaming-gate
+    # test)
+    emb_type = _emb_element_type(reference, emb_col)
     reference.select(
-        F.col(id_col), F.col(emb_col).cast("array<float>").alias(emb_col)
+        F.col(id_col), F.col(emb_col).cast(f"array<{emb_type}>").alias(emb_col)
     ).write.mode("overwrite").parquet(f"{path}/embeddings")
     _os.makedirs(path, exist_ok=True)
     with open(_os.path.join(path, "_neardup_index_manifest.json"), "w") as fh:
@@ -2180,6 +2209,7 @@ def save_neardup_index(
                 "emb_col": emb_col,
                 "planes": planes,
                 "n_dirs": n_dirs,
+                "emb_type": emb_type,
             },
             fh,
         )
@@ -2337,6 +2367,10 @@ def update_neardup_index(
         .mode("append")
         .parquet(f"{path}/buckets")
     )
+    # cast to the manifest-pinned element type (source precision at build
+    # time; "float" fallback for pre-emb_type manifests) so appends never
+    # mix parquet element types in the embeddings directory
+    emb_type = m.get("emb_type", "float")
     df_new.select(
-        F.col(id_col), F.col(emb_col).cast("array<float>").alias(emb_col)
+        F.col(id_col), F.col(emb_col).cast(f"array<{emb_type}>").alias(emb_col)
     ).write.mode("append").parquet(f"{path}/embeddings")

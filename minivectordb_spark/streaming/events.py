@@ -316,27 +316,51 @@ def _index_gated_ingest(
     """Shared skeleton of the persisted-index ingest gates
     (``stream_corpus_dedup_ingest`` text / ``stream_neardup_corpus_ingest``
     embeddings): per micro-batch, dedup ids in-batch, drop rows
-    ``probe_fn`` rejects against the index, anti-join already-ingested
-    ids, append survivors, then hand the SAME eagerly-checkpointed
-    survivors to ``append_fn`` to grow the index — one probe
-    materialization shared by the table append and the index update (no
-    read-write race against the index being updated)."""
+    ``probe_fn`` rejects against the index, append the probe survivors
+    minus already-ingested ids to the table, then hand the SAME eagerly-
+    checkpointed PRE-anti-join probe survivors to ``append_fn`` to grow
+    the index — one probe materialization shared by the table append and
+    the index update (no read-write race against the index being
+    updated).
+
+    Crash/replay contract (every replay converges because ``append_fn``
+    receives the pre-anti-join probe survivors, not the table-append
+    frame):
+
+    * crash BEFORE the table append — replay is a plain re-run.
+    * crash BETWEEN table append and ``append_fn`` — on replay the
+      probe still passes the batch's rows (the index does not contain
+      them yet), the table anti-join drops them (already appended,
+      benign), and ``append_fn`` receives the same non-empty probe
+      survivors, so the index catches up.  Anti-joining FIRST would
+      instead hand ``append_fn`` an empty frame here and the index
+      would permanently under-cover the batch.
+    * crash AFTER both appends — on replay the probe rejects the
+      batch's rows as duplicates of their own indexed copies, so both
+      appends are empty no-ops.
+
+    Residual cost of this ordering: a row the probe passes but the
+    table anti-join drops (same id re-sent with changed, non-duplicate
+    content) gets its buckets appended to the index even though the
+    table kept the FIRST version.  Extra index rows are the documented-
+    benign direction (candidates/hits are distinct-ed; bytes reclaimed
+    at the next full rebuild)."""
     from pyspark.errors import AnalysisException
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         fresh = batch_df.dropDuplicates([id_col])
-        survivors = probe_fn(fresh)
+        probe_survivors = probe_fn(fresh).localCheckpoint(eager=True)
         try:
             existing_ids = spark.read.parquet(table_path).select(id_col)
         except AnalysisException:
             existing_ids = None
+        survivors = probe_survivors
         if existing_ids is not None:
             survivors = survivors.join(existing_ids, id_col, "left_anti")
-        survivors = survivors.localCheckpoint(eager=True)
         survivors.write.mode("append").parquet(table_path)
         if append_fn is not None:
-            append_fn(survivors)
+            append_fn(probe_survivors)
 
     return (
         stream_df.writeStream.foreachBatch(_write_batch)
@@ -369,12 +393,16 @@ def stream_corpus_dedup_ingest(
     "same id replayed recently?", this gate answers "near-duplicate of
     ANYTHING ever accepted?", which no bounded in-memory state can.
 
-    Failure/replay note: if a batch re-runs after appending, re-appended
-    bucket/shingle rows are benign for correctness (candidates are
-    distinct-ed, verify hits are distinct-ed) — they cost index bytes
-    only, reclaimed at the next full ``save_dedup_index`` rebuild; the
-    table append itself is guarded by the same per-batch uniqueness
-    anti-join as ``stream_vector_ingest``."""
+    Failure/replay note: every crash point converges on replay — see the
+    ``_index_gated_ingest`` crash/replay contract (the index update runs
+    on the PRE-anti-join probe survivors, so a crash between the table
+    append and the index append self-heals instead of leaving the index
+    permanently under-covered).  Re-appended bucket/shingle rows are
+    benign for correctness (candidates are distinct-ed, verify hits are
+    distinct-ed) — they cost index bytes only, reclaimed at the next
+    full ``save_dedup_index`` rebuild; the table append itself is
+    guarded by the same per-batch uniqueness anti-join as
+    ``stream_vector_ingest``."""
     from minivectordb_spark.operators.dedup import (
         dedup_against_indexed,
         update_dedup_index,

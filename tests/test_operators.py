@@ -2900,3 +2900,104 @@ def test_auto_simhash_bits_properties():
             assert (1 << (smaller // n_bands)) < n  # minimal
 
     check()
+
+
+def test_neardup_index_preserves_source_precision(spark, tmp_path):
+    """ADVICE r11: a double-source reference must be stored at DOUBLE
+    precision (manifest-pinned), so the indexed verify cosine is bit-
+    identical to the unindexed neardup_against; appends from frames with
+    a different element type cast to the pinned type (no mixed-type
+    parquet directory)."""
+    import json
+    import numpy as np
+
+    from minivectordb_spark.operators.dedup import (
+        neardup_against,
+        neardup_against_indexed,
+        save_neardup_index,
+        update_neardup_index,
+        _neardup_resolve_planes,
+    )
+
+    rng = np.random.RandomState(47)
+    ref_vecs = rng.randn(40, 8)  # float64
+    ref = spark.createDataFrame(
+        [(100 + i, [float(x) for x in v]) for i, v in enumerate(ref_vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = str(tmp_path / "didx_prec")
+    save_neardup_index(ref, idx, target_block_size=8)
+
+    with open(f"{idx}/_neardup_index_manifest.json") as fh:
+        m = json.load(fh)
+    assert m["emb_type"] == "double"
+    stored = spark.read.parquet(f"{idx}/embeddings")
+    assert stored.schema["embedding"].dataType.elementType.simpleString() == "double"
+
+    new = spark.createDataFrame(
+        [(0, [float(x) for x in ref_vecs[3]])]
+        + [(1 + i, [float(x) for x in rng.randn(8)]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    planes = _neardup_resolve_planes(ref, "embedding", "vec_id", None, 8)
+    direct = sorted(
+        r["vec_id"]
+        for r in neardup_against(
+            new, ref, threshold=0.9, planes=planes, max_probes=4
+        ).collect()
+    )
+    probed = sorted(
+        r["vec_id"]
+        for r in neardup_against_indexed(
+            new, idx, threshold=0.9, max_probes=4
+        ).collect()
+    )
+    assert probed == direct and 0 not in probed
+
+    # append a FLOAT-typed frame: must cast to the pinned double type and
+    # leave the directory readable (the mixed-type poison case)
+    floaty = spark.createDataFrame(
+        [(200, [float(x) for x in rng.randn(8).astype("float32")])],
+        "vec_id long, embedding array<float>",
+    )
+    update_neardup_index(floaty, idx)
+    back = spark.read.parquet(f"{idx}/embeddings")
+    assert back.schema["embedding"].dataType.elementType.simpleString() == "double"
+    assert back.count() == 41
+
+
+def test_neardup_resolve_planes_max_planes_cap(spark):
+    """ADVICE r11: max_planes caps the adaptive plane count (the twin's
+    inlined-literal prefix bound) and is a no-op below the cap."""
+    import numpy as np
+
+    from minivectordb_spark.operators.dedup import _neardup_resolve_planes
+
+    rng = np.random.RandomState(3)
+    df = spark.createDataFrame(
+        [(i, rng.randn(4).tolist()) for i in range(600)],
+        ["vec_id", "embedding"],
+    )
+    # N=600, target=2 -> uncapped P = ceil(log2(300)) = 9
+    assert len(_neardup_resolve_planes(df, "embedding", "vec_id", None, 2)) == 9
+    assert (
+        len(
+            _neardup_resolve_planes(
+                df, "embedding", "vec_id", None, 2, max_planes=6
+            )
+        )
+        == 6
+    )
+    # below the cap: unchanged
+    assert (
+        len(
+            _neardup_resolve_planes(
+                df, "embedding", "vec_id", None, 2, max_planes=16
+            )
+        )
+        == 9
+    )
+    # explicit planes bypass resolution entirely
+    assert _neardup_resolve_planes(
+        df, "embedding", "vec_id", [[1.0, 0.0, 0.0, 0.0]], 2, max_planes=1
+    ) == [[1.0, 0.0, 0.0, 0.0]]

@@ -1335,3 +1335,48 @@ def test_stream_neardup_corpus_ingest_cross_batch(spark, tmp_path):
     q.awaitTermination(120)
     got2 = sorted(r["vec_id"] for r in spark.read.parquet(table_path).collect())
     assert 2 not in got2 and 1 in got2 and 3 in got2
+
+
+def test_stream_corpus_dedup_ingest_replay_heals_index(spark, tmp_path):
+    """Crash-between-appends replay (ADVICE r11, medium): a micro-batch
+    that died AFTER the table append but BEFORE the index append must,
+    on replay, still hand its survivors to the index update — the gate
+    passes the PRE-anti-join probe survivors to append_fn, so the index
+    catches up instead of permanently under-covering the batch."""
+    from minivectordb_spark.operators.dedup import (
+        dedup_against_indexed,
+        save_dedup_index,
+    )
+    from minivectordb_spark.streaming import stream_corpus_dedup_ingest
+
+    ref = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "didx_replay")
+    save_dedup_index(ref, idx)
+
+    novel = "spark catalyst optimizer rewrites logical plans"
+    batch = spark.createDataFrame([(1, novel)], ["doc_id", "text"])
+
+    # simulate the crashed first run: table append happened, index append
+    # and checkpoint commit did not
+    table_path = str(tmp_path / "corpus_out_replay")
+    batch.write.mode("append").parquet(table_path)
+
+    # replay: fresh checkpoint (the crashed batch was never committed)
+    src = str(tmp_path / "stream_in_replay")
+    batch.write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    ck = str(tmp_path / "ck_replay")
+    q = stream_corpus_dedup_ingest(stream, idx, table_path, ck, threshold=0.5).start()
+    q.awaitTermination(120)
+
+    # table: no duplicate row for doc 1 (anti-join dropped the replay copy)
+    rows = spark.read.parquet(table_path).collect()
+    assert sorted(r["doc_id"] for r in rows) == [1]
+
+    # index: HEALED — a later near-dup of doc 1 is rejected by the index
+    probe = spark.createDataFrame([(2, novel)], ["doc_id", "text"])
+    kept = dedup_against_indexed(probe, idx, threshold=0.5).collect()
+    assert kept == []
