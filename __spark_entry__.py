@@ -1551,6 +1551,98 @@ def q_dedup_against_indexed(spark, sf_dir):
     )
 
 
+DEDUP_LOOP_MOD = 3  # corpus A / batch B / batch C split for the ingest loop
+
+
+def q_dedup_index_loop(spark, sf_dir):
+    """The persisted-index INGEST LOOP end-to-end (VERDICT r11 item 2):
+    build the dedup index from corpus A (doc_id % 3 == 0), probe batch B
+    (% 3 == 1) and APPEND B's survivors (update_dedup_index), then probe
+    batch C (% 3 == 2) against the GROWN index and return C's survivors
+    — a C doc near-duplicating an accepted B doc is dropped by state
+    that lives on disk, not in memory.  This is the probe -> accept ->
+    append lifecycle the r11 index family exists for, now driver-
+    visible; reference semantics anchor: the insert-uniqueness-then-
+    store loop of vector_database.py:57-117.  The twin unrolls the
+    banding/jaccard machinery of _oracle_dedup_against over both probe
+    rounds, round two's reference set being A plus B's survivors."""
+    from minivectordb_spark.operators.dedup import (
+        dedup_against_indexed,
+        save_dedup_index,
+        update_dedup_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % DEDUP_LOOP_MOD == 0)
+    batch_b = docs.filter(F.col("doc_id") % DEDUP_LOOP_MOD == 1)
+    batch_c = docs.filter(F.col("doc_id") % DEDUP_LOOP_MOD == 2)
+    idx = _gate_tmpdir("dedup_loop_idx_")
+    save_dedup_index(
+        ref, idx, n_hashes=N_HASHES, band_size=BAND_SIZE, k=SHINGLE_K, seed=42,
+        prefix_len=1,
+    )
+    surv_b = dedup_against_indexed(batch_b, idx, threshold=JACCARD_MIN)
+    update_dedup_index(surv_b.select("doc_id", "text"), idx)
+    return dedup_against_indexed(batch_c, idx, threshold=JACCARD_MIN).select(
+        "doc_id", "lang"
+    )
+
+
+def q_stream_dedup_ingest(spark, sf_dir):
+    """Sink-level batch==stream identity for the persisted-index
+    streaming gate (VERDICT r11 item 6): docs with doc_id % 3 == 0 are
+    the pre-built index corpus; the % 3 == 1 and % 3 == 2 slices are
+    staged as two mtime-ordered parquet files and driven through
+    stream_corpus_dedup_ingest ONE FILE PER MICRO-BATCH
+    (maxFilesPerTrigger=1, availableNow) — real streaming engine, real
+    checkpoint, real on-disk index growing between batches.  The
+    returned frame is the SINK table: batch-1 survivors plus batch-2
+    survivors, batch 2 probed against the index GROWN by batch 1; the
+    twin unrolls both rounds relationally (_oracle_stream_dedup_ingest,
+    the dedup_index_loop CTE chain selecting both rounds)."""
+    import os
+    import time as _time
+
+    from minivectordb_spark.operators.dedup import save_dedup_index
+    from minivectordb_spark.streaming import stream_corpus_dedup_ingest
+
+    docs = _t(spark, sf_dir, "documents")
+    root = _gate_tmpdir("stream_dedup_ingest_")
+    src, ck, table, idx = (
+        os.path.join(root, d) for d in ("src", "ck", "table", "idx")
+    )
+    save_dedup_index(
+        docs.filter(F.col("doc_id") % DEDUP_LOOP_MOD == 0),
+        idx, n_hashes=N_HASHES, band_size=BAND_SIZE, k=SHINGLE_K, seed=42,
+        prefix_len=1,
+    )
+    # stage batch 1 then batch 2 as mtime-ordered single files: the file
+    # stream picks pending files oldest-first, so batch order is pinned
+    base = int(_time.time()) - 120
+    for i, mod in enumerate((1, 2)):
+        before = set(os.listdir(src)) if os.path.isdir(src) else set()
+        docs.filter(F.col("doc_id") % DEDUP_LOOP_MOD == mod).select(
+            "doc_id", "text", "lang"
+        ).coalesce(1).write.mode("append").parquet(src)
+        for name in os.listdir(src):
+            if (
+                name.startswith("part-")
+                and not name.endswith(".crc")
+                and name not in before
+            ):
+                os.utime(os.path.join(src, name), (base + i, base + i))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_corpus_dedup_ingest(
+        stream, idx, table, ck, threshold=JACCARD_MIN
+    ).start()
+    q.awaitTermination(300)
+    return spark.read.parquet(table).select("doc_id", "lang")
+
+
 def q_dedup_against(spark, sf_dir):
     """Cross-corpus dedup (operators/dedup.dedup_against): docs with
     doc_id % DEDUP_AGAINST_MOD == 0 play the existing training set; the
@@ -4701,6 +4793,8 @@ def rotation_registry() -> dict[str, dict]:
         "dsir_sample": {"kind": C, "siblings": ["dsir_logweights"]},
         "dedup_against": {"kind": C, "siblings": ["lsh_jaccard_pairs"]},
         "dedup_against_indexed": {"kind": C, "siblings": ["dedup_against"]},
+        "dedup_index_loop": {"kind": C, "siblings": ["dedup_against_indexed"]},
+        "stream_dedup_ingest": {"kind": C, "siblings": ["dedup_index_loop"]},
         "neardup_against": {"kind": C, "siblings": ["neardup_lsh", "dedup_against"]},
         "neardup_against_indexed": {"kind": C, "siblings": ["neardup_against"]},
         "repetition_stats": {"kind": C, "siblings": []},
@@ -4989,6 +5083,15 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": q_dsir_sample,
         "dedup_against": q_dedup_against,
         "dedup_against_indexed": q_dedup_against_indexed,
+        # r12 NEW capability: the persisted-index ingest LOOP as one
+        # driver-visible row (build from A -> probe B -> append B's
+        # survivors -> probe C) — the incremental lifecycle the r11
+        # index family exists for, previously unit-pinned only
+        "dedup_index_loop": q_dedup_index_loop,
+        # r12 NEW capability: the STREAMING form of the same loop — the
+        # sink table after two real micro-batches equals the unrolled
+        # batch computation (batch==stream identity, registered twin)
+        "stream_dedup_ingest": q_stream_dedup_ingest,
         "neardup_against": q_neardup_against,
         "neardup_against_indexed": q_neardup_against_indexed,
         "repetition_stats": q_repetition_stats,
@@ -5967,6 +6070,84 @@ WHERE doc_id % {m} != 0 AND doc_id NOT IN (SELECT id_new FROM hits)
 """.strip()
 
 
+def _dedup_loop_ctes() -> str:
+    """Shared CTE block for the two persisted-index lifecycle twins
+    (dedup_index_loop / stream_dedup_ingest): the _oracle_dedup_against
+    machinery unrolled over TWO probe rounds — hitsB = batch-B docs
+    near-dup of corpus A; refC = A plus B's survivors; hitsC = batch-C
+    docs near-dup of refC."""
+    elems = ", ".join(_sql_minhash_elem(a, b) for a, b in COEFFS)
+    band_expr = (
+        "md5(concat_ws('_', b::VARCHAR, s[2*b + 1]::VARCHAR, s[2*b + 2]::VARCHAR))"
+    )
+    m = DEDUP_LOOP_MOD
+    jac = (
+        "round(len(list_intersect(sa.hs, sb.hs))::DOUBLE"
+        " / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)))::DOUBLE, 6)"
+        f" >= {JACCARD_MIN}"
+    )
+    return f"""t AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+sh AS (SELECT doc_id, {_SQL_SHINGLE_HASHES} AS hs FROM t),
+sig AS (SELECT doc_id, [{elems}] AS s FROM sh),
+buckets AS (
+  SELECT sig.doc_id, u.b, {band_expr} AS bh
+  FROM sig, unnest(range(0, {N_BANDS})) AS u(b)
+),
+candB AS (
+  SELECT DISTINCT n.doc_id AS id_new, r.doc_id AS id_ref
+  FROM buckets n JOIN buckets r ON n.b = r.b AND n.bh = r.bh
+  WHERE n.doc_id % {m} = 1 AND r.doc_id % {m} = 0
+),
+hitsB AS (
+  SELECT DISTINCT c.id_new FROM candB c
+  JOIN sh sa ON sa.doc_id = c.id_new
+  JOIN sh sb ON sb.doc_id = c.id_ref
+  WHERE {jac}
+),
+refC AS (
+  SELECT doc_id FROM documents WHERE doc_id % {m} = 0
+  UNION ALL
+  SELECT doc_id FROM documents
+  WHERE doc_id % {m} = 1 AND doc_id NOT IN (SELECT id_new FROM hitsB)
+),
+candC AS (
+  SELECT DISTINCT n.doc_id AS id_new, r.doc_id AS id_ref
+  FROM buckets n JOIN buckets r ON n.b = r.b AND n.bh = r.bh
+  JOIN refC rc ON rc.doc_id = r.doc_id
+  WHERE n.doc_id % {m} = 2
+),
+hitsC AS (
+  SELECT DISTINCT c.id_new FROM candC c
+  JOIN sh sa ON sa.doc_id = c.id_new
+  JOIN sh sb ON sb.doc_id = c.id_ref
+  WHERE {jac}
+)"""
+
+
+def _oracle_dedup_index_loop() -> str:
+    """dedup_index_loop twin: batch C's survivors against the grown
+    reference set (see _dedup_loop_ctes)."""
+    m = DEDUP_LOOP_MOD
+    return f"""
+WITH {_dedup_loop_ctes()}
+SELECT doc_id, lang FROM documents
+WHERE doc_id % {m} = 2 AND doc_id NOT IN (SELECT id_new FROM hitsC)
+""".strip()
+
+
+def _oracle_stream_dedup_ingest() -> str:
+    """stream_dedup_ingest twin: the SINK table after two micro-batches =
+    batch B's survivors plus batch C's survivors (C probed against the
+    index grown by B) — same CTE chain, both rounds selected."""
+    m = DEDUP_LOOP_MOD
+    return f"""
+WITH {_dedup_loop_ctes()}
+SELECT doc_id, lang FROM documents
+WHERE (doc_id % {m} = 1 AND doc_id NOT IN (SELECT id_new FROM hitsB))
+   OR (doc_id % {m} = 2 AND doc_id NOT IN (SELECT id_new FROM hitsC))
+""".strip()
+
+
 def _oracle_repeated_passages() -> str:
     """repeated_passages twin over the SAME shingle-hash machinery the
     MinHash oracles replicate bit-for-bit (window = SHINGLE_K)."""
@@ -6857,6 +7038,8 @@ SELECT vec_id, scale,
         "dsir_sample": _oracle_dsir_sample(),
         "dedup_against": _oracle_dedup_against(),
         "dedup_against_indexed": _oracle_dedup_against(),
+        "dedup_index_loop": _oracle_dedup_index_loop(),
+        "stream_dedup_ingest": _oracle_stream_dedup_ingest(),
         "neardup_against": _oracle_neardup_against(),
         "neardup_against_indexed": _oracle_neardup_against(),
         "repetition_stats": _oracle_repetition_stats(),

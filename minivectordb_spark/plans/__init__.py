@@ -100,3 +100,31 @@ def iteration_shuffle_scope(spark, n_rows: int, partitions: int | None = None):
         yield p
     finally:
         spark.conf.set(conf, prev)
+
+
+#: target shuffle-partition payload for one-shot HEAVY aggregates and
+#: windows (the EDJoin occurrence/doc-frequency stages): small enough
+#: that a hash-aggregate over one partition fits task execution memory
+#: at default heaps with room for the map's expansion factor
+AGG_PARTITION_BYTES = 32 << 20
+
+
+def heavy_shuffle_partitions(spark, n_rows: int, row_bytes: int) -> int:
+    """Size a heavy one-shot shuffle UP from its estimated payload — the
+    complement of ``iteration_shuffle_scope`` (which sizes DOWN for
+    dimension-sized iterative loops).  Returns
+    ``max(session, ceil(n_rows * row_bytes / AGG_PARTITION_BYTES))``:
+    never below the session's scan width (small inputs keep today's
+    plans byte-identical), but a working set the session width cannot
+    hold gets enough partitions that each holds ~AGG_PARTITION_BYTES.
+
+    This is the operator-encoded form of the r11 EDJoin resource trail:
+    the 5M-name doc-frequency aggregate (~64M occurrence rows) died with
+    AGGREGATE_OUT_OF_MEMORY at the harness default of 32 partitions and
+    needed a hand-set 256 — ceil(64M * 96 B / 32 MB) = 192-256 is exactly
+    what this law computes, with no session surgery.  AQE cannot do it:
+    adaptive coalescing only MERGES post-shuffle partitions; nothing
+    grows a partition count the plan under-provisioned."""
+    session = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    need = max(1, -(-int(n_rows) * int(row_bytes) // AGG_PARTITION_BYTES))
+    return max(session, need)

@@ -772,3 +772,81 @@ def test_choose_qgram_q_monotone_properties():
         assert all(a > b for a, b in zip(preds, preds[1:]))
 
     check()
+
+
+def test_heavy_shuffle_partitions_law(spark):
+    """VERDICT r11 item 1: the EDJoin resource law, pinned at the exact
+    numbers of the recorded 5M-name failure trail — ~64M occurrence rows
+    at 96 B/row need ceil(6.1 GB / 32 MB) = 184 partitions, not the
+    session's 32; small working sets keep the session width."""
+    from minivectordb_spark.plans import heavy_shuffle_partitions
+
+    session = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # small input: session width unchanged (no plan drift at gate scale)
+    assert heavy_shuffle_partitions(spark, 10_000, 96) == session
+    # the r11 trail: 64M occurrence rows died at 32, ran at 256
+    p = heavy_shuffle_partitions(spark, 64_000_000, 96)
+    assert p == max(session, -(-64_000_000 * 96 // (32 << 20)))
+    assert p >= 184  # the sized width the hand-tuned 256 approximated
+    # zero rows never divides by zero / returns junk
+    assert heavy_shuffle_partitions(spark, 0, 96) == session
+
+
+def test_qgram_heavy_path_same_answer_and_sized_plan(spark, monkeypatch):
+    """Force the heavy path on a small corpus (thresholds patched down):
+    the output must equal the light path bit-for-bit, the law counters
+    must report the sized width and the hash-join (non-broadcast)
+    doc-frequency decision, and the plan must stay all-equi-join."""
+    from minivectordb_spark.operators import linkage
+    from minivectordb_spark import plans
+    from minivectordb_spark.plans import physical_plan
+
+    rows_l = [(i, f"prefix-{i:04d}-suffix") for i in range(1, 60)]
+    rows_r = [(1000 + i, f"prefix-{i:04d}-suffix") for i in range(1, 60, 3)] + [
+        (2000, "totally-different")
+    ]
+    left = spark.createDataFrame(rows_l, "lid long, s string")
+    right = spark.createDataFrame(rows_r, "rid long, s string")
+
+    light = sorted(
+        (r["lid"], r["rid"], r["dist"])
+        for r in linkage.qgram_edit_join(
+            left, right, "lid", "rid", "s", "s", max_dist=1, q=3
+        ).collect()
+    )
+    d_light = linkage.qgram_join_diagnostics(
+        left, right, "lid", "rid", "s", "s", max_dist=1, q=3
+    )
+    assert d_light["heavy"] is False and d_light["df_broadcast"] is True
+    session = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert d_light["shuffle_partitions"] == session
+
+    # shrink the law's units so ~2k occurrence rows count as heavy and
+    # every df table is "too big to broadcast"
+    monkeypatch.setattr(plans, "AGG_PARTITION_BYTES", 1024)
+    monkeypatch.setattr(linkage, "DF_BROADCAST_MAX_ROWS", 1)
+    heavy = sorted(
+        (r["lid"], r["rid"], r["dist"])
+        for r in linkage.qgram_edit_join(
+            left, right, "lid", "rid", "s", "s", max_dist=1, q=3
+        ).collect()
+    )
+    assert heavy == light and light  # same answer, non-empty
+    d_heavy = linkage.qgram_join_diagnostics(
+        left, right, "lid", "rid", "s", "s", max_dist=1, q=3
+    )
+    assert d_heavy["heavy"] is True and d_heavy["df_broadcast"] is False
+    assert d_heavy["shuffle_partitions"] > session
+    assert d_heavy["est_occurrence_rows"] == d_light["est_occurrence_rows"] > 0
+    # candidates/output identical across paths
+    assert d_heavy["candidate_pairs"] == d_light["candidate_pairs"]
+    assert d_heavy["output_rows"] == d_light["output_rows"] == len(light)
+
+    # the heavy plan must still be all equi-joins — no nested loop crept
+    # in when the broadcast hint was dropped
+    cand, _, _, _ = linkage._qgram_prefix_candidates(
+        left, right, "lid", "rid", "s", "s", 1, 3
+    )
+    plan = physical_plan(cand)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
