@@ -4114,7 +4114,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "priority_returns": q_priority_returns,
         "revenue_by_region": q_revenue_by_region,
-        "parts_below_avg": q_parts_below_avg,
+        # r12 promotion: the persisted-index probes — the scale-critical
+        # "index side never shuffles" path (plan-locked) — and the exact-
+        # count stratified sampler, each hash-verified x3 scales while
+        # demoted
+        "dedup_against_indexed": q_dedup_against_indexed,
+        "neardup_against_indexed": q_neardup_against_indexed,
+        "quota_sample": q_quota_sample,
         "events_cube": q_events_cube,
         "events_anomaly": q_events_anomaly,
         "events_sessions_native": q_events_sessions_native,
@@ -4138,12 +4144,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "repeated_passages": q_repeated_passages,
         "hybrid_rrf_batch": q_hybrid_rrf_batch,
-        "neardup_cosine": q_neardup_cosine,
         "neardup_lsh": q_neardup_lsh,
         "ivf_assign_kmeans": q_ivf_assign_kmeans,
         "ivf_search_indexed": q_ivf_search_indexed,
         "events_asof": q_events_asof,
-        "events_percentiles": q_events_percentiles,
         "pack_sequences": q_pack_sequences,
     }
 
@@ -4792,11 +4796,9 @@ def rotation_registry() -> dict[str, dict]:
         "events_agg": {"kind": R, "siblings": ["tpch_q1", "events_percentiles", "text_stats"]},
         "dsir_sample": {"kind": C, "siblings": ["dsir_logweights"]},
         "dedup_against": {"kind": C, "siblings": ["lsh_jaccard_pairs"]},
-        "dedup_against_indexed": {"kind": C, "siblings": ["dedup_against"]},
         "dedup_index_loop": {"kind": C, "siblings": ["dedup_against_indexed"]},
         "stream_dedup_ingest": {"kind": C, "siblings": ["dedup_index_loop"]},
         "neardup_against": {"kind": C, "siblings": ["neardup_lsh", "dedup_against"]},
-        "neardup_against_indexed": {"kind": C, "siblings": ["neardup_against"]},
         "repetition_stats": {"kind": C, "siblings": []},
         "scrub_passages": {"kind": C, "siblings": ["repeated_passages"]},
         "mix_fractions": {"kind": R, "siblings": ["quality_mix"]},
@@ -4804,7 +4806,6 @@ def rotation_registry() -> dict[str, dict]:
         "ivf_search": {"kind": R, "siblings": ["ivf_search_indexed"]},
         "fingerprints": {"kind": R, "siblings": ["lsh_jaccard_pairs", "simhash_pairs64"]},
         "sample_stratified": {"kind": R, "siblings": ["quality_mix"]},
-        "quota_sample": {"kind": C, "siblings": ["sample_stratified"]},
         "token_budget_sample": {"kind": C, "siblings": ["quota_sample", "pack_sequences"]},
         "point_lookup": {"kind": U, "siblings": ["filter_events_or"]},
         "delete_batch": {"kind": U, "siblings": ["filter_events_or"]},
@@ -4868,6 +4869,9 @@ def rotation_registry() -> dict[str, dict]:
         "dedup_groups": {"kind": R, "siblings": ["dedup_best", "lsh_jaccard_pairs"]},
         "customer_distribution": {"kind": R, "siblings": ["revenue_by_region", "priority_returns", "tpch_q1"]},
         "source_drift": {"kind": C, "siblings": ["events_histogram", "source_report"]},
+        "neardup_cosine": {"kind": R, "siblings": ["neardup_lsh", "neardup_against_indexed"]},
+        "parts_below_avg": {"kind": R, "siblings": ["tpch_q1", "revenue_by_region", "priority_returns"]},
+        "events_percentiles": {"kind": R, "siblings": ["events_cube", "events_deciles"]},
         "events_shift": {"kind": C, "siblings": ["source_drift", "events_histogram"]},
     }
 
@@ -5082,7 +5086,6 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_agg": q_events_agg,
         "dsir_sample": q_dsir_sample,
         "dedup_against": q_dedup_against,
-        "dedup_against_indexed": q_dedup_against_indexed,
         # r12 NEW capability: the persisted-index ingest LOOP as one
         # driver-visible row (build from A -> probe B -> append B's
         # survivors -> probe C) — the incremental lifecycle the r11
@@ -5093,7 +5096,6 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch computation (batch==stream identity, registered twin)
         "stream_dedup_ingest": q_stream_dedup_ingest,
         "neardup_against": q_neardup_against,
-        "neardup_against_indexed": q_neardup_against_indexed,
         "repetition_stats": q_repetition_stats,
         "scrub_passages": q_scrub_passages,
         "mix_fractions": q_mix_fractions,
@@ -5101,7 +5103,6 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_search": q_ivf_search,
         "fingerprints": q_fingerprints,
         "sample_stratified": q_sample_stratified,
-        "quota_sample": q_quota_sample,
         "token_budget_sample": q_token_budget_sample,
         "point_lookup": q_point_lookup,
         "delete_batch": q_delete_batch,
@@ -5215,6 +5216,24 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r11 NEW capability: the A-vs-B companion — one-row TV distance
         # between two slices' value distributions (snapshot drift)
         "events_shift": q_events_shift,
+        # r12 rotation demotions (in exchange for the promoted
+        # dedup_against_indexed + neardup_against_indexed + quota_sample,
+        # each hash-verified x3 scales pre-promotion):
+        # - neardup_cosine: the pinned-6-plane embedding near-dup — the
+        #   graded neardup_lsh runs the same candidate/verify machinery
+        #   with the adaptive plane count, and the promoted
+        #   neardup_against_indexed keeps the cross-corpus cosine verify
+        #   graded through the persisted index.
+        # - parts_below_avg: scan-aggregate-join TPC-H shape, graded
+        #   three other ways (tpch_q1, revenue_by_region,
+        #   priority_returns).
+        # - events_percentiles: exact-percentile aggregate — the demoted
+        #   events_deciles runs the same percentile machinery against
+        #   the same oracle family every round, and events_cube keeps
+        #   the multi-dim aggregate shape graded.
+        "neardup_cosine": q_neardup_cosine,
+        "parts_below_avg": q_parts_below_avg,
+        "events_percentiles": q_events_percentiles,
     }
 
 
