@@ -1519,6 +1519,38 @@ def q_neardup_against_indexed(spark, sf_dir):
     ).select("vec_id", "label")
 
 
+def q_neardup_index_loop(spark, sf_dir):
+    """EMBEDDING twin of q_dedup_index_loop (the persisted-index ingest
+    lifecycle, driver-visible): build the near-dup index from corpus A
+    (vec_id % 3 == 0) — planes frozen from A's adaptive resolution —
+    probe batch B (% 3 == 1), APPEND B's survivors under the frozen
+    planes (update_neardup_index), then probe batch C (% 3 == 2) against
+    the grown index and return C's survivors.  The twin replays both
+    probe rounds relationally under the same frozen plane literals
+    (np from A's count, capped at NEARDUP_PMAX on both sides)."""
+    from minivectordb_spark.operators.dedup import (
+        neardup_against_indexed,
+        save_neardup_index,
+        update_neardup_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ref = emb.filter(F.col("vec_id") % 3 == 0)
+    batch_b = emb.filter(F.col("vec_id") % 3 == 1)
+    batch_c = emb.filter(F.col("vec_id") % 3 == 2)
+    idx = _gate_tmpdir("neardup_loop_idx_")
+    save_neardup_index(
+        ref, idx, target_block_size=32, n_dirs=16, max_planes=NEARDUP_PMAX
+    )
+    surv_b = neardup_against_indexed(
+        batch_b, idx, threshold=NEARDUP_COS, max_probes=4
+    )
+    update_neardup_index(surv_b.select("vec_id", "embedding"), idx)
+    return neardup_against_indexed(
+        batch_c, idx, threshold=NEARDUP_COS, max_probes=4
+    ).select("vec_id", "label")
+
+
 def q_dedup_against_indexed(spark, sf_dir):
     """Incremental form of q_dedup_against: the reference side's
     banding/shingling is PERSISTED once (save_dedup_index) and the
@@ -4732,6 +4764,45 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
         d["output_rows"] = int(q_communities_lpa(spark, sf_dir).count())
         return d
 
+    def c_hybrid_rrf_batch(spark: SparkSession, sf_dir: str) -> dict:
+        # VERDICT r11 item 5: the only >2 s graded row without its own
+        # scale-law table.  The falsifiable claim behind its bounded-
+        # cost design: the bm25 stats collect is 2 scalars + |union of
+        # query tokens| df rows (CONSTANT in corpus size), the only
+        # corpus shuffle carries the MATCHING postings (sparse — grows
+        # ~linearly with the corpus, never |corpus| x |Q|), and every
+        # leg/fusion frame is <= n_queries x k rows (constant).
+        from minivectordb_spark.operators.bm25 import bm25_search_batch, tokens
+
+        docs = _t(spark, sf_dir, "documents")
+        e = _t(spark, sf_dir, "embeddings")
+        all_toks = sorted(
+            {t for toks in HYBRID_BATCH_QUERIES.values() for t in toks}
+        )
+        hits = docs.select(
+            F.col("doc_id"), F.explode(tokens(F.col("text"))).alias("__tok")
+        ).filter(F.col("__tok").isin(all_toks))
+        qvecs = e.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_embedding"),
+        )
+        dense = knn_batch(
+            qvecs, e, k=HYBRID_LEG_K,
+            corpus_id_col="vec_id", corpus_emb_col="embedding",
+        )
+        sparse = bm25_search_batch(docs, HYBRID_BATCH_QUERIES, k=HYBRID_LEG_K)
+        return {
+            "n_docs": int(docs.count()),
+            "n_vecs": int(e.count()),
+            "n_queries": len(HYBRID_BATCH_QUERIES),
+            "stats_collect_rows": 2 + len(all_toks),
+            "matching_posting_rows": int(hits.count()),
+            "tf_rows": int(hits.groupBy("doc_id", "__tok").count().count()),
+            "dense_leg_rows": int(dense.count()),
+            "sparse_leg_rows": int(sparse.count()),
+            "fused_rows": int(q_hybrid_rrf_batch(spark, sf_dir).count()),
+        }
+
     return {
         "neardup_lsh": c_neardup_lsh,
         "neardup_cosine": c_neardup_cosine,
@@ -4763,6 +4834,7 @@ def scaling_counters() -> dict[str, Callable[[SparkSession, str], dict]]:
         "communities_lpa": c_communities_lpa,
         "interval_overlap": c_interval_overlap,
         "stream_attribution_bounded": c_stream_attribution_bounded,
+        "hybrid_rrf_batch": c_hybrid_rrf_batch,
     }
 
 
@@ -4797,6 +4869,7 @@ def rotation_registry() -> dict[str, dict]:
         "dsir_sample": {"kind": C, "siblings": ["dsir_logweights"]},
         "dedup_against": {"kind": C, "siblings": ["lsh_jaccard_pairs"]},
         "dedup_index_loop": {"kind": C, "siblings": ["dedup_against_indexed"]},
+        "neardup_index_loop": {"kind": C, "siblings": ["neardup_against_indexed"]},
         "stream_dedup_ingest": {"kind": C, "siblings": ["dedup_index_loop"]},
         "neardup_against": {"kind": C, "siblings": ["neardup_lsh", "dedup_against"]},
         "repetition_stats": {"kind": C, "siblings": []},
@@ -5091,6 +5164,9 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # survivors -> probe C) — the incremental lifecycle the r11
         # index family exists for, previously unit-pinned only
         "dedup_index_loop": q_dedup_index_loop,
+        # r12 NEW capability: the embedding twin of the ingest loop —
+        # frozen-plane probe -> accept -> append -> probe
+        "neardup_index_loop": q_neardup_index_loop,
         # r12 NEW capability: the STREAMING form of the same loop — the
         # sink table after two real micro-batches equals the unrolled
         # batch computation (batch==stream identity, registered twin)
@@ -6531,6 +6607,80 @@ WHERE vec_id % 2 != 0 AND vec_id NOT IN (SELECT id_new FROM hits)
 """.strip()
 
 
+def _oracle_neardup_index_loop(
+    max_probes: int = 4, target_block_size: int = 32
+) -> str:
+    """q_neardup_index_loop twin: the _oracle_neardup_against machinery
+    unrolled over TWO probe rounds under ONE frozen plane set (np from
+    corpus A's count, COALESCEd at NEARDUP_PMAX like the Spark side's
+    max_planes): hitsB = batch-B vectors with cosine >= threshold against
+    some A row; round 2's reference buckets come from A plus B's
+    survivors; output = batch C minus its hits."""
+    import math as _m
+
+    from minivectordb_spark.operators.ann import default_projection_planes
+
+    planes = default_projection_planes(DIM, n_planes=NEARDUP_PMAX)
+    invs = []
+    for p in planes:
+        nrm = _m.sqrt(sum(x * x for x in p))
+        invs.append(1.0 / nrm if nrm > 0 else 0.0)
+    dots_list = "[" + ",\n   ".join(_sql_dot_lit("embedding", p) for p in planes) + "]"
+    invs_list = "[" + ", ".join(repr(x) for x in invs) + "]::DOUBLE[]"
+    cos = _sql_cos_cols("ea.embedding", "eb.embedding")
+    bucket_expr = (
+        "list_sum(list_transform(range(1, pp.np + 1),\n"
+        "                 i -> CASE WHEN dots[i] >= 0 THEN (1::BIGINT << (i - 1)) "
+        "ELSE 0::BIGINT END))::BIGINT"
+    )
+    flip_expr = (
+        "unnest(list_slice(list_sort(list_transform(range(1, pp.np + 1),\n"
+        f"                    i -> {{'m': abs(dots[i]) * ({invs_list})[i], "
+        "'i': i - 1})), 1, LEAST(" + str(max_probes) + ", pp.np))) AS s"
+    )
+    return f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM embeddings WHERE vec_id % 3 = 0),
+pp AS (SELECT COALESCE(MIN(CASE WHEN ({target_block_size}::BIGINT << u.i) >= nn.n THEN u.i END), {NEARDUP_PMAX})::INT AS np
+       FROM nn, unnest(range(4, {NEARDUP_PMAX + 1})) u(i)),
+d AS (SELECT vec_id, {dots_list} AS dots FROM embeddings),
+bk AS (SELECT d.vec_id, dots, {bucket_expr} AS bucket FROM d, pp),
+flB AS (SELECT vec_id, bucket, {flip_expr}
+        FROM bk, pp WHERE vec_id % 3 = 1),
+prB AS (SELECT vec_id, bucket AS probe FROM bk WHERE vec_id % 3 = 1
+        UNION ALL
+        SELECT vec_id, xor(bucket, 1::BIGINT << s.i) AS probe FROM flB),
+candB AS (SELECT DISTINCT a.vec_id AS id_new, b.vec_id AS id_ref
+          FROM prB a JOIN bk b ON a.probe = b.bucket
+          WHERE b.vec_id % 3 = 0),
+hitsB AS (SELECT DISTINCT id_new FROM (
+  SELECT c.id_new, round({cos}, 6) AS cosine
+  FROM candB c
+  JOIN embeddings ea ON ea.vec_id = c.id_new
+  JOIN embeddings eb ON eb.vec_id = c.id_ref
+) WHERE cosine >= {NEARDUP_COS}),
+refC AS (SELECT vec_id FROM embeddings WHERE vec_id % 3 = 0
+         UNION ALL
+         SELECT vec_id FROM embeddings
+         WHERE vec_id % 3 = 1 AND vec_id NOT IN (SELECT id_new FROM hitsB)),
+flC AS (SELECT vec_id, bucket, {flip_expr}
+        FROM bk, pp WHERE vec_id % 3 = 2),
+prC AS (SELECT vec_id, bucket AS probe FROM bk WHERE vec_id % 3 = 2
+        UNION ALL
+        SELECT vec_id, xor(bucket, 1::BIGINT << s.i) AS probe FROM flC),
+candC AS (SELECT DISTINCT a.vec_id AS id_new, b.vec_id AS id_ref
+          FROM prC a JOIN bk b ON a.probe = b.bucket
+          JOIN refC rc ON rc.vec_id = b.vec_id),
+hitsC AS (SELECT DISTINCT id_new FROM (
+  SELECT c.id_new, round({cos}, 6) AS cosine
+  FROM candC c
+  JOIN embeddings ea ON ea.vec_id = c.id_new
+  JOIN embeddings eb ON eb.vec_id = c.id_ref
+) WHERE cosine >= {NEARDUP_COS})
+SELECT vec_id, label FROM embeddings
+WHERE vec_id % 3 = 2 AND vec_id NOT IN (SELECT id_new FROM hitsC)
+""".strip()
+
+
 def _oracle_ivf_assign() -> str:
     cos = _sql_cos_cols("e.embedding", "c.ce")
     return f"""
@@ -7059,6 +7209,7 @@ SELECT vec_id, scale,
         "dedup_against_indexed": _oracle_dedup_against(),
         "dedup_index_loop": _oracle_dedup_index_loop(),
         "stream_dedup_ingest": _oracle_stream_dedup_ingest(),
+        "neardup_index_loop": _oracle_neardup_index_loop(),
         "neardup_against": _oracle_neardup_against(),
         "neardup_against_indexed": _oracle_neardup_against(),
         "repetition_stats": _oracle_repetition_stats(),

@@ -2171,7 +2171,19 @@ def save_neardup_index(
     ``save_dedup_index``.  Planes resolve adaptively from the reference
     (count + dim) at build time and are then FROZEN: an index is a
     snapshot of one plane choice, rebuilt when the corpus outgrows it
-    (same lifecycle as IVF centroids)."""
+    (same lifecycle as IVF centroids).
+
+    Measured staleness law (tools/index_staleness.py, r12): growing the
+    corpus past the build point via ``update_neardup_index`` degrades
+    COST, never recall — candidates per probe row grow exactly linearly
+    with corpus growth (256 -> 2,498 -> 25,022 at 1x/10x/100x on a
+    5k-built index) while recall on planted duplicates stays 1.0 at
+    every decade; a fresh rebuild at 100x (planes re-resolved, P 7 ->
+    13) is ~22x cheaper to probe.  REBUILD TRIGGER: rebuild when the
+    bucket table's average occupancy exceeds ~4x ``target_block_size``
+    (occupancy = corpus_size / 2^P, a one-aggregate check) — probe cost
+    is linear in occupancy, so that bound caps the stale-probe penalty
+    at ~4x a fresh index."""
     import json as _json
     import os as _os
 

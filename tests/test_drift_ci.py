@@ -1,0 +1,65 @@
+"""Opt-in CI drift gate (VERDICT r11 item 8): run the graded bench
+in-suite and FAIL on a regression the standalone-cold attribution
+reproduces — so a real plan-level slowdown is caught before the
+driver's per-round bench records it.
+
+Skipped by default (the graded loop is minutes of wall): enable with
+``SPARK_GRAFT_DRIFT_CI=1``.  The gate compares against the newest
+committed ``BENCH_r*.json`` via tools/graded_drift.py — with no prior
+round artifact the bench reports ``prev_found: false`` and the test
+passes vacuously (nothing to drift from).  Flags attributed ``noise``
+(standalone-cold wall back in band — host/session pressure) do not
+fail the gate; ``reproduced`` flags do.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_DRIFT_CI", "0") != "1",
+    reason="opt-in graded drift gate: set SPARK_GRAFT_DRIFT_CI=1 "
+    "(runs the full min-of-3 graded bench, minutes of wall)",
+)
+
+
+def test_graded_drift_gate_no_reproduced_regressions():
+    env = dict(
+        os.environ,
+        # graded timings + the drift gate only: the scaled/demoted
+        # sections are separate evidence channels with their own gates
+        SPARK_GRAFT_SCALED="0",
+        SPARK_GRAFT_DEMOTED="0",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    full = None
+    for line in out.stdout.splitlines():
+        if line.startswith("bench full detail: "):
+            full = json.loads(line[len("bench full detail: "):])
+    assert full is not None, "bench emitted no full-detail line"
+    drift = full.get("drift") or {}
+    flagged = drift.get("flagged") or {}
+    reproduced = {
+        name: row
+        for name, row in flagged.items()
+        if row.get("attribution") == "reproduced"
+    }
+    assert not reproduced, (
+        "graded rows slower than the last committed round AND reproduced "
+        f"standalone-cold (plan-level regression): {reproduced}"
+    )
