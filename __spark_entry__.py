@@ -1551,6 +1551,59 @@ def q_neardup_index_loop(spark, sf_dir):
     ).select("vec_id", "label")
 
 
+def q_stream_neardup_ingest(spark, sf_dir):
+    """EMBEDDING twin of q_stream_dedup_ingest: the neardup ingest loop
+    driven through the real streaming engine — vec_id % 3 == 0 builds
+    the frozen-plane index, the % 3 == 1 and % 3 == 2 slices are staged
+    as two mtime-ordered files and run through
+    stream_neardup_corpus_ingest one file per micro-batch; the returned
+    frame is the SINK table (batch-1 survivors plus batch-2 survivors,
+    batch 2 probed against the index grown by batch 1).  Twin: the
+    neardup_index_loop CTE chain selecting both rounds' survivors."""
+    import os
+    import time as _time
+
+    from minivectordb_spark.operators.dedup import save_neardup_index
+    from minivectordb_spark.streaming import stream_neardup_corpus_ingest
+
+    emb = _t(spark, sf_dir, "embeddings")
+    root = _gate_tmpdir("stream_neardup_ingest_")
+    src, ck, table, idx = (
+        os.path.join(root, d) for d in ("src", "ck", "table", "idx")
+    )
+    save_neardup_index(
+        emb.filter(F.col("vec_id") % 3 == 0),
+        idx, target_block_size=32, n_dirs=16, max_planes=NEARDUP_PMAX,
+    )
+    base = int(_time.time()) - 120
+    for i, mod in enumerate((1, 2)):
+        before = set(os.listdir(src)) if os.path.isdir(src) else set()
+        emb.filter(F.col("vec_id") % 3 == mod).select(
+            "vec_id",
+            F.col("embedding").cast("array<float>").alias("embedding"),
+            "label",
+        ).coalesce(1).write.mode("append").parquet(src)
+        for name in os.listdir(src):
+            if (
+                name.startswith("part-")
+                and not name.endswith(".crc")
+                and name not in before
+            ):
+                os.utime(os.path.join(src, name), (base + i, base + i))
+    stream = (
+        spark.readStream.schema(
+            "vec_id long, embedding array<float>, label bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_neardup_corpus_ingest(
+        stream, idx, table, ck, threshold=NEARDUP_COS, max_probes=4
+    ).start()
+    q.awaitTermination(300)
+    return spark.read.parquet(table).select("vec_id", "label")
+
+
 def q_dedup_against_indexed(spark, sf_dir):
     """Incremental form of q_dedup_against: the reference side's
     banding/shingling is PERSISTED once (save_dedup_index) and the
@@ -4870,6 +4923,7 @@ def rotation_registry() -> dict[str, dict]:
         "dedup_against": {"kind": C, "siblings": ["lsh_jaccard_pairs"]},
         "dedup_index_loop": {"kind": C, "siblings": ["dedup_against_indexed"]},
         "neardup_index_loop": {"kind": C, "siblings": ["neardup_against_indexed"]},
+        "stream_neardup_ingest": {"kind": C, "siblings": ["neardup_index_loop"]},
         "stream_dedup_ingest": {"kind": C, "siblings": ["dedup_index_loop"]},
         "neardup_against": {"kind": C, "siblings": ["neardup_lsh", "dedup_against"]},
         "repetition_stats": {"kind": C, "siblings": []},
@@ -5171,6 +5225,9 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sink table after two real micro-batches equals the unrolled
         # batch computation (batch==stream identity, registered twin)
         "stream_dedup_ingest": q_stream_dedup_ingest,
+        # r12 NEW capability: the embedding-side streaming gate, same
+        # sink-level identity under the frozen-plane index
+        "stream_neardup_ingest": q_stream_neardup_ingest,
         "neardup_against": q_neardup_against,
         "repetition_stats": q_repetition_stats,
         "scrub_passages": q_scrub_passages,
@@ -6607,15 +6664,14 @@ WHERE vec_id % 2 != 0 AND vec_id NOT IN (SELECT id_new FROM hits)
 """.strip()
 
 
-def _oracle_neardup_index_loop(
+def _neardup_loop_ctes(
     max_probes: int = 4, target_block_size: int = 32
 ) -> str:
-    """q_neardup_index_loop twin: the _oracle_neardup_against machinery
-    unrolled over TWO probe rounds under ONE frozen plane set (np from
-    corpus A's count, COALESCEd at NEARDUP_PMAX like the Spark side's
-    max_planes): hitsB = batch-B vectors with cosine >= threshold against
-    some A row; round 2's reference buckets come from A plus B's
-    survivors; output = batch C minus its hits."""
+    """Shared WITH-block for the two embedding-lifecycle twins
+    (neardup_index_loop / stream_neardup_ingest): the
+    _oracle_neardup_against machinery unrolled over TWO probe rounds
+    under ONE frozen plane set (np from corpus A's count, COALESCEd at
+    NEARDUP_PMAX like the Spark side's max_planes)."""
     import math as _m
 
     from minivectordb_spark.operators.ann import default_projection_planes
@@ -6638,8 +6694,7 @@ def _oracle_neardup_index_loop(
         f"                    i -> {{'m': abs(dots[i]) * ({invs_list})[i], "
         "'i': i - 1})), 1, LEAST(" + str(max_probes) + ", pp.np))) AS s"
     )
-    return f"""
-WITH nn AS (SELECT count(*)::BIGINT AS n FROM embeddings WHERE vec_id % 3 = 0),
+    return f"""nn AS (SELECT count(*)::BIGINT AS n FROM embeddings WHERE vec_id % 3 = 0),
 pp AS (SELECT COALESCE(MIN(CASE WHEN ({target_block_size}::BIGINT << u.i) >= nn.n THEN u.i END), {NEARDUP_PMAX})::INT AS np
        FROM nn, unnest(range(4, {NEARDUP_PMAX + 1})) u(i)),
 d AS (SELECT vec_id, {dots_list} AS dots FROM embeddings),
@@ -6675,9 +6730,27 @@ hitsC AS (SELECT DISTINCT id_new FROM (
   FROM candC c
   JOIN embeddings ea ON ea.vec_id = c.id_new
   JOIN embeddings eb ON eb.vec_id = c.id_ref
-) WHERE cosine >= {NEARDUP_COS})
+) WHERE cosine >= {NEARDUP_COS})""".strip()
+
+
+def _oracle_neardup_index_loop() -> str:
+    """q_neardup_index_loop twin: batch C's survivors against the grown
+    reference set (see _neardup_loop_ctes)."""
+    return f"""
+WITH {_neardup_loop_ctes()}
 SELECT vec_id, label FROM embeddings
 WHERE vec_id % 3 = 2 AND vec_id NOT IN (SELECT id_new FROM hitsC)
+""".strip()
+
+
+def _oracle_stream_neardup_ingest() -> str:
+    """q_stream_neardup_ingest twin: the SINK table after two
+    micro-batches = batch B's survivors plus batch C's survivors."""
+    return f"""
+WITH {_neardup_loop_ctes()}
+SELECT vec_id, label FROM embeddings
+WHERE (vec_id % 3 = 1 AND vec_id NOT IN (SELECT id_new FROM hitsB))
+   OR (vec_id % 3 = 2 AND vec_id NOT IN (SELECT id_new FROM hitsC))
 """.strip()
 
 
@@ -7210,6 +7283,7 @@ SELECT vec_id, scale,
         "dedup_index_loop": _oracle_dedup_index_loop(),
         "stream_dedup_ingest": _oracle_stream_dedup_ingest(),
         "neardup_index_loop": _oracle_neardup_index_loop(),
+        "stream_neardup_ingest": _oracle_stream_neardup_ingest(),
         "neardup_against": _oracle_neardup_against(),
         "neardup_against_indexed": _oracle_neardup_against(),
         "repetition_stats": _oracle_repetition_stats(),
