@@ -1527,7 +1527,10 @@ def q_neardup_index_loop(spark, sf_dir):
     planes (update_neardup_index), then probe batch C (% 3 == 2) against
     the grown index and return C's survivors.  The twin replays both
     probe rounds relationally under the same frozen plane literals
-    (np from A's count, capped at NEARDUP_PMAX on both sides)."""
+    (np from A's count, capped at NEARDUP_PMAX on both sides).
+    Reference semantics anchor: the store-unique-then-search lifecycle
+    of vector_database.py:57-117 / :466 (store guards id uniqueness
+    before the index grows; later searches see every stored vector)."""
     from minivectordb_spark.operators.dedup import (
         neardup_against_indexed,
         save_neardup_index,
@@ -1559,7 +1562,10 @@ def q_stream_neardup_ingest(spark, sf_dir):
     stream_neardup_corpus_ingest one file per micro-batch; the returned
     frame is the SINK table (batch-1 survivors plus batch-2 survivors,
     batch 2 probed against the index grown by batch 1).  Twin: the
-    neardup_index_loop CTE chain selecting both rounds' survivors."""
+    neardup_index_loop CTE chain selecting both rounds' survivors.
+    Reference anchor: vector_database.py:83-117 (store_embeddings_batch
+    — batched ingest against the already-stored corpus, here as
+    micro-batches)."""
     import os
     import time as _time
 
@@ -1684,7 +1690,9 @@ def q_stream_dedup_ingest(spark, sf_dir):
     returned frame is the SINK table: batch-1 survivors plus batch-2
     survivors, batch 2 probed against the index GROWN by batch 1; the
     twin unrolls both rounds relationally (_oracle_stream_dedup_ingest,
-    the dedup_index_loop CTE chain selecting both rounds)."""
+    the dedup_index_loop CTE chain selecting both rounds).  Reference
+    anchor: vector_database.py:83-117 (store_embeddings_batch ingest
+    against the already-stored corpus, here as micro-batches)."""
     import os
     import time as _time
 
