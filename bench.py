@@ -39,13 +39,14 @@ def main():
     import shutil
     import tempfile
 
-    shutil.rmtree(
-        os.path.join(
-            tempfile.gettempdir(),
-            f"spark_graft_ivf_{os.path.basename(sf_dir.rstrip('/'))}",
-        ),
-        ignore_errors=True,
-    )
+    for pfx in ("spark_graft_ivf_", "spark_graft_ddidx_", "spark_graft_ndidx_"):
+        shutil.rmtree(
+            os.path.join(
+                tempfile.gettempdir(),
+                f"{pfx}{os.path.basename(sf_dir.rstrip('/'))}",
+            ),
+            ignore_errors=True,
+        )
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()

@@ -484,48 +484,12 @@ def _ivf_source_fingerprint(
     id_col: str,
     emb_col: str,
 ) -> str | None:
-    """Freshness fingerprint of an index's inputs: the source's file set
-    with per-file (size, mtime), the CANONICALIZED logical plan of ``df``
-    (so a filter/dedup/transform over the same files is a DIFFERENT source
-    than the bare scan — inputFiles() alone cannot tell them apart), plus
-    the centroid values and column names.  ``None`` (= no freshness
-    tracking, always rebuild) when the source is not a locally-stat-able
-    file scan or the plan cannot be canonicalized — on a real deployment
-    this slot is the table-format snapshot id (Delta/Iceberg version),
-    which identifies the source state without touching the filesystem at
-    all.  Canonicalization normalizes expression ids, so the digest is
-    stable across sessions for the same declared plan."""
-    import hashlib
-    import json
-    import os
-    from urllib.parse import unquote, urlparse
+    """IVF freshness fingerprint: the shared ``util.source_fingerprint``
+    over the source plan/files plus the centroid values and column
+    names (see that helper for the full contract)."""
+    from minivectordb_spark.operators.util import source_fingerprint
 
-    try:
-        files = df.inputFiles()
-        canon = df._jdf.queryExecution().analyzed().canonicalized()
-        # toString() truncates attribute lists at
-        # spark.sql.debug.maxToStringFields (default 25) — two different
-        # plans over a wide schema could render identically and silently
-        # reuse a stale index.  semanticHash() digests the FULL
-        # canonicalized tree, so the pair cannot collide by truncation.
-        plan = f"{canon.toString()}#{canon.semanticHash()}"
-    except Exception:
-        return None
-    if not files:
-        return None
-    ents = []
-    for f in sorted(files):
-        u = urlparse(f)
-        if u.scheme not in ("file", ""):
-            return None
-        p = unquote(u.path)
-        try:
-            st = os.stat(p)
-        except OSError:
-            return None
-        ents.append([p, st.st_size, st.st_mtime_ns])
-    payload = json.dumps([ents, plan, cents, id_col, emb_col], sort_keys=True)
-    return hashlib.md5(payload.encode()).hexdigest()
+    return source_fingerprint(df, [cents, id_col, emb_col])
 
 
 def save_ivf_index(

@@ -1945,6 +1945,26 @@ def dedup_against(
     return df.join(hits, id_col, "left_anti")
 
 
+def _invalidate_fingerprint(path: str, manifest_name: str) -> None:
+    """Drop a persisted index's freshness fingerprint after an
+    incremental append: the index no longer corresponds to any single
+    source snapshot, so ``skip_if_fresh`` must not match it — the next
+    ``save_*_index(skip_if_fresh=True)`` call rebuilds (the
+    ``update_ivf_index`` contract)."""
+    import json as _json
+    import os as _os
+
+    p = _os.path.join(path, manifest_name)
+    try:
+        with open(p) as fh:
+            m = _json.load(fh)
+        if m.pop("fingerprint", None) is not None:
+            with open(p, "w") as fh:
+                _json.dump(m, fh)
+    except (OSError, ValueError):
+        pass
+
+
 def save_dedup_index(
     reference: DataFrame,
     path: str,
@@ -1955,7 +1975,8 @@ def save_dedup_index(
     k: int = DEFAULT_SHINGLE,
     seed: int = 42,
     prefix_len: int = 2,
-) -> None:
+    skip_if_fresh: bool = False,
+) -> bool:
     """Persist the reference side of ``dedup_against`` ONCE: the band
     buckets (id, band_idx, band_hash) and the exact-verify shingle-hash
     arrays (id, sh), plus a manifest pinning the hash parameters so every
@@ -1973,9 +1994,39 @@ def save_dedup_index(
     16^prefix_len of the files at rest, the same file-level-pruning
     story as ``save_ivf_index``.  Size prefix_len to the index (256 dirs
     default; a 100 TB index wants 3-4 — each directory should still hold
-    many row groups)."""
+    many row groups).
+
+    With ``skip_if_fresh`` the build is SKIPPED when an existing index
+    at ``path`` carries a manifest matching the current inputs (source
+    files by size+mtime, canonicalized plan, hash parameters) — the
+    ``save_ivf_index`` freshness contract: a persisted index is only
+    worth its write cost if repeat probes reuse it, and a stale index is
+    worse than no index, so freshness is CHECKED, never assumed
+    (``update_dedup_index`` invalidates the fingerprint — an appended
+    index corresponds to no single source snapshot).  Returns True when
+    the index was (re)built, False when a fresh one was reused."""
     import json as _json
     import os as _os
+
+    from minivectordb_spark.operators.util import source_fingerprint
+
+    params = {
+        "id_col": id_col,
+        "n_hashes": n_hashes,
+        "band_size": band_size,
+        "k": k,
+        "seed": seed,
+        "prefix_len": prefix_len,
+    }
+    fp = source_fingerprint(reference, [params, text_col])
+    manifest_path = _os.path.join(path, "_dedup_index_manifest.json")
+    if skip_if_fresh and fp is not None:
+        try:
+            with open(manifest_path) as fh:
+                if _json.load(fh).get("fingerprint") == fp:
+                    return False
+        except (OSError, ValueError):
+            pass
 
     sh_ref = _reused(_shingle_frame(reference, text_col, id_col, k))
     buckets = _band_buckets(sh_ref, id_col, n_hashes, band_size, seed).withColumn(
@@ -1991,18 +2042,12 @@ def save_dedup_index(
         f"{path}/shingles"
     )
     _os.makedirs(path, exist_ok=True)
-    with open(_os.path.join(path, "_dedup_index_manifest.json"), "w") as fh:
-        _json.dump(
-            {
-                "id_col": id_col,
-                "n_hashes": n_hashes,
-                "band_size": band_size,
-                "k": k,
-                "seed": seed,
-                "prefix_len": prefix_len,
-            },
-            fh,
-        )
+    m = dict(params)
+    if fp is not None:
+        m["fingerprint"] = fp
+    with open(manifest_path, "w") as fh:
+        _json.dump(m, fh)
+    return True
 
 
 def _load_dedup_manifest(path: str, id_col: str) -> dict:
@@ -2141,6 +2186,7 @@ def update_dedup_index(
     sh_new.select(F.col(id_col), F.col("sh")).write.mode("append").parquet(
         f"{path}/shingles"
     )
+    _invalidate_fingerprint(path, "_dedup_index_manifest.json")
 
 
 def _emb_element_type(df: DataFrame, emb_col: str) -> str:
@@ -2161,7 +2207,8 @@ def save_neardup_index(
     target_block_size: int = 64,
     n_dirs: int = 64,
     max_planes: int | None = None,
-) -> None:
+    skip_if_fresh: bool = False,
+) -> bool:
     """Persist the reference side of ``neardup_against`` ONCE: the
     sign-bit LSH bucket table (partitioned by ``pmod(bucket, n_dirs)``
     for file-level probe pruning), the embedding table for the exact
@@ -2183,11 +2230,31 @@ def save_neardup_index(
     bucket table's average occupancy exceeds ~4x ``target_block_size``
     (occupancy = corpus_size / 2^P, a one-aggregate check) — probe cost
     is linear in occupancy, so that bound caps the stale-probe penalty
-    at ~4x a fresh index."""
+    at ~4x a fresh index.
+
+    ``skip_if_fresh`` follows the ``save_ivf_index`` freshness contract:
+    skip the build when the manifest's fingerprint matches the current
+    source files + plan + build knobs; ``update_neardup_index``
+    invalidates the fingerprint.  Returns True when (re)built, False
+    when a fresh index was reused."""
     import json as _json
     import os as _os
 
     from minivectordb_spark.operators.ann import random_projection_buckets
+    from minivectordb_spark.operators.util import source_fingerprint
+
+    fp = source_fingerprint(
+        reference,
+        [id_col, emb_col, planes, target_block_size, n_dirs, max_planes],
+    )
+    manifest_path = _os.path.join(path, "_neardup_index_manifest.json")
+    if skip_if_fresh and fp is not None:
+        try:
+            with open(manifest_path) as fh:
+                if _json.load(fh).get("fingerprint") == fp:
+                    return False
+        except (OSError, ValueError):
+            pass
 
     planes = _neardup_resolve_planes(
         reference, emb_col, id_col, planes, target_block_size, max_planes
@@ -2214,17 +2281,18 @@ def save_neardup_index(
         F.col(id_col), F.col(emb_col).cast(f"array<{emb_type}>").alias(emb_col)
     ).write.mode("overwrite").parquet(f"{path}/embeddings")
     _os.makedirs(path, exist_ok=True)
-    with open(_os.path.join(path, "_neardup_index_manifest.json"), "w") as fh:
-        _json.dump(
-            {
-                "id_col": id_col,
-                "emb_col": emb_col,
-                "planes": planes,
-                "n_dirs": n_dirs,
-                "emb_type": emb_type,
-            },
-            fh,
-        )
+    m = {
+        "id_col": id_col,
+        "emb_col": emb_col,
+        "planes": planes,
+        "n_dirs": n_dirs,
+        "emb_type": emb_type,
+    }
+    if fp is not None:
+        m["fingerprint"] = fp
+    with open(manifest_path, "w") as fh:
+        _json.dump(m, fh)
+    return True
 
 
 def neardup_index_candidates(
@@ -2386,3 +2454,4 @@ def update_neardup_index(
     df_new.select(
         F.col(id_col), F.col(emb_col).cast(f"array<{emb_type}>").alias(emb_col)
     ).write.mode("append").parquet(f"{path}/embeddings")
+    _invalidate_fingerprint(path, "_neardup_index_manifest.json")

@@ -46,3 +46,44 @@ def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def source_fingerprint(df: DataFrame, extras: list) -> str | None:
+    """Freshness fingerprint of a persisted index's inputs (shared by the
+    IVF / dedup / near-dup ``skip_if_fresh`` checks): the source's file
+    set with per-file (size, mtime), the CANONICALIZED logical plan of
+    ``df`` (a filter/dedup/transform over the same files is a DIFFERENT
+    source than the bare scan — inputFiles() alone cannot tell them
+    apart), plus ``extras`` (the index's build parameters).  ``None``
+    (= no freshness tracking, always rebuild) when the source is not a
+    locally-stat-able file scan or the plan cannot be canonicalized — on
+    a real deployment this slot is the table-format snapshot id
+    (Delta/Iceberg version).  ``canonicalized().semanticHash()`` digests
+    the full tree, so wide schemas cannot collide by the
+    maxToStringFields rendering truncation."""
+    import hashlib
+    import json
+    import os
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = df.inputFiles()
+        canon = df._jdf.queryExecution().analyzed().canonicalized()
+        plan = f"{canon.toString()}#{canon.semanticHash()}"
+    except Exception:
+        return None
+    if not files:
+        return None
+    ents = []
+    for f in sorted(files):
+        u = urlparse(f)
+        if u.scheme not in ("file", ""):
+            return None
+        p = unquote(u.path)
+        try:
+            st = os.stat(p)
+        except OSError:
+            return None
+        ents.append([p, st.st_size, st.st_mtime_ns])
+    payload = json.dumps([ents, plan, extras], sort_keys=True)
+    return hashlib.md5(payload.encode()).hexdigest()

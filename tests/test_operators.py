@@ -3001,3 +3001,89 @@ def test_neardup_resolve_planes_max_planes_cap(spark):
     assert _neardup_resolve_planes(
         df, "embedding", "vec_id", [[1.0, 0.0, 0.0, 0.0]], 2, max_planes=1
     ) == [[1.0, 0.0, 0.0, 0.0]]
+
+
+def test_dedup_index_skip_if_fresh_contract(spark, tmp_path):
+    """save_dedup_index(skip_if_fresh=True) follows the IVF freshness
+    contract: reuse on identical inputs, rebuild when the SOURCE frame
+    differs (plan canonicalization, not just files), invalidate after an
+    incremental append."""
+    import json
+
+    from minivectordb_spark.operators.dedup import (
+        save_dedup_index,
+        update_dedup_index,
+    )
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"document number {i} with some shared words") for i in range(30)],
+        ["doc_id", "text"],
+    ).write.parquet(src)
+    docs = spark.read.parquet(src)
+    idx = str(tmp_path / "didx_fresh")
+
+    assert save_dedup_index(docs, idx, skip_if_fresh=True) is True
+    with open(f"{idx}/_dedup_index_manifest.json") as fh:
+        assert "fingerprint" in json.load(fh)
+    # identical inputs: reused
+    assert save_dedup_index(spark.read.parquet(src), idx, skip_if_fresh=True) is False
+    # different PLAN over the same files: rebuilt
+    assert (
+        save_dedup_index(
+            spark.read.parquet(src).filter("doc_id < 10"), idx, skip_if_fresh=True
+        )
+        is True
+    )
+    # append invalidates the fingerprint -> next fresh-check rebuilds
+    save_dedup_index(docs, idx, skip_if_fresh=True)
+    update_dedup_index(
+        spark.createDataFrame([(100, "a brand new appended document")],
+                              ["doc_id", "text"]),
+        idx,
+    )
+    with open(f"{idx}/_dedup_index_manifest.json") as fh:
+        assert "fingerprint" not in json.load(fh)
+    assert save_dedup_index(docs, idx, skip_if_fresh=True) is True
+    # skip_if_fresh=False always rebuilds
+    assert save_dedup_index(docs, idx) is True
+
+
+def test_neardup_index_skip_if_fresh_contract(spark, tmp_path):
+    import json
+
+    import numpy as np
+
+    from minivectordb_spark.operators.dedup import (
+        save_neardup_index,
+        update_neardup_index,
+    )
+
+    rng = np.random.RandomState(11)
+    src = str(tmp_path / "vecs")
+    spark.createDataFrame(
+        [(i, rng.randn(8).astype("float32").tolist()) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(src)
+    vecs = spark.read.parquet(src)
+    idx = str(tmp_path / "nidx_fresh")
+
+    assert save_neardup_index(vecs, idx, target_block_size=8,
+                              skip_if_fresh=True) is True
+    assert save_neardup_index(spark.read.parquet(src), idx,
+                              target_block_size=8, skip_if_fresh=True) is False
+    # a different build knob is a different index
+    assert save_neardup_index(vecs, idx, target_block_size=4,
+                              skip_if_fresh=True) is True
+    save_neardup_index(vecs, idx, target_block_size=8, skip_if_fresh=True)
+    update_neardup_index(
+        spark.createDataFrame(
+            [(200, rng.randn(8).astype("float32").tolist())],
+            "vec_id long, embedding array<float>",
+        ),
+        idx,
+    )
+    with open(f"{idx}/_neardup_index_manifest.json") as fh:
+        assert "fingerprint" not in json.load(fh)
+    assert save_neardup_index(vecs, idx, target_block_size=8,
+                              skip_if_fresh=True) is True
