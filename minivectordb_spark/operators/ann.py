@@ -515,20 +515,17 @@ def save_ivf_index(
     its write cost if repeat searches reuse it, and a stale index is worse
     than no index, so freshness is checked, never assumed.  Returns True
     when the index was (re)built, False when a fresh one was reused."""
-    import json
-    import os
-
+    from minivectordb_spark import fsio
     from minivectordb_spark.operators.util import materialize
     from minivectordb_spark.scoring import norm_expr
 
     cents = _collect_centroids(centroids)
     fp = _ivf_source_fingerprint(df, cents, id_col, emb_col)
-    manifest = os.path.join(path, "_index_manifest.json")
+    manifest = f"{path.rstrip('/')}/_index_manifest.json"
     if skip_if_fresh and fp is not None:
         try:
-            with open(manifest) as fh:
-                if json.load(fh).get("fingerprint") == fp:
-                    return False
+            if fsio.read_manifest(manifest).get("fingerprint") == fp:
+                return False
         except (OSError, ValueError):
             pass
     staged = materialize(df, norm_expr(F.col(emb_col)), "__n", [id_col, emb_col])
@@ -545,12 +542,11 @@ def save_ivf_index(
         .parquet(f"{path}/assignments")
     )
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
-    try:  # manifest lives beside local indexes only; elsewhere the snapshot
-        if fp is not None:  # id of a table format plays this role
-            with open(manifest, "w") as fh:
-                json.dump({"fingerprint": fp}, fh)
-        elif os.path.exists(manifest):
-            os.remove(manifest)  # unknown freshness must not claim the old one
+    try:  # manifest IO goes through fsio: atomic publish, any Hadoop-
+        if fp is not None:  # resolvable scheme (hdfs://, s3a://, file:)
+            fsio.write_manifest(manifest, {"fingerprint": fp})
+        else:
+            fsio.delete(manifest)  # unknown freshness must not claim the old one
     except OSError:
         pass
     return True
@@ -577,8 +573,6 @@ def update_ivf_index(
     the next ``save_ivf_index(skip_if_fresh=True)`` call rebuilds.
     Id uniqueness vs already-indexed rows is the caller's contract (the
     durable table's ingest gates enforce it upstream)."""
-    import os
-
     from minivectordb_spark.operators.util import materialize
     from minivectordb_spark.scoring import norm_expr
 
@@ -591,18 +585,18 @@ def update_ivf_index(
         F.col(emb_col),
         (-F.col("__best.neg_id")).alias("centroid_id"),
     )
+    # invalidate FIRST (ADVICE r12 ordering contract — see
+    # update_dedup_index): a crash mid-append costs a spurious rebuild,
+    # never an appended index that still claims the original source
+    from minivectordb_spark import fsio
+
+    fsio.delete(f"{path.rstrip('/')}/_index_manifest.json")
     (
         assigned.repartition("centroid_id")
         .write.partitionBy("centroid_id")
         .mode("append")
         .parquet(f"{path}/assignments")
     )
-    manifest = os.path.join(path, "_index_manifest.json")
-    try:
-        if os.path.exists(manifest):
-            os.remove(manifest)
-    except OSError:
-        pass
 
 
 def ivf_search_indexed(

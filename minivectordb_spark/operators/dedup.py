@@ -1946,23 +1946,16 @@ def dedup_against(
 
 
 def _invalidate_fingerprint(path: str, manifest_name: str) -> None:
-    """Drop a persisted index's freshness fingerprint after an
+    """Drop a persisted index's freshness fingerprint around an
     incremental append: the index no longer corresponds to any single
     source snapshot, so ``skip_if_fresh`` must not match it — the next
     ``save_*_index(skip_if_fresh=True)`` call rebuilds (the
-    ``update_ivf_index`` contract)."""
-    import json as _json
-    import os as _os
+    ``update_ivf_index`` contract).  Called BEFORE the first append
+    (crash between steps = spurious rebuild, never a stale-fresh index)
+    through ``fsio`` (atomic rewrite, any Hadoop-resolvable scheme)."""
+    from minivectordb_spark import fsio
 
-    p = _os.path.join(path, manifest_name)
-    try:
-        with open(p) as fh:
-            m = _json.load(fh)
-        if m.pop("fingerprint", None) is not None:
-            with open(p, "w") as fh:
-                _json.dump(m, fh)
-    except (OSError, ValueError):
-        pass
+    fsio.invalidate_fingerprint(path, manifest_name)
 
 
 def save_dedup_index(
@@ -2005,9 +1998,7 @@ def save_dedup_index(
     (``update_dedup_index`` invalidates the fingerprint — an appended
     index corresponds to no single source snapshot).  Returns True when
     the index was (re)built, False when a fresh one was reused."""
-    import json as _json
-    import os as _os
-
+    from minivectordb_spark import fsio
     from minivectordb_spark.operators.util import source_fingerprint
 
     params = {
@@ -2019,12 +2010,11 @@ def save_dedup_index(
         "prefix_len": prefix_len,
     }
     fp = source_fingerprint(reference, [params, text_col])
-    manifest_path = _os.path.join(path, "_dedup_index_manifest.json")
+    manifest_path = f"{path.rstrip('/')}/_dedup_index_manifest.json"
     if skip_if_fresh and fp is not None:
         try:
-            with open(manifest_path) as fh:
-                if _json.load(fh).get("fingerprint") == fp:
-                    return False
+            if fsio.read_manifest(manifest_path).get("fingerprint") == fp:
+                return False
         except (OSError, ValueError):
             pass
 
@@ -2041,21 +2031,17 @@ def save_dedup_index(
     sh_ref.select(F.col(id_col), F.col("sh")).write.mode("overwrite").parquet(
         f"{path}/shingles"
     )
-    _os.makedirs(path, exist_ok=True)
     m = dict(params)
     if fp is not None:
         m["fingerprint"] = fp
-    with open(manifest_path, "w") as fh:
-        _json.dump(m, fh)
+    fsio.write_manifest(manifest_path, m)
     return True
 
 
 def _load_dedup_manifest(path: str, id_col: str) -> dict:
-    import json as _json
-    import os as _os
+    from minivectordb_spark import fsio
 
-    with open(_os.path.join(path, "_dedup_index_manifest.json")) as fh:
-        m = _json.load(fh)
+    m = fsio.read_manifest(f"{path.rstrip('/')}/_dedup_index_manifest.json")
     if m["id_col"] != id_col:
         raise ValueError(
             f"index was built with id_col={m['id_col']!r}, got {id_col!r}"
@@ -2173,6 +2159,12 @@ def update_dedup_index(
     docs is the caller's contract (the ingest gates enforce it
     upstream)."""
     m = _load_dedup_manifest(path, id_col)
+    # invalidate FIRST (ADVICE r12): a crash after the invalidation but
+    # before/mid-append costs at worst one spurious rebuild; the reverse
+    # order left an appended index whose fingerprint still matched the
+    # unchanged source — skip_if_fresh would silently reuse an index
+    # corresponding to no single source snapshot
+    _invalidate_fingerprint(path, "_dedup_index_manifest.json")
     sh_new = _reused(_shingle_frame(df_new, text_col, id_col, m["k"]))
     buckets = _band_buckets(
         sh_new, id_col, m["n_hashes"], m["band_size"], m["seed"]
@@ -2186,7 +2178,6 @@ def update_dedup_index(
     sh_new.select(F.col(id_col), F.col("sh")).write.mode("append").parquet(
         f"{path}/shingles"
     )
-    _invalidate_fingerprint(path, "_dedup_index_manifest.json")
 
 
 def _emb_element_type(df: DataFrame, emb_col: str) -> str:
@@ -2237,9 +2228,7 @@ def save_neardup_index(
     source files + plan + build knobs; ``update_neardup_index``
     invalidates the fingerprint.  Returns True when (re)built, False
     when a fresh index was reused."""
-    import json as _json
-    import os as _os
-
+    from minivectordb_spark import fsio
     from minivectordb_spark.operators.ann import random_projection_buckets
     from minivectordb_spark.operators.util import source_fingerprint
 
@@ -2247,12 +2236,11 @@ def save_neardup_index(
         reference,
         [id_col, emb_col, planes, target_block_size, n_dirs, max_planes],
     )
-    manifest_path = _os.path.join(path, "_neardup_index_manifest.json")
+    manifest_path = f"{path.rstrip('/')}/_neardup_index_manifest.json"
     if skip_if_fresh and fp is not None:
         try:
-            with open(manifest_path) as fh:
-                if _json.load(fh).get("fingerprint") == fp:
-                    return False
+            if fsio.read_manifest(manifest_path).get("fingerprint") == fp:
+                return False
         except (OSError, ValueError):
             pass
 
@@ -2280,7 +2268,6 @@ def save_neardup_index(
     reference.select(
         F.col(id_col), F.col(emb_col).cast(f"array<{emb_type}>").alias(emb_col)
     ).write.mode("overwrite").parquet(f"{path}/embeddings")
-    _os.makedirs(path, exist_ok=True)
     m = {
         "id_col": id_col,
         "emb_col": emb_col,
@@ -2290,8 +2277,7 @@ def save_neardup_index(
     }
     if fp is not None:
         m["fingerprint"] = fp
-    with open(manifest_path, "w") as fh:
-        _json.dump(m, fh)
+    fsio.write_manifest(manifest_path, m)
     return True
 
 
@@ -2310,14 +2296,13 @@ def neardup_index_candidates(
     ``pmod(bucket, n_dirs)`` layout column (the probe dirs are a bounded
     <= n_dirs driver collect); the only keyed shuffle is the
     candidate-sized distinct."""
-    import json as _json
-    import os as _os
-
+    from minivectordb_spark import fsio
     from minivectordb_spark.operators.ann import random_projection_probes
 
     spark = df.sparkSession
-    with open(_os.path.join(path, "_neardup_index_manifest.json")) as fh:
-        m = _json.load(fh)
+    m = fsio.read_manifest(
+        f"{path.rstrip('/')}/_neardup_index_manifest.json", spark
+    )
     if m["id_col"] != id_col or m["emb_col"] != emb_col:
         raise ValueError(
             f"index was built with (id_col, emb_col)=({m['id_col']!r}, "
@@ -2431,13 +2416,15 @@ def update_neardup_index(
     embeddings, batch-cost only (same lifecycle as ``update_ivf_index`` /
     ``update_dedup_index``; rebuild when the corpus outgrows the plane
     count)."""
-    import json as _json
-    import os as _os
-
+    from minivectordb_spark import fsio
     from minivectordb_spark.operators.ann import random_projection_buckets
 
-    with open(_os.path.join(path, "_neardup_index_manifest.json")) as fh:
-        m = _json.load(fh)
+    m = fsio.read_manifest(
+        f"{path.rstrip('/')}/_neardup_index_manifest.json", df_new.sparkSession
+    )
+    # invalidate FIRST (ADVICE r12 — see update_dedup_index): a crash
+    # mid-append must cost a spurious rebuild, never a stale-fresh index
+    _invalidate_fingerprint(path, "_neardup_index_manifest.json")
     buckets = random_projection_buckets(
         df_new, m["planes"], id_col=id_col, emb_col=emb_col
     ).withColumn("bp", F.pmod(F.col("bucket"), F.lit(m["n_dirs"])))
@@ -2454,4 +2441,3 @@ def update_neardup_index(
     df_new.select(
         F.col(id_col), F.col(emb_col).cast(f"array<{emb_type}>").alias(emb_col)
     ).write.mode("append").parquet(f"{path}/embeddings")
-    _invalidate_fingerprint(path, "_neardup_index_manifest.json")

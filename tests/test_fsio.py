@@ -1,0 +1,294 @@
+"""fsio: filesystem-portable manifest + scratch IO (VERDICT r12 item 1,
+ADVICE r12 mediums).
+
+Covers both routes: the local fast path (os.replace atomicity) and the
+Hadoop FileSystem route — exercised with a ``file:``-prefixed absolute
+URI forced through the py4j API by disabling the local-path shortcut, so
+the exact code that would serve ``hdfs://``/``s3a://`` runs against the
+local connector (the scheme resolves through the same registry Spark's
+readers use).
+"""
+
+import json
+import os
+
+import pytest
+
+from minivectordb_spark import fsio
+
+
+# ---------------------------------------------------------------- local path
+
+
+def test_local_roundtrip_and_atomicity(tmp_path):
+    p = str(tmp_path / "sub" / "m.json")  # parent does not exist yet
+    fsio.write_manifest(p, {"a": 1, "fingerprint": "x"})
+    assert fsio.read_manifest(p) == {"a": 1, "fingerprint": "x"}
+    # overwrite goes through a temp file: no stray temps left behind
+    fsio.write_manifest(p, {"a": 2})
+    assert fsio.read_manifest(p) == {"a": 2}
+    assert os.listdir(os.path.dirname(p)) == ["m.json"]
+
+
+def test_local_missing_raises_filenotfound(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        fsio.read_manifest(str(tmp_path / "absent.json"))
+
+
+def test_invalidate_fingerprint_drops_key_only(tmp_path):
+    d = str(tmp_path)
+    fsio.write_manifest(f"{d}/m.json", {"k": 3, "fingerprint": "abc"})
+    fsio.invalidate_fingerprint(d, "m.json")
+    assert fsio.read_manifest(f"{d}/m.json") == {"k": 3}
+    # idempotent, and a missing manifest is a no-op
+    fsio.invalidate_fingerprint(d, "m.json")
+    fsio.invalidate_fingerprint(d, "missing.json")
+
+
+def test_local_path_classification():
+    assert fsio._local_path("/tmp/x") == "/tmp/x"
+    assert fsio._local_path("file:///tmp/x") == "/tmp/x"
+    assert fsio._local_path("hdfs://nn/x") is None
+    assert fsio._local_path("s3a://bucket/x") is None
+
+
+# ------------------------------------------------------------- hadoop route
+
+
+@pytest.fixture()
+def hadoop_route(monkeypatch):
+    """Force every fsio call through the Hadoop FileSystem API (the
+    route a real hdfs://, s3a:// deployment takes), backed by the local
+    connector via file: URIs."""
+    monkeypatch.setattr(fsio, "_local_path", lambda p: None)
+
+
+def test_hadoop_roundtrip_atomic_rename(tmp_path, spark, hadoop_route):
+    p = f"file://{tmp_path}/deep/m.json"  # parent created by the API
+    fsio.write_manifest(p, {"planes": [[0.5, -1.0]], "fingerprint": "f"})
+    assert fsio.read_manifest(p)["planes"] == [[0.5, -1.0]]
+    fsio.write_manifest(p, {"planes": []})  # overwrite via delete+rename
+    assert fsio.read_manifest(p) == {"planes": []}
+    # published file only — the temp was renamed away (the local
+    # ChecksumFileSystem adds .crc sidecars; real schemes don't)
+    visible = [f for f in os.listdir(tmp_path / "deep") if not f.endswith(".crc")]
+    assert visible == ["m.json"]
+    with pytest.raises(FileNotFoundError):
+        fsio.read_text(f"file://{tmp_path}/deep/absent.json")
+
+
+def test_hadoop_invalidate_and_delete(tmp_path, spark, hadoop_route):
+    d = f"file://{tmp_path}"
+    fsio.write_manifest(f"{d}/m.json", {"x": 1, "fingerprint": "g"})
+    fsio.invalidate_fingerprint(d, "m.json")
+    assert fsio.read_manifest(f"{d}/m.json") == {"x": 1}
+    fsio.delete(f"{d}/m.json")
+    with pytest.raises(FileNotFoundError):
+        fsio.read_manifest(f"{d}/m.json")
+
+
+def test_index_manifest_io_survives_hadoop_route(tmp_path, spark, hadoop_route):
+    """The dedup-index manifest cycle (save -> skip-if-fresh probe shape
+    -> invalidate) through the Hadoop API — what a hdfs:// index dir
+    exercises on a cluster."""
+    d = f"file://{tmp_path}/idx"
+    m = {"id_col": "doc_id", "k": 5, "fingerprint": "abc"}
+    fsio.write_manifest(f"{d}/_dedup_index_manifest.json", m)
+    got = fsio.read_manifest(f"{d}/_dedup_index_manifest.json")
+    assert got == m
+    fsio.invalidate_fingerprint(d, "_dedup_index_manifest.json")
+    assert "fingerprint" not in fsio.read_manifest(
+        f"{d}/_dedup_index_manifest.json"
+    )
+
+
+# -------------------------------------------------------------- scratch dir
+
+
+def test_scratch_dir_resolution_order(tmp_path, spark, monkeypatch):
+    # 1) module knob wins
+    monkeypatch.setattr(fsio, "SCRATCH_ROOT", str(tmp_path / "knob"))
+    assert fsio.scratch_dir(spark, "p_").startswith(str(tmp_path / "knob") + "/p_")
+    # 2) session conf next
+    monkeypatch.setattr(fsio, "SCRATCH_ROOT", None)
+    spark.conf.set("spark.minivectordb.scratchDir", str(tmp_path / "conf"))
+    try:
+        assert fsio.scratch_dir(spark, "p_").startswith(
+            str(tmp_path / "conf") + "/p_"
+        )
+    finally:
+        spark.conf.unset("spark.minivectordb.scratchDir")
+    # 3) warehouse-dir default (shared storage on a real cluster)
+    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    assert fsio.scratch_dir(spark, "p_").startswith(
+        f"{wh}/_minivectordb_scratch/p_"
+    )
+    # fresh name per call
+    assert fsio.scratch_dir(spark, "p_") != fsio.scratch_dir(spark, "p_")
+
+
+def test_heavy_spill_honors_scratch_knob_and_sweeps(tmp_path, spark, monkeypatch):
+    """Force the EDJoin heavy path: its df spill must land under the
+    scratch knob (shared storage), and the next heavy call must sweep
+    the previous call's spill (ADVICE r12 — no unbounded /tmp growth in
+    a long-lived session)."""
+    from minivectordb_spark import plans
+    from minivectordb_spark.operators import linkage
+
+    monkeypatch.setattr(fsio, "SCRATCH_ROOT", str(tmp_path / "scratch"))
+    monkeypatch.setattr(plans, "AGG_PARTITION_BYTES", 1024)
+    monkeypatch.setattr(linkage, "DF_BROADCAST_MAX_ROWS", 1)
+
+    rows = [(i, f"prefix-{i:04d}-suffix") for i in range(1, 40)]
+    left = spark.createDataFrame(rows, "lid long, s string")
+    right = spark.createDataFrame(
+        [(100 + i, s) for i, s in rows], "rid long, s string"
+    )
+    out1 = linkage.qgram_edit_join(
+        left, right, "lid", "rid", "s", "s", max_dist=1, q=3
+    )
+    n1 = out1.count()  # materialize before the next heavy call
+    spills = os.listdir(tmp_path / "scratch")
+    assert len(spills) == 1 and spills[0].startswith("qgram_df_")
+
+    out2 = linkage.qgram_edit_join(
+        left, right, "lid", "rid", "s", "s", max_dist=1, q=3
+    )
+    n2 = out2.count()
+    assert n2 == n1 > 0
+    spills2 = os.listdir(tmp_path / "scratch")
+    assert len(spills2) == 1 and spills2[0] != spills[0]
+    linkage._sweep_heavy_df_tmp()
+    assert os.listdir(tmp_path / "scratch") == []
+
+
+# ---------------------------------------------------------- heap-scaled law
+
+
+def test_heap_caps_law():
+    """Caps scale linearly in heap through the measured 8g anchors
+    (~64 B/row broadcast, ~200 B/row resident), floored so a tiny heap
+    degrades to the hash-join/recompute path, never to zero-row caps."""
+    from minivectordb_spark.operators.linkage import (
+        DF_BROADCAST_MAX_ROWS,
+        OCC_REUSE_MAX_ROWS,
+        _heap_caps_for_gb,
+    )
+
+    assert _heap_caps_for_gb(8.0) == (DF_BROADCAST_MAX_ROWS, OCC_REUSE_MAX_ROWS)
+    df64, occ64 = _heap_caps_for_gb(64.0)
+    assert df64 == DF_BROADCAST_MAX_ROWS * 8
+    assert occ64 == OCC_REUSE_MAX_ROWS * 8
+    df4, occ4 = _heap_caps_for_gb(4.0)
+    assert df4 == DF_BROADCAST_MAX_ROWS // 2
+    assert occ4 == OCC_REUSE_MAX_ROWS // 2
+    # floor: 1/16th of the anchors
+    assert _heap_caps_for_gb(0.01) == (
+        DF_BROADCAST_MAX_ROWS // 16,
+        OCC_REUSE_MAX_ROWS // 16,
+    )
+
+
+def test_executor_heap_gb_reads_live_jvm(spark):
+    from minivectordb_spark.operators.linkage import _executor_heap_gb
+
+    gb = _executor_heap_gb(spark)
+    # local mode: Runtime.maxMemory() of the shared JVM — the 8g default
+    # session lands in a sane band (maxMemory is slightly under -Xmx)
+    assert 2.0 < gb < 64.0
+
+
+# -------------------------------------------- invalidate-before-append order
+
+
+def test_update_dedup_index_invalidates_before_append(spark, tmp_path, monkeypatch):
+    """ADVICE r12 (medium): a crash BETWEEN invalidation and append must
+    leave a no-longer-fresh manifest (worst case: spurious rebuild) —
+    never an appended index whose fingerprint still matches the source."""
+    from minivectordb_spark.operators import dedup
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, f"document body number {i} with shared tokens") for i in range(40)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    df = spark.read.parquet(src)
+    idx = str(tmp_path / "idx")
+    assert dedup.save_dedup_index(df, idx, skip_if_fresh=True)
+    assert "fingerprint" in fsio.read_manifest(f"{idx}/_dedup_index_manifest.json")
+
+    boom = RuntimeError("simulated crash before the bucket append")
+    monkeypatch.setattr(
+        dedup, "_band_buckets", lambda *a, **k: (_ for _ in ()).throw(boom)
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        dedup.update_dedup_index(df.limit(3), idx)
+    # fingerprint already dropped -> skip_if_fresh rebuilds instead of
+    # silently reusing a half-updated index
+    assert "fingerprint" not in fsio.read_manifest(
+        f"{idx}/_dedup_index_manifest.json"
+    )
+
+
+def test_update_neardup_index_invalidates_before_append(
+    spark, tmp_path, monkeypatch
+):
+    import minivectordb_spark.operators.ann as ann
+    from minivectordb_spark.operators import dedup
+
+    src = str(tmp_path / "vsrc")
+    spark.createDataFrame(
+        [(i, [float(i % 7) + 0.25, float(i % 3) - 1.0]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(src)
+    df = spark.read.parquet(src)
+    idx = str(tmp_path / "vidx")
+    assert dedup.save_neardup_index(df, idx, skip_if_fresh=True)
+    assert "fingerprint" in fsio.read_manifest(
+        f"{idx}/_neardup_index_manifest.json"
+    )
+
+    boom = RuntimeError("simulated crash before the bucket append")
+    monkeypatch.setattr(
+        ann,
+        "random_projection_buckets",
+        lambda *a, **k: (_ for _ in ()).throw(boom),
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        dedup.update_neardup_index(df.limit(3), idx)
+    assert "fingerprint" not in fsio.read_manifest(
+        f"{idx}/_neardup_index_manifest.json"
+    )
+
+
+def test_dedup_index_roundtrip_on_file_uri(spark, tmp_path):
+    """End-to-end index lifecycle addressed by URI (scheme-qualified
+    paths are what a cluster deployment passes): build, fresh-skip,
+    probe, append, probe again — manifest IO and parquet IO both resolve
+    the scheme."""
+    from minivectordb_spark.operators import dedup
+
+    src = str(tmp_path / "docs")
+    texts = [(i, f"shared shingle text body {i % 5} padding tokens") for i in range(50)]
+    spark.createDataFrame(texts, "doc_id long, text string").write.parquet(src)
+    ref = spark.read.parquet(src)
+    idx = f"file://{tmp_path}/uri_idx"
+
+    assert dedup.save_dedup_index(ref, idx, skip_if_fresh=True)
+    assert not dedup.save_dedup_index(ref, idx, skip_if_fresh=True)  # fresh
+    batch = spark.createDataFrame(
+        [(1000, "shared shingle text body 0 padding tokens"),
+         (1001, "a genuinely novel string nothing shares")],
+        "doc_id long, text string",
+    )
+    kept = dedup.dedup_against_indexed(batch, idx)
+    assert [r["doc_id"] for r in kept.collect()] == [1001]
+    dedup.update_dedup_index(kept, idx)
+    # appended survivor now blocks an identical follow-up row
+    again = spark.createDataFrame(
+        [(2000, "a genuinely novel string nothing shares")],
+        "doc_id long, text string",
+    )
+    assert dedup.dedup_against_indexed(again, idx).count() == 0
+    # append invalidated freshness -> rebuild happens
+    assert dedup.save_dedup_index(ref, idx, skip_if_fresh=True)
