@@ -11,6 +11,7 @@ so the driver's order-insensitive value-hash matches bit-for-bit.
 from __future__ import annotations
 
 import math
+from contextlib import contextmanager as _contextmanager
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1517,14 +1518,12 @@ def q_neardup_against_indexed(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     ref = emb.filter(F.col("vec_id") % 2 == 0)
     new = emb.filter(F.col("vec_id") % 2 != 0)
-    idx = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_ndidx_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
-    save_neardup_index(
-        ref, idx, target_block_size=32, n_dirs=16, max_planes=NEARDUP_PMAX,
-        skip_if_fresh=True,
-    )
+    idx = _fixed_index_dir("ndidx", sf_dir)
+    with _index_build_lock(idx):
+        save_neardup_index(
+            ref, idx, target_block_size=32, n_dirs=16,
+            max_planes=NEARDUP_PMAX, skip_if_fresh=True,
+        )
     return neardup_against_indexed(
         new, idx, threshold=NEARDUP_COS, max_probes=4
     ).select("vec_id", "label")
@@ -1617,7 +1616,12 @@ def q_stream_neardup_ingest(spark, sf_dir):
     q = stream_neardup_corpus_ingest(
         stream, idx, table, ck, threshold=NEARDUP_COS, max_probes=4
     ).start()
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "stream_neardup_ingest did not finish within 300s; refusing "
+            "to read a partially-written sink (ADVICE r12)"
+        )
     return spark.read.parquet(table).select("vec_id", "label")
 
 
@@ -1644,19 +1648,17 @@ def q_dedup_against_indexed(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     ref = docs.filter(F.col("doc_id") % DEDUP_AGAINST_MOD == 0)
     new = docs.filter(F.col("doc_id") % DEDUP_AGAINST_MOD != 0)
-    idx = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_ddidx_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    idx = _fixed_index_dir("ddidx", sf_dir)
     # prefix_len=1 (16 partition dirs) at the gate's scale: the pruning
     # MECHANISM is identical at any width (plan-locked in test_plans) and
     # a 256-dir layout over a 2.5k-doc reference is pure small-file
     # overhead (measured: 7.1 -> ~3 s demoted wall); production indexes
     # size prefix_len to the batch/corpus ratio (3-4 at 100 TB)
-    save_dedup_index(
-        ref, idx, n_hashes=N_HASHES, band_size=BAND_SIZE, k=SHINGLE_K, seed=42,
-        prefix_len=1, skip_if_fresh=True,
-    )
+    with _index_build_lock(idx):
+        save_dedup_index(
+            ref, idx, n_hashes=N_HASHES, band_size=BAND_SIZE, k=SHINGLE_K,
+            seed=42, prefix_len=1, skip_if_fresh=True,
+        )
     return dedup_against_indexed(new, idx, threshold=JACCARD_MIN).select(
         "doc_id", "lang"
     )
@@ -1752,7 +1754,12 @@ def q_stream_dedup_ingest(spark, sf_dir):
     q = stream_corpus_dedup_ingest(
         stream, idx, table, ck, threshold=JACCARD_MIN
     ).start()
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "stream_dedup_ingest did not finish within 300s; refusing "
+            "to read a partially-written sink (ADVICE r12)"
+        )
     return spark.read.parquet(table).select("doc_id", "lang")
 
 
@@ -2061,11 +2068,11 @@ def q_ivf_search_indexed(spark, sf_dir):
     from minivectordb_spark.operators.ann import ivf_search_indexed, save_ivf_index
 
     e = _t(spark, sf_dir, "embeddings")
-    idx = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_ivf_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
-    save_ivf_index(e, seed_centroids(e, N_CENTROIDS), idx, skip_if_fresh=True)
+    idx = _fixed_index_dir("ivf", sf_dir)
+    with _index_build_lock(idx):
+        save_ivf_index(
+            e, seed_centroids(e, N_CENTROIDS), idx, skip_if_fresh=True
+        )
     return ivf_search_indexed(spark, idx, QVEC, k=10, nprobe=NPROBE)
 
 
@@ -3612,6 +3619,45 @@ STREAM_BOUNDED_COUNTERS_BY_DIR: dict = {}
 #: here and swept at interpreter exit (ADVICE r11: the indexed-probe
 #: gates previously leaked one /tmp dir per invocation)
 _GATE_TMP_ROOTS: list = []
+
+
+def _fixed_index_dir(kind: str, sf_dir: str) -> str:
+    """Fixed per-DATASET index dir for the skip_if_fresh lifecycle gates:
+    keyed by the sf dir's basename PLUS a short hash of its absolute
+    path, so two distinct datasets that happen to share a basename can
+    never thrash fingerprint-mismatch rebuilds against each other
+    (ADVICE r12)."""
+    import hashlib
+    import os
+    import tempfile
+
+    ap = os.path.abspath(sf_dir.rstrip("/"))
+    h = hashlib.md5(ap.encode()).hexdigest()[:8]
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_{kind}_{os.path.basename(ap)}_{h}",
+    )
+
+
+@_contextmanager
+def _index_build_lock(idx: str):
+    """Exclusive advisory lock around a fixed-dir index BUILD: two
+    processes gating on the same dataset serialize the (at most one)
+    cold rebuild — the loser blocks, re-checks freshness, and skips —
+    so a probe can never scan a directory mid-overwrite (ADVICE r12).
+    Probes themselves need no lock: once built fresh, nothing ever
+    overwrites the dir again."""
+    import fcntl
+    import os
+
+    os.makedirs(os.path.dirname(idx), exist_ok=True)
+    fh = open(idx + ".lock", "w")
+    try:
+        fcntl.flock(fh, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fh, fcntl.LOCK_UN)
+        fh.close()
 
 
 def _gate_tmpdir(prefix: str) -> str:

@@ -39,14 +39,10 @@ def main():
     import shutil
     import tempfile
 
-    for pfx in ("spark_graft_ivf_", "spark_graft_ddidx_", "spark_graft_ndidx_"):
-        shutil.rmtree(
-            os.path.join(
-                tempfile.gettempdir(),
-                f"{pfx}{os.path.basename(sf_dir.rstrip('/'))}",
-            ),
-            ignore_errors=True,
-        )
+    from __spark_entry__ import _fixed_index_dir
+
+    for kind in ("ivf", "ddidx", "ndidx"):
+        shutil.rmtree(_fixed_index_dir(kind, sf_dir), ignore_errors=True)
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()

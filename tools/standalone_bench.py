@@ -42,13 +42,9 @@ def main():
     # same environment warmup as bench.py: codegen/noop/file-listing and
     # Python-worker fork costs are paid before any query is timed, and the
     # cross-process IVF index cache is cleared so run 1 prices a cold build
-    shutil.rmtree(
-        os.path.join(
-            tempfile.gettempdir(),
-            f"spark_graft_ivf_{os.path.basename(sf_dir.rstrip('/'))}",
-        ),
-        ignore_errors=True,
-    )
+    from __spark_entry__ import _fixed_index_dir
+
+    shutil.rmtree(_fixed_index_dir("ivf", sf_dir), ignore_errors=True)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode(
         "overwrite"
