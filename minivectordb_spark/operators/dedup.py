@@ -2199,6 +2199,7 @@ def save_neardup_index(
     n_dirs: int = 64,
     max_planes: int | None = None,
     skip_if_fresh: bool = False,
+    rebuild_if_stale: bool = False,
 ) -> bool:
     """Persist the reference side of ``neardup_against`` ONCE: the
     sign-bit LSH bucket table (partitioned by ``pmod(bucket, n_dirs)``
@@ -2217,17 +2218,23 @@ def save_neardup_index(
     with corpus growth (256 -> 2,498 -> 25,022 at 1x/10x/100x on a
     5k-built index) while recall on planted duplicates stays 1.0 at
     every decade; a fresh rebuild at 100x (planes re-resolved, P 7 ->
-    13) is ~22x cheaper to probe.  REBUILD TRIGGER: rebuild when the
-    bucket table's average occupancy exceeds ~4x ``target_block_size``
-    (occupancy = corpus_size / 2^P, a one-aggregate check) — probe cost
-    is linear in occupancy, so that bound caps the stale-probe penalty
-    at ~4x a fresh index.
+    13) is ~22x cheaper to probe.  REBUILD TRIGGER (mechanized):
+    ``neardup_index_staleness`` computes the one-aggregate occupancy
+    check (occupancy = corpus_size / 2^P) and flags ``stale`` when it
+    exceeds 4x ``target_block_size`` — probe cost is linear in
+    occupancy, so that bound caps the stale-probe penalty at ~4x a
+    fresh index; ``rebuild_neardup_index_if_stale`` rebuilds in place
+    from the index's own (grown) embedding table when the trigger
+    fires.
 
     ``skip_if_fresh`` follows the ``save_ivf_index`` freshness contract:
     skip the build when the manifest's fingerprint matches the current
     source files + plan + build knobs; ``update_neardup_index``
-    invalidates the fingerprint.  Returns True when (re)built, False
-    when a fresh index was reused."""
+    invalidates the fingerprint.  ``rebuild_if_stale`` additionally
+    re-checks the occupancy trigger on a fingerprint-FRESH index (the
+    misconfigured-explicit-planes case — fresh fingerprint, 10x probe
+    cost) and rebuilds instead of reusing.  Returns True when (re)built,
+    False when a fresh index was reused."""
     from minivectordb_spark import fsio
     from minivectordb_spark.operators.ann import random_projection_buckets
     from minivectordb_spark.operators.util import source_fingerprint
@@ -2240,7 +2247,13 @@ def save_neardup_index(
     if skip_if_fresh and fp is not None:
         try:
             if fsio.read_manifest(manifest_path).get("fingerprint") == fp:
-                return False
+                if not (
+                    rebuild_if_stale
+                    and neardup_index_staleness(
+                        reference.sparkSession, path
+                    )["stale"]
+                ):
+                    return False
         except (OSError, ValueError):
             pass
 
@@ -2274,10 +2287,92 @@ def save_neardup_index(
         "planes": planes,
         "n_dirs": n_dirs,
         "emb_type": emb_type,
+        # build knobs recorded so the staleness check and an in-place
+        # rebuild replay the build's OWN economics (not a caller guess)
+        "target_block_size": target_block_size,
+        "max_planes": max_planes,
     }
     if fp is not None:
         m["fingerprint"] = fp
     fsio.write_manifest(manifest_path, m)
+    return True
+
+
+def neardup_index_staleness(spark, path: str) -> dict:
+    """One-aggregate occupancy stats for a ``save_neardup_index`` layout
+    — the mechanized form of the measured staleness law
+    (tools/index_staleness.py, r12): probe cost is LINEAR in average
+    bucket occupancy (= corpus_rows / 2^P with P frozen at build time)
+    while recall stays 1.0, so the only thing staleness costs is time —
+    and the trigger that bounds it is ``avg_occupancy > 4 *
+    target_block_size`` (caps the stale-probe penalty at ~4x a fresh
+    index; a fresh rebuild at 100x corpus growth measured ~22x cheaper
+    to probe).  The row count is a parquet metadata-only aggregate —
+    cheap enough to run per ingest cycle.
+
+    Returns ``{rows, n_planes, avg_occupancy, target_block_size,
+    occupancy_ratio, stale}`` where ``occupancy_ratio`` is
+    avg_occupancy / target_block_size (rebuild at > 4)."""
+    from minivectordb_spark import fsio
+
+    m = fsio.read_manifest(
+        f"{path.rstrip('/')}/_neardup_index_manifest.json", spark
+    )
+    n_planes = len(m["planes"])
+    tbs = int(m.get("target_block_size") or 64)
+    rows = spark.read.parquet(f"{path}/buckets").count()
+    occ = rows / float(2**n_planes)
+    return {
+        "rows": int(rows),
+        "n_planes": n_planes,
+        "avg_occupancy": occ,
+        "target_block_size": tbs,
+        "occupancy_ratio": occ / tbs,
+        "stale": occ > 4 * tbs,
+    }
+
+
+def rebuild_neardup_index_if_stale(
+    spark, path: str, force: bool = False
+) -> bool:
+    """Rebuild a ``save_neardup_index`` layout IN PLACE from its own
+    embedding table — the full grown corpus, appended survivors included
+    — when the occupancy trigger fires (``neardup_index_staleness``).
+    Planes re-resolve adaptively from the CURRENT corpus size under the
+    manifest's recorded build knobs, so P grows with the corpus and
+    occupancy resets to ~target_block_size (the measured 22x-cheaper
+    fresh-probe point).  The corpus is staged through shared scratch
+    storage first (Spark refuses to overwrite a path it is reading).
+    Returns True when a rebuild happened, False when the index is still
+    within its occupancy budget."""
+    from minivectordb_spark import fsio
+
+    st = neardup_index_staleness(spark, path)
+    if not (force or st["stale"]):
+        return False
+    m = fsio.read_manifest(
+        f"{path.rstrip('/')}/_neardup_index_manifest.json", spark
+    )
+    stage = fsio.scratch_dir(spark, "neardup_rebuild_")
+    try:
+        spark.read.parquet(f"{path}/embeddings").write.parquet(stage)
+        corpus = spark.read.parquet(stage)
+        save_neardup_index(
+            corpus,
+            path,
+            emb_col=m["emb_col"],
+            id_col=m["id_col"],
+            planes=None,  # re-resolve from the grown corpus
+            target_block_size=int(m.get("target_block_size") or 64),
+            n_dirs=int(m["n_dirs"]),
+            max_planes=m.get("max_planes"),
+        )
+        # the rebuilt index corresponds to the grown corpus, not to any
+        # stat-able single source (the staging dir is deleted below) —
+        # freshness must not claim the staging fingerprint
+        fsio.invalidate_fingerprint(path, "_neardup_index_manifest.json")
+    finally:
+        fsio.delete(stage, recursive=True)
     return True
 
 

@@ -63,3 +63,29 @@ def test_graded_drift_gate_no_reproduced_regressions():
         "graded rows slower than the last committed round AND reproduced "
         f"standalone-cold (plan-level regression): {reproduced}"
     )
+
+
+def test_gate_index_dirs_within_occupancy_budget():
+    """Per-round staleness probe (VERDICT r12 stretch): the fixed-dir
+    skip_if_fresh indexes the graded gates reuse must sit within the
+    measured occupancy budget — a change that silently inflates bucket
+    occupancy (plane-resolution bug, append leak into the fixed dirs)
+    fails here before the bench prices it as mystery wall.  Skips when
+    the gate dirs don't exist yet (fresh machine, no bench run)."""
+    import sys as _sys
+
+    _sys.path.insert(0, REPO)
+    from __spark_entry__ import _fixed_index_dir
+    from minivectordb_spark.operators.dedup import neardup_index_staleness
+    from minivectordb_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    idx = _fixed_index_dir("ndidx", sf_dir)
+    if not os.path.exists(os.path.join(idx, "_neardup_index_manifest.json")):
+        pytest.skip("no gate near-dup index dir on this machine yet")
+    spark = get_spark(app_name="drift-ci-staleness", cores=4, shuffle_partitions=4)
+    st = neardup_index_staleness(spark, idx)
+    assert not st["stale"], (
+        "gate near-dup index exceeds the 4x occupancy budget — a rebuild "
+        f"trigger the gates never hit before: {st}"
+    )

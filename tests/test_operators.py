@@ -3087,3 +3087,102 @@ def test_neardup_index_skip_if_fresh_contract(spark, tmp_path):
         assert "fingerprint" not in json.load(fh)
     assert save_neardup_index(vecs, idx, target_block_size=8,
                               skip_if_fresh=True) is True
+
+
+def test_neardup_staleness_trigger_and_inplace_rebuild(spark, tmp_path):
+    """VERDICT r12 item 2: the measured staleness law is mechanized —
+    grow a corpus ~30x past the build point via appends, watch the
+    occupancy trigger fire, rebuild in place, and observe planes grow /
+    occupancy reset while appended rows stay probe-visible."""
+    import numpy as np
+
+    from minivectordb_spark.operators.dedup import (
+        neardup_against_indexed,
+        neardup_index_staleness,
+        rebuild_neardup_index_if_stale,
+        save_neardup_index,
+        update_neardup_index,
+    )
+
+    rng = np.random.RandomState(13)
+    dim, tbs = 6, 4
+    ref = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(dim)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = str(tmp_path / "stale_idx")
+    save_neardup_index(ref, idx, target_block_size=tbs, n_dirs=8)
+
+    st0 = neardup_index_staleness(spark, idx)
+    assert st0["rows"] == 60 and not st0["stale"]
+    assert st0["target_block_size"] == tbs
+    p0 = st0["n_planes"]
+
+    # grow ~30x under the frozen planes: occupancy inflates linearly
+    grow_vecs = rng.randn(1900, dim)
+    grown = spark.createDataFrame(
+        [(1000 + i, [float(x) for x in v]) for i, v in enumerate(grow_vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    update_neardup_index(grown, idx)
+    st1 = neardup_index_staleness(spark, idx)
+    assert st1["rows"] == 1960 and st1["n_planes"] == p0  # planes frozen
+    assert st1["stale"] and st1["occupancy_ratio"] > 4
+
+    # within budget -> no-op; past the trigger -> in-place rebuild
+    assert rebuild_neardup_index_if_stale(spark, idx) is True
+    st2 = neardup_index_staleness(spark, idx)
+    assert st2["rows"] == 1960  # corpus preserved, appends included
+    assert st2["n_planes"] > p0  # planes re-resolved for the grown corpus
+    assert not st2["stale"] and st2["occupancy_ratio"] <= 4
+    assert rebuild_neardup_index_if_stale(spark, idx) is False  # reset
+
+    # appended rows are still probe-visible after the rebuild: an exact
+    # duplicate of an APPENDED vector must be rejected
+    dup = spark.createDataFrame(
+        [(9000, [float(x) for x in grow_vecs[7]]),
+         (9001, [float(x) for x in rng.randn(dim)])],
+        "vec_id long, embedding array<double>",
+    )
+    kept = [r["vec_id"] for r in neardup_against_indexed(
+        dup, idx, threshold=0.999).collect()]
+    assert 9000 not in kept
+
+
+def test_save_neardup_rebuild_if_stale_on_fresh_fingerprint(spark, tmp_path):
+    """A fingerprint-FRESH index can still sit at 10x the intended probe
+    cost (explicit planes too few for the corpus): rebuild_if_stale
+    re-checks the occupancy trigger on the fresh path instead of
+    silently reusing."""
+    import numpy as np
+
+    from minivectordb_spark.operators.ann import default_projection_planes
+    from minivectordb_spark.operators.dedup import (
+        neardup_index_staleness,
+        save_neardup_index,
+    )
+
+    rng = np.random.RandomState(29)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(5)]) for i in range(600)],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(src)
+    ref = spark.read.parquet(src)
+    idx = str(tmp_path / "fresh_stale_idx")
+    planes = default_projection_planes(5, n_planes=3)  # 600/8 = 75 >> 4*tbs
+
+    assert save_neardup_index(
+        ref, idx, planes=planes, target_block_size=4, skip_if_fresh=True
+    )
+    assert neardup_index_staleness(spark, idx)["stale"]
+    # fresh fingerprint: plain skip_if_fresh silently reuses the hot mess
+    assert not save_neardup_index(
+        ref, idx, planes=planes, target_block_size=4, skip_if_fresh=True
+    )
+    # the opt-in trigger rebuilds instead (same knobs honored — returning
+    # True is the contract; fixing the knobs is the caller's move)
+    assert save_neardup_index(
+        ref, idx, planes=planes, target_block_size=4, skip_if_fresh=True,
+        rebuild_if_stale=True,
+    )
