@@ -615,7 +615,13 @@ def _publish(path: str, manifest: dict) -> None:
     ``_latest`` is then swapped via ``os.replace`` (atomic on POSIX) with
     a monotonic guard so a stalled writer resuming late can never move
     the pointer backwards.  On object storage the equivalent is
-    conditional-put (if-match) on both objects.
+    conditional-put (if-match) on both objects; on HDFS the O_EXCL
+    create maps 1:1 to ``FileSystem.create(path, overwrite=false)``
+    (atomic-exclusive) and the pointer swap to ``rename`` — the same
+    primitives ``fsio.write_text_atomic`` already drives for the index
+    manifests, so porting this table off local FS is a mechanical swap,
+    not a redesign (where Delta/Iceberg are available their commit
+    protocol replaces this class outright).
     """
     mdir = os.path.join(path, _MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
