@@ -552,6 +552,45 @@ def save_ivf_index(
     return True
 
 
+def ivf_index_balance(spark, path: str) -> dict:
+    """Cluster-occupancy stats for a ``save_ivf_index`` layout — the IVF
+    counterpart of ``neardup_index_staleness``.  A probe scans exactly
+    its ``nprobe`` clusters' partition dirs, so probe cost is STRUCTURAL
+    in cluster size (rows scanned = sum of probed cluster sizes — no
+    modeling needed), and the tail cluster bounds the worst case:
+    ``balance_ratio = max_cluster / mean_cluster`` is the factor by
+    which a worst-case probe exceeds a balanced index's.  Incremental
+    ``update_ivf_index`` appends assign against FROZEN centroids, so
+    corpus drift concentrates rows in the hot clusters and inflates the
+    ratio; ``unbalanced`` flags ``balance_ratio > 4`` (the same
+    capped-penalty economics as the near-dup occupancy trigger: refit
+    the centroids — a fresh ``save_ivf_index`` — before a worst-case
+    probe costs more than ~4x a balanced one).  Drift degrades IVF
+    recall too, but that is query-dependent; this check bounds the COST
+    axis with one aggregate over the assignments table."""
+    counts = (
+        spark.read.parquet(f"{path}/assignments")
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    row = counts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("c").alias("n"),
+        F.max("c").alias("mx"),
+    ).first()
+    k, n, mx = int(row["k"]), int(row["n"] or 0), int(row["mx"] or 0)
+    mean = n / k if k else 0.0
+    ratio = mx / mean if mean else 0.0
+    return {
+        "rows": n,
+        "n_clusters": k,
+        "mean_cluster": mean,
+        "max_cluster": mx,
+        "balance_ratio": ratio,
+        "unbalanced": ratio > 4.0,
+    }
+
+
 def update_ivf_index(
     df_new: DataFrame,
     path: str,

@@ -3186,3 +3186,69 @@ def test_save_neardup_rebuild_if_stale_on_fresh_fingerprint(spark, tmp_path):
         ref, idx, planes=planes, target_block_size=4, skip_if_fresh=True,
         rebuild_if_stale=True,
     )
+
+
+def test_ivf_index_balance_structural_and_drift_trigger(spark, tmp_path):
+    """ivf_index_balance is STRUCTURAL: its stats are the assignments
+    table's actual per-cluster row counts — exactly the rows a probe of
+    those clusters scans — and a drifted append against the frozen
+    centroids inflates the tail until the >4x trigger fires.  Explicit
+    axis-aligned centroids make every assignment deterministic."""
+    import numpy as np
+
+    from minivectordb_spark.operators.ann import (
+        ivf_index_balance,
+        save_ivf_index,
+        update_ivf_index,
+    )
+
+    rng = np.random.RandomState(7)
+    dim = 8
+
+    def vec(d, scale=0.05):
+        v = rng.randn(dim) * scale
+        v[d] += 1.0
+        return [float(x) for x in v]
+
+    base = spark.createDataFrame(
+        [(i, vec(i % dim)) for i in range(400)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(d, [1.0 if j == d else 0.0 for j in range(dim)]) for d in range(dim)],
+        "centroid_id long, centroid_emb array<double>",
+    )
+    idx = str(tmp_path / "ivf_bal")
+    save_ivf_index(base, cents, idx)
+    st0 = ivf_index_balance(spark, idx)
+    assert st0["rows"] == 400 and st0["n_clusters"] == dim
+    assert st0["max_cluster"] == 50 and not st0["unbalanced"]  # 50/axis
+
+    # structural equality: stats == the real partition row counts (the
+    # rows a probe of those dirs would scan)
+    per = {
+        r["centroid_id"]: r["c"]
+        for r in spark.read.parquet(f"{idx}/assignments")
+        .groupBy("centroid_id").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert st0["max_cluster"] == max(per.values())
+    assert abs(st0["mean_cluster"] - sum(per.values()) / len(per)) < 1e-9
+
+    # drifted append: a concentrated blob near axis 1 lands entirely in
+    # the frozen cluster 1 -> tail inflates, trigger fires at the
+    # documented >4x bound (3050 / (3400/8) = 7.18)
+    blob = spark.createDataFrame(
+        [(10_000 + i, vec(1, scale=0.01)) for i in range(3000)],
+        "vec_id long, embedding array<double>",
+    )
+    update_ivf_index(blob, idx)
+    st1 = ivf_index_balance(spark, idx)
+    assert st1["rows"] == 3400 and st1["max_cluster"] == 3050
+    assert st1["unbalanced"] and st1["balance_ratio"] > 7
+    # and it is still the true partition histogram
+    per1 = {
+        r["centroid_id"]: r["c"]
+        for r in spark.read.parquet(f"{idx}/assignments")
+        .groupBy("centroid_id").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert st1["max_cluster"] == max(per1.values())
