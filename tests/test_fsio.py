@@ -292,3 +292,46 @@ def test_dedup_index_roundtrip_on_file_uri(spark, tmp_path):
     assert dedup.dedup_against_indexed(again, idx).count() == 0
     # append invalidated freshness -> rebuild happens
     assert dedup.save_dedup_index(ref, idx, skip_if_fresh=True)
+
+
+# ------------------------------------------------- cluster-FS fingerprints
+
+
+def test_source_fingerprint_hadoop_route(spark, tmp_path):
+    """r13: a non-local source no longer disables freshness tracking —
+    the fingerprint stats remote files through Hadoop FileStatus (one
+    listStatus per parent dir).  Driven here by routing file: URIs
+    through _hadoop_entries directly (the exact code an hdfs:// source
+    runs) and by checking end-to-end stability + invalidation."""
+    import time
+
+    from minivectordb_spark.operators.util import (
+        _hadoop_entries,
+        source_fingerprint,
+    )
+
+    src = str(tmp_path / "t")
+    spark.range(100).selectExpr("id", "id * 2 as v").write.parquet(src)
+    df = spark.read.parquet(src)
+    files = sorted(df.inputFiles())
+    assert files and files[0].startswith("file:")
+
+    ents = _hadoop_entries(files, spark)
+    assert ents is not None and len(ents) == len(files)
+    for (uri, length, mtime), f in zip(ents, files):
+        assert uri == f and length > 0 and mtime > 0
+    # stable across calls
+    assert _hadoop_entries(files, spark) == ents
+    # missing file -> None (freshness must not be claimed)
+    assert _hadoop_entries(files + [f"{files[0]}.absent"], spark) is None
+
+    # end-to-end: same source -> same fingerprint; rewrite -> different
+    fp1 = source_fingerprint(df, ["k"])
+    assert fp1 is not None
+    assert source_fingerprint(spark.read.parquet(src), ["k"]) == fp1
+    assert source_fingerprint(df, ["other"]) != fp1
+    time.sleep(0.05)
+    spark.range(100).selectExpr("id", "id * 3 as v").write.mode(
+        "overwrite"
+    ).parquet(src)
+    assert source_fingerprint(spark.read.parquet(src), ["k"]) != fp1
