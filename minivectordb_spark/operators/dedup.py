@@ -2298,6 +2298,45 @@ def save_neardup_index(
     return True
 
 
+def dedup_index_stats(spark, path: str) -> dict:
+    """Bucket-occupancy stats for a ``save_dedup_index`` layout — the
+    CONTRAST case to ``neardup_index_staleness`` (measured r12,
+    tools/index_staleness.py): band-bucket keys live in md5 hash space
+    and the banding parameters (n_hashes, band_size, shingle k) are
+    scale-free, so per-bucket occupancy tracks DUPLICATE DENSITY, not
+    corpus size — appends never inflate probe cost the way frozen
+    projection planes do, and no cost rebuild is ever needed (rebuilds
+    only compact replay bytes).  Exposed so a pipeline can ASSERT that
+    instead of assuming it: a rising ``avg_occupancy`` here means the
+    incoming data's duplicate rate rose, not that the index aged.
+    Audit-weight (one groupBy over the bucket table), not a per-cycle
+    check like the near-dup metadata count."""
+    from minivectordb_spark import fsio
+
+    m = fsio.read_manifest(
+        f"{path.rstrip('/')}/_dedup_index_manifest.json", spark
+    )
+    occ = (
+        spark.read.parquet(f"{path}/buckets")
+        .groupBy("band_hash")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.sum("c").alias("n"),
+            F.avg("c").alias("avg"),
+            F.max("c").alias("mx"),
+        )
+        .first()
+    )
+    return {
+        "rows": int(occ["n"] or 0),
+        "buckets_used": int(occ["nb"]),
+        "avg_occupancy": float(occ["avg"] or 0.0),
+        "max_occupancy": int(occ["mx"] or 0),
+        "n_bands": int(m["n_hashes"]) // int(m["band_size"]),
+    }
+
+
 def neardup_index_staleness(spark, path: str) -> dict:
     """One-aggregate occupancy stats for a ``save_neardup_index`` layout
     — the mechanized form of the measured staleness law

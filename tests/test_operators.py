@@ -3252,3 +3252,39 @@ def test_ivf_index_balance_structural_and_drift_trigger(spark, tmp_path):
         .groupBy("centroid_id").agg(F.count(F.lit(1)).alias("c")).collect()
     }
     assert st1["max_cluster"] == max(per1.values())
+
+
+def test_dedup_index_stats_occupancy_flat_under_growth(spark, tmp_path):
+    """The dedup index's occupancy contrast law, now assertable by
+    pipelines: appending NOVEL docs grows the corpus but leaves
+    per-bucket occupancy ~flat (band keys live in md5 hash space),
+    while the near-dup index under the same doubling inflates its
+    occupancy ratio ~2x (frozen planes)."""
+    from minivectordb_spark.operators.dedup import (
+        dedup_index_stats,
+        save_dedup_index,
+        update_dedup_index,
+    )
+
+    def docs(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("unique document body "),
+                F.col("id").cast("string"),
+                F.lit(" with distinct trailing tokens "),
+                (F.col("id") * 7919).cast("string"),
+            ).alias("text"),
+        )
+
+    idx = str(tmp_path / "dd_stats")
+    save_dedup_index(docs(0, 300), idx)
+    st0 = dedup_index_stats(spark, idx)
+    assert st0["rows"] > 0 and st0["buckets_used"] > 0
+
+    update_dedup_index(docs(1000, 1300), idx)  # 2x corpus, all novel
+    st1 = dedup_index_stats(spark, idx)
+    assert st1["rows"] == 2 * st0["rows"]
+    # flat: novel docs open NEW buckets instead of deepening old ones
+    assert st1["avg_occupancy"] < st0["avg_occupancy"] * 1.25
+    assert st1["buckets_used"] > st0["buckets_used"] * 1.5
