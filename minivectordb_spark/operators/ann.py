@@ -591,6 +591,61 @@ def ivf_index_balance(spark, path: str) -> dict:
     }
 
 
+def rebuild_ivf_index_if_unbalanced(
+    spark,
+    path: str,
+    centroids: DataFrame | None = None,
+    n_centroids: int | None = None,
+    threshold: float = 4.0,
+    force: bool = False,
+) -> bool:
+    """Refit a ``save_ivf_index`` layout IN PLACE when
+    ``ivf_index_balance`` crosses ``threshold`` — the mechanized form of
+    the "refit after drift" prescription, handling the plumbing a caller
+    gets wrong alone: the corpus is read from the index's OWN
+    assignments table (appended rows included) and staged through shared
+    scratch first, because Spark refuses to overwrite a path it is
+    reading.  Pass ``centroids`` to control placement (the honest
+    contract: whether a refit RESTORES balance depends on the data's
+    cluster structure — a point-mass blob is one cluster under any
+    centroid set; only the caller/a fit can know); with ``centroids=None``
+    a deterministic ``lloyd_kmeans_fit`` re-fits at the index's current
+    cluster count (or ``n_centroids``).  Column names are recovered from
+    the assignments schema (written as id, emb, centroid_id).  Returns
+    True when a rebuild happened."""
+    from minivectordb_spark import fsio
+
+    st = ivf_index_balance(spark, path)
+    if not (force or st["balance_ratio"] > threshold):
+        return False
+    assigned = spark.read.parquet(f"{path}/assignments")
+    id_col, emb_col = [c for c in assigned.columns if c != "centroid_id"][:2]
+    stage = fsio.scratch_dir(spark, "ivf_rebuild_")
+    try:
+        assigned.select(id_col, emb_col).write.parquet(stage)
+        corpus = spark.read.parquet(stage)
+        if centroids is None:
+            centroids, _ = lloyd_kmeans_fit(
+                corpus,
+                int(n_centroids or st["n_clusters"]),
+                id_col=id_col,
+                emb_col=emb_col,
+            )
+            # the fit's centroid frame is lazy over the staged corpus —
+            # pin it before the stage dir is deleted below
+            centroids = spark.createDataFrame(
+                centroids.collect(), centroids.schema
+            )
+        save_ivf_index(corpus, centroids, path, id_col=id_col, emb_col=emb_col)
+        # the rebuilt index corresponds to the grown corpus, not to any
+        # stat-able single source (the staging dir is deleted below) —
+        # freshness must not claim the staging fingerprint
+        fsio.delete(f"{path.rstrip('/')}/_index_manifest.json")
+    finally:
+        fsio.delete(stage, recursive=True)
+    return True
+
+
 def update_ivf_index(
     df_new: DataFrame,
     path: str,

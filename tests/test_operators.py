@@ -3288,3 +3288,92 @@ def test_dedup_index_stats_occupancy_flat_under_growth(spark, tmp_path):
     # flat: novel docs open NEW buckets instead of deepening old ones
     assert st1["avg_occupancy"] < st0["avg_occupancy"] * 1.25
     assert st1["buckets_used"] > st0["buckets_used"] * 1.5
+
+
+def test_rebuild_ivf_index_if_unbalanced(spark, tmp_path):
+    """The IVF refit trigger end-to-end: a drifted append fires the
+    balance trigger; the in-place rebuild (corpus staged from the
+    index's own assignments, appends included) under caller-supplied
+    refit centroids splits the blob, resets the ratio, and the rebuilt
+    index still searches correctly."""
+    import math
+
+    import numpy as np
+
+    from minivectordb_spark.operators.ann import (
+        ivf_index_balance,
+        ivf_search_indexed,
+        rebuild_ivf_index_if_unbalanced,
+        save_ivf_index,
+        update_ivf_index,
+    )
+
+    rng = np.random.RandomState(11)
+    dim = 8
+
+    def vec(d, scale=0.05):
+        v = rng.randn(dim) * scale
+        v[d] += 1.0
+        return [float(x) for x in v]
+
+    base = spark.createDataFrame(
+        [(i, vec(i % dim)) for i in range(400)],
+        "vec_id long, embedding array<double>",
+    )
+    axes = [[1.0 if j == d else 0.0 for j in range(dim)] for d in range(dim)]
+    cents = spark.createDataFrame(
+        [(d, axes[d]) for d in range(dim)],
+        "centroid_id long, centroid_emb array<double>",
+    )
+    idx = str(tmp_path / "ivf_refit")
+    save_ivf_index(base, cents, idx)
+
+    # drift: two sub-blobs around 2*e0 +/- e1 — both nearest e0 under
+    # the frozen centroids (cos ~0.894), so cluster 0 concentrates
+    s5 = math.sqrt(5.0)
+    def blob(sign, n0, count):
+        return spark.createDataFrame(
+            [
+                (
+                    n0 + i,
+                    [
+                        (2.0 / s5) + float(rng.randn()) * 0.01 if j == 0
+                        else (sign / s5) + float(rng.randn()) * 0.01 if j == 1
+                        else float(rng.randn()) * 0.01
+                        for j in range(dim)
+                    ],
+                )
+                for i in range(count)
+            ],
+            "vec_id long, embedding array<double>",
+        )
+
+    update_ivf_index(blob(+1.0, 10_000, 1200), idx)
+    update_ivf_index(blob(-1.0, 20_000, 1200), idx)
+    st1 = ivf_index_balance(spark, idx)
+    assert st1["rows"] == 2800 and st1["max_cluster"] >= 2400
+    assert st1["unbalanced"]
+
+    # refit with centroids that CAN separate the sub-blobs (u1, u2 plus
+    # the still-populated axes): the trigger fires, the rebuild stages
+    # the grown corpus, and balance resets under the new placement
+    u1 = [2.0 / s5, 1.0 / s5] + [0.0] * (dim - 2)
+    u2 = [2.0 / s5, -1.0 / s5] + [0.0] * (dim - 2)
+    refit = spark.createDataFrame(
+        [(0, u1), (1, u2)] + [(d, axes[d]) for d in range(2, dim)],
+        "centroid_id long, centroid_emb array<double>",
+    )
+    assert rebuild_ivf_index_if_unbalanced(spark, idx, centroids=refit) is True
+    st2 = ivf_index_balance(spark, idx)
+    assert st2["rows"] == 2800  # appends preserved
+    assert st2["max_cluster"] <= 1300  # the blob split across u1/u2
+    assert not st2["unbalanced"]
+    # trigger reset -> second call is a no-op
+    assert rebuild_ivf_index_if_unbalanced(spark, idx) is False
+
+    # the rebuilt index still answers: a probe at u1 returns blob-1 ids
+    hits = [
+        r["vec_id"]
+        for r in ivf_search_indexed(spark, idx, u1, k=5, nprobe=2).collect()
+    ]
+    assert hits and all(10_000 <= v < 11_200 for v in hits)
