@@ -3743,11 +3743,15 @@ def q_stream_attribution_bounded(spark, sf_dir):
     # a per-batch fixed cost dominated by state-store commits, so (a)
     # n_slices 8 -> 4 (still >= 3 watermark advances — pruning stays
     # positive at every scale, total evictions are data-determined and
-    # unchanged) and (b) state_partitions=8 (state is KB-scale here;
+    # unchanged) and (b) state_partitions=4 (state is KB-scale here;
     # committing 32 partitions x 4 store instances per batch was the
-    # floor: measured 30.8 s -> 5.4 s at sf0.1 with identical sink rows
-    # and identical state_rows_pruned).  Sub-wave walls are recorded in
-    # the counters so the split stays falsifiable per round.
+    # floor: measured 30.8 s -> 5.4 s at sf0.1 going 32 -> 8, and the
+    # r13 bracket 8 -> 4 shaved another ~1 s (6.7-7.3 -> 5.7-5.9 s)
+    # with identical sink rows; 4 keeps one state task per core group
+    # at gate scale — production sizes this knob to state bytes, and
+    # the x10 decade (PLANS r13) shows wall is fixed cost, counters
+    # exactly linear).  Sub-wave walls are recorded in the counters so
+    # the split stays falsifiable per round.
     import time as _time
 
     t0 = _time.time()
@@ -3761,7 +3765,7 @@ def q_stream_attribution_bounded(spark, sf_dir):
         schema="event_id long, event_type string, user_id long, ts timestamp",
         within="60 minutes",
         watermark="1 minute",
-        state_partitions=8,
+        state_partitions=4,
     )
     counters["stage_wall_s"] = round(t1 - t0, 3)
     counters["stream_wall_s"] = round(_time.time() - t1, 3)
