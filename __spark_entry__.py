@@ -3647,8 +3647,14 @@ def _index_build_lock(idx: str):
     so a probe can never scan a directory mid-overwrite (ADVICE r12).
     Probes themselves need no lock: once built fresh, nothing ever
     overwrites the dir again."""
-    import fcntl
     import os
+
+    try:
+        import fcntl
+    except ImportError:  # non-POSIX: no flock — fall back to lock-free
+        fcntl = None     # (the abs-path-hashed dir name still prevents
+        yield            # cross-dataset thrash; intra-dataset races are
+        return           # a POSIX-host concern in this harness)
 
     os.makedirs(os.path.dirname(idx), exist_ok=True)
     fh = open(idx + ".lock", "w")
