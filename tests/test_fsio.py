@@ -166,9 +166,12 @@ def test_heavy_spill_honors_scratch_knob_and_sweeps(tmp_path, spark, monkeypatch
 
 
 def test_heap_caps_law():
-    """Caps scale linearly in heap through the measured 8g anchors
-    (~64 B/row broadcast, ~200 B/row resident), floored so a tiny heap
-    degrades to the hash-join/recompute path, never to zero-row caps."""
+    """The two heap caps scale differently, per the r13 measurement:
+    the broadcast cap is a PERFORMANCE crossover (a 10M-row df table at
+    48g broadcast without OOM and ran 3.6x slower than hash-joined), so
+    it scales down for small heaps but never up; the residency cap is a
+    pure heap cost, linear both ways.  Both floored at 1/16th so a tiny
+    heap degrades to the hash-join/recompute path, never zero-row caps."""
     from minivectordb_spark.operators.linkage import (
         DF_BROADCAST_MAX_ROWS,
         OCC_REUSE_MAX_ROWS,
@@ -177,10 +180,10 @@ def test_heap_caps_law():
 
     assert _heap_caps_for_gb(8.0) == (DF_BROADCAST_MAX_ROWS, OCC_REUSE_MAX_ROWS)
     df64, occ64 = _heap_caps_for_gb(64.0)
-    assert df64 == DF_BROADCAST_MAX_ROWS * 8
-    assert occ64 == OCC_REUSE_MAX_ROWS * 8
+    assert df64 == DF_BROADCAST_MAX_ROWS  # flat above the anchor (measured)
+    assert occ64 == OCC_REUSE_MAX_ROWS * 8  # residency scales up
     df4, occ4 = _heap_caps_for_gb(4.0)
-    assert df4 == DF_BROADCAST_MAX_ROWS // 2
+    assert df4 == DF_BROADCAST_MAX_ROWS // 2  # safety scales down
     assert occ4 == OCC_REUSE_MAX_ROWS // 2
     # floor: 1/16th of the anchors
     assert _heap_caps_for_gb(0.01) == (
