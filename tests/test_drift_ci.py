@@ -81,7 +81,11 @@ def test_gate_index_dirs_within_occupancy_budget():
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     idx = _fixed_index_dir("ndidx", sf_dir)
-    if not os.path.exists(os.path.join(idx, "_neardup_index_manifest.json")):
+    from minivectordb_spark import fsio
+
+    try:  # legacy single file or the r14 epoch log both count
+        fsio.load_index_manifest(idx, "_neardup_index_manifest.json")
+    except (OSError, ValueError):
         pytest.skip("no gate near-dup index dir on this machine yet")
     spark = get_spark(app_name="drift-ci-staleness", cores=4, shuffle_partitions=4)
     st = neardup_index_staleness(spark, idx)

@@ -127,11 +127,14 @@ def test_scratch_dir_resolution_order(tmp_path, spark, monkeypatch):
     assert fsio.scratch_dir(spark, "p_") != fsio.scratch_dir(spark, "p_")
 
 
-def test_heavy_spill_honors_scratch_knob_and_sweeps(tmp_path, spark, monkeypatch):
+def test_heavy_spill_honors_scratch_knob_and_explicit_sweep(
+    tmp_path, spark, monkeypatch
+):
     """Force the EDJoin heavy path: its df spill must land under the
-    scratch knob (shared storage), and the next heavy call must sweep
-    the previous call's spill (ADVICE r12 — no unbounded /tmp growth in
-    a long-lived session)."""
+    scratch knob (shared storage), survive until the EXPLICIT sweep
+    (ADVICE r13 — no call may guess another call's frame was
+    materialized), and the public ``sweep_heavy_spills`` must clear all
+    registered spills."""
     from minivectordb_spark import plans
     from minivectordb_spark.operators import linkage
 
@@ -147,7 +150,7 @@ def test_heavy_spill_honors_scratch_knob_and_sweeps(tmp_path, spark, monkeypatch
     out1 = linkage.qgram_edit_join(
         left, right, "lid", "rid", "s", "s", max_dist=1, q=3
     )
-    n1 = out1.count()  # materialize before the next heavy call
+    n1 = out1.count()
     spills = os.listdir(tmp_path / "scratch")
     assert len(spills) == 1 and spills[0].startswith("qgram_df_")
 
@@ -156,10 +159,40 @@ def test_heavy_spill_honors_scratch_knob_and_sweeps(tmp_path, spark, monkeypatch
     )
     n2 = out2.count()
     assert n2 == n1 > 0
-    spills2 = os.listdir(tmp_path / "scratch")
-    assert len(spills2) == 1 and spills2[0] != spills[0]
-    linkage._sweep_heavy_df_tmp()
+    # both spills alive until the explicit sweep — never auto-deleted
+    assert len(os.listdir(tmp_path / "scratch")) == 2
+    linkage.sweep_heavy_spills()
     assert os.listdir(tmp_path / "scratch") == []
+
+
+def test_heavy_spill_sequential_lazy_frames_both_materialize(
+    tmp_path, spark, monkeypatch
+):
+    """Regression for the ADVICE r13 medium: starting a SECOND heavy
+    qgram join before the first call's lazily-returned frame is
+    materialized must not delete the first call's spill — both frames
+    materialize correctly afterwards."""
+    from minivectordb_spark import plans
+    from minivectordb_spark.operators import linkage
+
+    monkeypatch.setattr(fsio, "SCRATCH_ROOT", str(tmp_path / "scratch"))
+    monkeypatch.setattr(plans, "AGG_PARTITION_BYTES", 1024)
+    monkeypatch.setattr(linkage, "DF_BROADCAST_MAX_ROWS", 1)
+
+    rows = [(i, f"prefix-{i:04d}-suffix") for i in range(1, 40)]
+    left = spark.createDataFrame(rows, "lid long, s string")
+    right = spark.createDataFrame(
+        [(100 + i, s) for i, s in rows], "rid long, s string"
+    )
+    lazy1 = linkage.qgram_edit_join(
+        left, right, "lid", "rid", "s", "s", max_dist=1, q=3
+    )
+    lazy2 = linkage.qgram_edit_join(  # second call with lazy1 unmaterialized
+        left, right, "lid", "rid", "s", "s", max_dist=1, q=3
+    )
+    n1 = lazy1.count()  # r12 behavior: this raised FileNotFound
+    assert lazy2.count() == n1 > 0
+    linkage.sweep_heavy_spills()
 
 
 # ---------------------------------------------------------- heap-scaled law
@@ -218,7 +251,8 @@ def test_update_dedup_index_invalidates_before_append(spark, tmp_path, monkeypat
     df = spark.read.parquet(src)
     idx = str(tmp_path / "idx")
     assert dedup.save_dedup_index(df, idx, skip_if_fresh=True)
-    assert "fingerprint" in fsio.read_manifest(f"{idx}/_dedup_index_manifest.json")
+    m0, _ = fsio.load_index_manifest(idx, "_dedup_index_manifest.json")
+    assert "fingerprint" in m0
 
     boom = RuntimeError("simulated crash before the bucket append")
     monkeypatch.setattr(
@@ -228,9 +262,8 @@ def test_update_dedup_index_invalidates_before_append(spark, tmp_path, monkeypat
         dedup.update_dedup_index(df.limit(3), idx)
     # fingerprint already dropped -> skip_if_fresh rebuilds instead of
     # silently reusing a half-updated index
-    assert "fingerprint" not in fsio.read_manifest(
-        f"{idx}/_dedup_index_manifest.json"
-    )
+    m1, _ = fsio.load_index_manifest(idx, "_dedup_index_manifest.json")
+    assert "fingerprint" not in m1
 
 
 def test_update_neardup_index_invalidates_before_append(
@@ -247,9 +280,8 @@ def test_update_neardup_index_invalidates_before_append(
     df = spark.read.parquet(src)
     idx = str(tmp_path / "vidx")
     assert dedup.save_neardup_index(df, idx, skip_if_fresh=True)
-    assert "fingerprint" in fsio.read_manifest(
-        f"{idx}/_neardup_index_manifest.json"
-    )
+    m0, _ = fsio.load_index_manifest(idx, "_neardup_index_manifest.json")
+    assert "fingerprint" in m0
 
     boom = RuntimeError("simulated crash before the bucket append")
     monkeypatch.setattr(
@@ -259,9 +291,8 @@ def test_update_neardup_index_invalidates_before_append(
     )
     with pytest.raises(RuntimeError, match="simulated crash"):
         dedup.update_neardup_index(df.limit(3), idx)
-    assert "fingerprint" not in fsio.read_manifest(
-        f"{idx}/_neardup_index_manifest.json"
-    )
+    m1, _ = fsio.load_index_manifest(idx, "_neardup_index_manifest.json")
+    assert "fingerprint" not in m1
 
 
 def test_dedup_index_roundtrip_on_file_uri(spark, tmp_path):

@@ -31,6 +31,18 @@ from minivectordb_spark.operators.ann import (
 from minivectordb_spark.scoring import knn
 
 
+def _ivf_assign_dir(idx: str) -> str:
+    """Live-generation assignments dir of an IVF layout (r14: data sits
+    under the manifest's gen dir)."""
+    from minivectordb_spark import fsio
+
+    try:
+        m, _ = fsio.load_index_manifest(idx, "_index_manifest.json")
+    except (OSError, ValueError):
+        m = {}
+    return fsio.gen_data(idx, m, "assignments")
+
+
 @pytest.fixture(scope="module")
 def docs(spark):
     rows = [
@@ -695,16 +707,18 @@ def test_ivf_index_freshness_reuse(spark, tmp_path):
     query = [rng.uniform(-1, 1) for _ in range(8)]
 
     assert save_ivf_index(df, seed_centroids(df, 5), idx, skip_if_fresh=True)
+    adir = _ivf_assign_dir(idx)
     before = {
-        f: os.stat(os.path.join(idx, "assignments", f)).st_mtime_ns
-        for f in os.listdir(os.path.join(idx, "assignments"))
+        f: os.stat(os.path.join(adir, f)).st_mtime_ns
+        for f in os.listdir(adir)
         if not f.startswith("_")
     }
-    # fresh: skipped, nothing rewritten
+    # fresh: skipped, nothing rewritten (same generation, same files)
     assert not save_ivf_index(df, seed_centroids(df, 5), idx, skip_if_fresh=True)
+    assert _ivf_assign_dir(idx) == adir
     after = {
-        f: os.stat(os.path.join(idx, "assignments", f)).st_mtime_ns
-        for f in os.listdir(os.path.join(idx, "assignments"))
+        f: os.stat(os.path.join(adir, f)).st_mtime_ns
+        for f in os.listdir(adir)
         if not f.startswith("_")
     }
     assert after == before
@@ -793,11 +807,15 @@ def test_ivf_index_incremental_update(spark, tmp_path):
     cents = seed_centroids(base, 6)
     idx = str(tmp_path / "ivf")
     save_ivf_index(base, cents, idx, skip_if_fresh=True)
-    assert os.path.exists(os.path.join(idx, "_index_manifest.json"))
+    from minivectordb_spark import fsio as _fsio
+
+    m, _ = _fsio.load_index_manifest(idx, "_index_manifest.json")
+    assert "fingerprint" in m
 
     extra = spark.createDataFrame(rows[80:], ["vec_id", "embedding"])
     update_ivf_index(extra, idx)
-    assert not os.path.exists(os.path.join(idx, "_index_manifest.json"))
+    m, _ = _fsio.load_index_manifest(idx, "_index_manifest.json")
+    assert "fingerprint" not in m
 
     full = spark.createDataFrame(rows, ["vec_id", "embedding"])
     query = [rng.uniform(-1, 1) for _ in range(8)]
@@ -2928,10 +2946,11 @@ def test_neardup_index_preserves_source_precision(spark, tmp_path):
     idx = str(tmp_path / "didx_prec")
     save_neardup_index(ref, idx, target_block_size=8)
 
-    with open(f"{idx}/_neardup_index_manifest.json") as fh:
-        m = json.load(fh)
+    from minivectordb_spark import fsio as _fsio
+
+    m, _ = _fsio.load_index_manifest(idx, "_neardup_index_manifest.json")
     assert m["emb_type"] == "double"
-    stored = spark.read.parquet(f"{idx}/embeddings")
+    stored = spark.read.parquet(_fsio.gen_data(idx, m, "embeddings"))
     assert stored.schema["embedding"].dataType.elementType.simpleString() == "double"
 
     new = spark.createDataFrame(
@@ -2961,7 +2980,7 @@ def test_neardup_index_preserves_source_precision(spark, tmp_path):
         "vec_id long, embedding array<float>",
     )
     update_neardup_index(floaty, idx)
-    back = spark.read.parquet(f"{idx}/embeddings")
+    back = spark.read.parquet(_fsio.gen_data(idx, m, "embeddings"))
     assert back.schema["embedding"].dataType.elementType.simpleString() == "double"
     assert back.count() == 41
 
@@ -3024,8 +3043,11 @@ def test_dedup_index_skip_if_fresh_contract(spark, tmp_path):
     idx = str(tmp_path / "didx_fresh")
 
     assert save_dedup_index(docs, idx, skip_if_fresh=True) is True
-    with open(f"{idx}/_dedup_index_manifest.json") as fh:
-        assert "fingerprint" in json.load(fh)
+    from minivectordb_spark import fsio as _fsio
+
+    assert "fingerprint" in _fsio.load_index_manifest(
+        idx, "_dedup_index_manifest.json"
+    )[0]
     # identical inputs: reused
     assert save_dedup_index(spark.read.parquet(src), idx, skip_if_fresh=True) is False
     # different PLAN over the same files: rebuilt
@@ -3042,8 +3064,9 @@ def test_dedup_index_skip_if_fresh_contract(spark, tmp_path):
                               ["doc_id", "text"]),
         idx,
     )
-    with open(f"{idx}/_dedup_index_manifest.json") as fh:
-        assert "fingerprint" not in json.load(fh)
+    assert "fingerprint" not in _fsio.load_index_manifest(
+        idx, "_dedup_index_manifest.json"
+    )[0]
     assert save_dedup_index(docs, idx, skip_if_fresh=True) is True
     # skip_if_fresh=False always rebuilds
     assert save_dedup_index(docs, idx) is True
@@ -3083,8 +3106,11 @@ def test_neardup_index_skip_if_fresh_contract(spark, tmp_path):
         ),
         idx,
     )
-    with open(f"{idx}/_neardup_index_manifest.json") as fh:
-        assert "fingerprint" not in json.load(fh)
+    from minivectordb_spark import fsio as _fsio
+
+    assert "fingerprint" not in _fsio.load_index_manifest(
+        idx, "_neardup_index_manifest.json"
+    )[0]
     assert save_neardup_index(vecs, idx, target_block_size=8,
                               skip_if_fresh=True) is True
 
@@ -3228,7 +3254,7 @@ def test_ivf_index_balance_structural_and_drift_trigger(spark, tmp_path):
     # rows a probe of those dirs would scan)
     per = {
         r["centroid_id"]: r["c"]
-        for r in spark.read.parquet(f"{idx}/assignments")
+        for r in spark.read.parquet(_ivf_assign_dir(idx))
         .groupBy("centroid_id").agg(F.count(F.lit(1)).alias("c")).collect()
     }
     assert st0["max_cluster"] == max(per.values())
@@ -3248,7 +3274,7 @@ def test_ivf_index_balance_structural_and_drift_trigger(spark, tmp_path):
     # and it is still the true partition histogram
     per1 = {
         r["centroid_id"]: r["c"]
-        for r in spark.read.parquet(f"{idx}/assignments")
+        for r in spark.read.parquet(_ivf_assign_dir(idx))
         .groupBy("centroid_id").agg(F.count(F.lit(1)).alias("c")).collect()
     }
     assert st1["max_cluster"] == max(per1.values())

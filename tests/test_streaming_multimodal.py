@@ -711,11 +711,16 @@ def test_stream_ivf_index_ingest_builds_and_appends(spark, tmp_path):
     ).coalesce(1).write.mode("append").parquet(src)
     q = stream_ivf_index_ingest(stream, idx, ck, n_centroids=4).start()
     q.awaitTermination(120)
-    assert not os.path.exists(os.path.join(idx, "_index_manifest.json"))
+    from minivectordb_spark import fsio as _fsio
+
+    m, _ = _fsio.load_index_manifest(idx, "_index_manifest.json")
+    assert "fingerprint" not in m  # appended index claims no source
 
     ids = {
         r["doc_id"]
-        for r in spark.read.parquet(os.path.join(idx, "assignments")).collect()
+        for r in spark.read.parquet(
+            _fsio.gen_data(idx, m, "assignments")
+        ).collect()
     }
     assert ids == set(range(12)) | {50}  # replayed id 3 not duplicated
 

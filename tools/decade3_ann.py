@@ -44,6 +44,24 @@ NPROBE = 2
 N_QUERIES = 20
 
 
+
+def _live_data(idx: str, name: str, sub: str) -> str:
+    """Live-generation data dir of an index layout (r14 generations)."""
+    from minivectordb_spark import fsio
+
+    try:
+        m, _ = fsio.load_index_manifest(idx, name)
+    except (OSError, ValueError):
+        m = {}
+    return fsio.gen_data(idx, m, sub)
+
+
+def _live_manifest(idx: str, name: str) -> dict:
+    from minivectordb_spark import fsio
+
+    m, _ = fsio.load_index_manifest(idx, name)
+    return m
+
 def _hash_unit(col_expr, j: int, seed: int, scale: float):
     """Deterministic value in [-scale, scale] from (expr, j, seed)."""
     from pyspark.sql import functions as F
@@ -135,7 +153,7 @@ def main() -> None:
             build_wall = round(time.time() - t0, 1)
 
             sizes_row = (
-                spark.read.parquet(f"{idx_dir}/assignments")
+                spark.read.parquet(_live_data(idx_dir, "_index_manifest.json", "assignments"))
                 .groupBy("centroid_id")
                 .count()
                 .agg(
@@ -147,7 +165,7 @@ def main() -> None:
             )
             cluster_sizes = {
                 r["centroid_id"]: r["n"]
-                for r in spark.read.parquet(f"{idx_dir}/assignments")
+                for r in spark.read.parquet(_live_data(idx_dir, "_index_manifest.json", "assignments"))
                 .groupBy("centroid_id")
                 .agg(F.count("*").alias("n"))
                 .collect()

@@ -33,6 +33,24 @@ from pyspark.sql import functions as F
 from decade3_pairs import synth_docs, synth_vecs
 
 
+
+def _live_data(idx: str, name: str, sub: str) -> str:
+    """Live-generation data dir of an index layout (r14 generations)."""
+    from minivectordb_spark import fsio
+
+    try:
+        m, _ = fsio.load_index_manifest(idx, name)
+    except (OSError, ValueError):
+        m = {}
+    return fsio.gen_data(idx, m, sub)
+
+
+def _live_manifest(idx: str, name: str) -> dict:
+    from minivectordb_spark import fsio
+
+    m, _ = fsio.load_index_manifest(idx, name)
+    return m
+
 def dir_stats(bucket_root: str) -> dict:
     sizes = {}
     for d in os.listdir(bucket_root):
@@ -74,9 +92,8 @@ def main() -> None:
     # --- dedup index at production dir width ---
     didx = os.path.join(root, "didx")
     save_dedup_index(synth_docs(spark, n_corpus), didx, prefix_len=3)
-    with open(os.path.join(didx, "_dedup_index_manifest.json")) as fh:
-        dm = json.load(fh)
-    dsizes = dir_stats(os.path.join(didx, "buckets"))
+    dm = _live_manifest(didx, "_dedup_index_manifest.json")
+    dsizes = dir_stats(_live_data(didx, "_dedup_index_manifest.json", "buckets"))
     d_total_bytes = sum(dsizes.values())
     for b in batches:
         batch = synth_docs(spark, 10_000_000 + b).filter(
@@ -110,9 +127,8 @@ def main() -> None:
     # --- neardup index at production dir width ---
     nidx = os.path.join(root, "nidx")
     save_neardup_index(synth_vecs(spark, n_corpus), nidx, n_dirs=1024)
-    with open(os.path.join(nidx, "_neardup_index_manifest.json")) as fh:
-        nm = json.load(fh)
-    nsizes = dir_stats(os.path.join(nidx, "buckets"))
+    nm = _live_manifest(nidx, "_neardup_index_manifest.json")
+    nsizes = dir_stats(_live_data(nidx, "_neardup_index_manifest.json", "buckets"))
     n_total_bytes = sum(nsizes.values())
     for b in batches:
         batch = synth_vecs(spark, 10_000_000 + b).filter(

@@ -60,9 +60,33 @@ def dir_bytes(path: str) -> int:
     return total
 
 
-def bucket_occupancy(spark, path: str, keys=("bucket",)) -> dict:
+
+def _live_data(idx: str, name: str, sub: str) -> str:
+    """Live-generation data dir of an index layout (r14 generations)."""
+    from minivectordb_spark import fsio
+
+    try:
+        m, _ = fsio.load_index_manifest(idx, name)
+    except (OSError, ValueError):
+        m = {}
+    return fsio.gen_data(idx, m, sub)
+
+
+def _live_manifest(idx: str, name: str) -> dict:
+    from minivectordb_spark import fsio
+
+    m, _ = fsio.load_index_manifest(idx, name)
+    return m
+
+
+def bucket_occupancy(spark, path: str, keys=("bucket",), manifest_name=None) -> dict:
+    b = (
+        _live_data(path, manifest_name, "buckets")
+        if manifest_name
+        else f"{path}/buckets"
+    )
     occ = (
-        spark.read.parquet(f"{path}/buckets")
+        spark.read.parquet(b)
         .groupBy(*keys)
         .count()
         .agg(
@@ -177,18 +201,20 @@ def main() -> None:
             chunk = synth_vecs(spark, n).filter(F.col("vec_id") >= prev_n)
             update_neardup_index(chunk, stale)
             prev_n = n
-        rec = {"n": n, "stale": bucket_occupancy(spark, stale)}
+        rec = {"n": n, "stale": bucket_occupancy(spark, stale, manifest_name="_neardup_index_manifest.json")}
         rec["stale"].update(probe_neardup(spark, stale, n, q_half))
         if g > 1:
             fresh = os.path.join(root, f"nd_fresh_{g}")
             save_neardup_index(synth_vecs(spark, n), fresh)
-            rec["fresh"] = bucket_occupancy(spark, fresh)
+            rec["fresh"] = bucket_occupancy(spark, fresh, manifest_name="_neardup_index_manifest.json")
             rec["fresh"].update(probe_neardup(spark, fresh, n, q_half))
-            with open(os.path.join(fresh, "_neardup_index_manifest.json")) as fh:
-                rec["fresh"]["n_planes"] = len(json.load(fh)["planes"])
+            rec["fresh"]["n_planes"] = len(
+                _live_manifest(fresh, "_neardup_index_manifest.json")["planes"]
+            )
             shutil.rmtree(fresh)
-        with open(os.path.join(stale, "_neardup_index_manifest.json")) as fh:
-            rec["stale"]["n_planes"] = len(json.load(fh)["planes"])
+        rec["stale"]["n_planes"] = len(
+            _live_manifest(stale, "_neardup_index_manifest.json")["planes"]
+        )
         out["neardup"][f"{g}x"] = rec
         print(json.dumps({f"neardup_{g}x": rec}, separators=(",", ":")), flush=True)
 
@@ -227,7 +253,7 @@ def main() -> None:
             update_dedup_index(chunk, dstale)
             prev_n = n
         rec = {"n": n}
-        rec.update(bucket_occupancy(spark, dstale, keys=("band_idx", "band_hash")))
+        rec.update(bucket_occupancy(spark, dstale, keys=("band_idx", "band_hash"), manifest_name="_dedup_index_manifest.json"))
         rec.update(probe_dedup(spark, dstale, n, q_half))
         out["dedup"][f"{g}x"] = rec
         print(json.dumps({f"dedup_{g}x": rec}, separators=(",", ":")), flush=True)
