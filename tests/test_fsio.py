@@ -102,6 +102,60 @@ def test_index_manifest_io_survives_hadoop_route(tmp_path, spark, hadoop_route):
     )
 
 
+class _RenameRefusingFS:
+    """Delegates to a real Hadoop FileSystem but fails every rename —
+    the object-store failure mode the keep-tmp contract covers."""
+
+    def __init__(self, real):
+        self._real = real
+
+    def rename(self, a, b):
+        return False
+
+    def __getattr__(self, name):
+        return getattr(self._real, name)
+
+
+def test_hadoop_write_keeps_tmp_on_rename_failure(tmp_path, spark, monkeypatch):
+    """ADVICE r13 (low): when publication fails, the NEW content must
+    survive at the temp path (the r13 code deleted the temp after a
+    failed rename, and its delete-first ordering could leave no file at
+    all)."""
+    real_hadoop = fsio._hadoop
+
+    def wrapped(path, sp=None):
+        jvm, fs, jpath = real_hadoop(path, sp)
+        return jvm, _RenameRefusingFS(fs), jpath
+
+    monkeypatch.setattr(fsio, "_local_path", lambda p: None)
+    monkeypatch.setattr(fsio, "_hadoop", wrapped)
+    monkeypatch.setattr(
+        fsio, "_file_context_rename_overwrite", lambda *a, **k: False
+    )
+    p = f"file://{tmp_path}/m.json"
+    with pytest.raises(OSError, match="kept at"):
+        fsio.write_text_atomic(p, '{"x": 1}')
+    tmps = [f for f in os.listdir(tmp_path) if ".tmp-" in f and not f.endswith(".crc")]
+    assert len(tmps) == 1
+    assert open(tmp_path / tmps[0]).read() == '{"x": 1}'
+
+
+def test_hadoop_overwrite_without_filecontext_falls_back(
+    tmp_path, spark, monkeypatch
+):
+    """With the FileContext atomic route unavailable (e.g. plain s3a),
+    the fallback must still overwrite an existing manifest: rename-first
+    for a fresh target, delete+rename for an occupied one."""
+    monkeypatch.setattr(fsio, "_local_path", lambda p: None)
+    monkeypatch.setattr(
+        fsio, "_file_context_rename_overwrite", lambda *a, **k: False
+    )
+    p = f"file://{tmp_path}/m.json"
+    fsio.write_manifest(p, {"v": 1})
+    fsio.write_manifest(p, {"v": 2})
+    assert fsio.read_manifest(p) == {"v": 2}
+
+
 # -------------------------------------------------------------- scratch dir
 
 
