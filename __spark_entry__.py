@@ -4281,17 +4281,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim_topk": q_maxsim_topk,
         "source_report": q_source_report,
         "heavy_hitters": q_heavy_hitters,
-        # r14 rotation (VERDICT r13 item 4): the streaming ingest-gate
+        "revenue_by_region": q_revenue_by_region,
+        # r14 addition (VERDICT r13 item 4): the streaming ingest-gate
         # equivalence — Structured Streaming foreachBatch probing and
         # maintaining the persisted dedup index with exactly-once table
         # appends — was the one headline capability class never graded
         # in the driver window; stream_dedup_ingest (hash-green x3
-        # scales while demoted since r12) now grades it.  Out:
-        # revenue_by_region — its scan-agg-join TPC-H shape stays
-        # graded via tpch_q1 (and priority_returns demoted-covers the
-        # sort variant); dedup_index_loop already grades the batch
-        # ingest lifecycle, so the window now carries batch AND
-        # streaming forms of the same contract.
+        # scales while demoted since r12) now grades it.  r14 is an
+        # optimization round, so nothing rotates OUT: the window grows
+        # to 51 (the bench contract allows adding entries, never
+        # removing them).
         "stream_dedup_ingest": q_stream_dedup_ingest,
         # r12 promotion: the persisted-index probes — the scale-critical
         # "index side never shuffles" path (plan-locked) — and the exact-
@@ -5029,7 +5028,6 @@ def rotation_registry() -> dict[str, dict]:
         "dedup_against_indexed": {"kind": R, "siblings": ["dedup_index_loop", "neardup_against_indexed"]},
         "neardup_index_loop": {"kind": C, "siblings": ["neardup_against_indexed"]},
         "stream_neardup_ingest": {"kind": C, "siblings": ["neardup_index_loop"]},
-        "revenue_by_region": {"kind": R, "siblings": ["tpch_q1", "priority_returns"]},
         "neardup_against": {"kind": C, "siblings": ["neardup_lsh", "dedup_against"]},
         "repetition_stats": {"kind": C, "siblings": []},
         "scrub_passages": {"kind": C, "siblings": ["repeated_passages"]},
@@ -5323,13 +5321,8 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # neardup_against_indexed keeping the probe-only shape graded
         "dedup_against_indexed": q_dedup_against_indexed,
         # r13 rotation: third copy of the scan-agg-sort TPC-H shape
-        # (tpch_q1 stays graded; r14 also rotated revenue_by_region out)
+        # (tpch_q1 + revenue_by_region stay graded)
         "priority_returns": q_priority_returns,
-        # r14 rotation: second copy of the scan-agg-join TPC-H shape —
-        # tpch_q1 keeps it graded (priority_returns demoted-covers the
-        # sort variant); swapped for stream_dedup_ingest, the streaming
-        # ingest-gate capability class the graded window never carried
-        "revenue_by_region": q_revenue_by_region,
         # r12 NEW capability: the embedding twin of the ingest loop —
         # frozen-plane probe -> accept -> append -> probe
         "neardup_index_loop": q_neardup_index_loop,
