@@ -98,17 +98,26 @@ def shingle_hashes_from_tokens(toks: Column, k: int = DEFAULT_SHINGLE) -> Column
 def _shingle_frame(
     df: DataFrame, text_col: str, id_col: str, k: int
 ) -> DataFrame:
-    """(id, sh) with the shingle-hash array materialized: tokens are staged
-    through one barrier (so the split happens once per row), shingle
-    hashing through a second.  The input passes the parallelism gate
-    first: shingle hashing is an interpreted per-token fold, and a
-    single-row-group source would otherwise run it on one core (see
-    operators/util.ensure_parallelism — identity at real split counts)."""
-    toks_df = _barrier(
-        _parallel(df), tokens(F.col(text_col)), "__toks", [id_col]
+    """(id, sh) with the shingle-hash array materialized — the shared
+    entry of every MinHash-family operator, now an Arrow-batched kernel
+    (operators/kernels.py, guide §4.2): the shingle/md5 inner loop runs
+    in native code per batch instead of interpreted Catalyst HOFs,
+    bit-identical by tests/test_kernels.py.  Only (id, text) crosses
+    the Python boundary (explicit select — guide §4.1's column-pruning
+    caveat for opaque maps).  The input passes the parallelism gate
+    first: a single-row-group source would otherwise run the kernel on
+    one core (see operators/util.ensure_parallelism — identity at real
+    split counts).  Still MAP-ONLY: no shuffle added at any scale."""
+    from pyspark.sql import types as T
+
+    from minivectordb_spark.operators import kernels
+
+    id_field = df.schema[id_col]
+    schema = T.StructType(
+        [id_field, T.StructField("sh", T.ArrayType(T.LongType()), True)]
     )
-    return _barrier(
-        toks_df, shingle_hashes_from_tokens(F.col("__toks"), k), "sh", [id_col]
+    return _parallel(df.select(id_col, text_col)).mapInArrow(
+        kernels.shingle_mapper(text_col, id_col, k), schema
     )
 
 
@@ -168,8 +177,27 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     sh = _shingle_frame(df, text_col, id_col, k)
-    return _barrier(
-        sh, minhash_from_hashes(F.col("sh"), n_hashes, seed), "minhash", [id_col]
+    return _minhash_frame(sh, id_col, n_hashes, seed, "minhash")
+
+
+def _minhash_frame(
+    sh: DataFrame, id_col: str, n_hashes: int, seed: int, out_col: str
+) -> DataFrame:
+    """(id, <out_col>) MinHash signatures from a shingle frame — one
+    NumPy pass per Arrow batch (kernels.minhash_mapper) instead of the
+    interpreted array-fold; exact per tests/test_kernels.py."""
+    from pyspark.sql import types as T
+
+    from minivectordb_spark.operators import kernels
+
+    schema = T.StructType(
+        [
+            sh.schema[id_col],
+            T.StructField(out_col, T.ArrayType(T.LongType(), False), True),
+        ]
+    )
+    return sh.mapInArrow(
+        kernels.minhash_mapper(id_col, n_hashes, seed, out_col), schema
     )
 
 
@@ -180,28 +208,23 @@ def _band_buckets(
     signature into band-bucket keys.  Shared by the self-join banding
     (``_lsh_pairs_from_shingles``) and the cross-corpus join
     (``dedup_against``); identical literals on both, so buckets computed
-    from two different frames are join-compatible."""
-    n_bands = n_hashes // band_size
-    sig_df = _barrier(
-        sh, minhash_from_hashes(F.col("sh"), n_hashes, seed), "__sig", [id_col]
-    )
-    bands = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "_",
-                    F.lit(b),
-                    *[
-                        F.element_at(F.col("__sig"), b * band_size + j + 1).cast("string")
-                        for j in range(band_size)
-                    ],
-                )
-            )
-            for b in range(n_bands)
+    from two different frames are join-compatible.  Signature + band
+    digests run in one Arrow-batched kernel (kernels.band_mapper —
+    fan-out is n_bands per doc, done in the batch, no posexplode node);
+    exact twin of the expression chain per tests/test_kernels.py."""
+    from pyspark.sql import types as T
+
+    from minivectordb_spark.operators import kernels
+
+    schema = T.StructType(
+        [
+            sh.schema[id_col],
+            T.StructField("band_idx", T.IntegerType(), False),
+            T.StructField("band_hash", T.StringType(), False),
         ]
     )
-    return sig_df.select(
-        F.col(id_col), F.posexplode(bands).alias("band_idx", "band_hash")
+    return sh.mapInArrow(
+        kernels.band_mapper(id_col, n_hashes, band_size, seed), schema
     )
 
 
