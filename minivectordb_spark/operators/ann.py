@@ -157,12 +157,32 @@ def lloyd_kmeans_fit(
         )
     for _ in range(iters):
         if use_matmul:
-            assigned = (
-                ivf_assign_matmul(staged, cents, id_col=id_col, emb_col=emb_col)
-                .select(id_col, "centroid_id")
-                .join(staged.select(id_col, F.col(emb_col).alias("__e")), id_col)
-                .select("centroid_id", "__e")
+            # fused assign+partial-sum kernel: the unfused form re-joined
+            # the corpus by id to re-attach the embedding (a full shuffle
+            # per iteration) and shuffled one row per (member, dimension)
+            # into the mean aggregate; the fused kernel emits ≤ K x dim
+            # partial cells per batch instead (guide §2.3/§8.4).  Sums
+            # match up to float64 association — absorbed by the 6-decimal
+            # mean rounding below (same class as the documented matmul
+            # 1-ulp note); pinned vs the unfused chain in tests.
+            agg = (
+                _lloyd_matmul_partials(staged, cents, emb_col=emb_col)
+                .groupBy("centroid_id", "pos")
+                .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+                .collect()
             )
+            sums = {}
+            counts = {}
+            for r in agg:
+                cid = int(r["centroid_id"])
+                sums.setdefault(cid, [0.0] * dim)[int(r["pos"])] = float(r["s"])
+                counts[cid] = int(r["c"])
+            means = {
+                cid: [round(s / counts[cid], 6) for s in vec]
+                for cid, vec in sums.items()
+            }
+            cents = [(cid, means.get(cid, vec)) for cid, vec in cents]
+            continue
         else:
             c = materialize(
                 spark.createDataFrame(
@@ -277,6 +297,7 @@ def ivf_assign_matmul(
     cents: list[tuple[int, list[float]]],
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    carry_emb: bool = False,
 ) -> DataFrame:
     """``ivf_assign`` for K x N x dim too large for interpreted folds:
     one BLAS matmul per Arrow batch (the ``CosineMatmulScorer`` shape —
@@ -311,13 +332,19 @@ def ivf_assign_matmul(
     norms = np.linalg.norm(cm, axis=1, keepdims=True)
     norms[norms == 0.0] = 1.0
     cn = cm / norms
-    out_schema = StructType(
-        [
-            StructField(id_col, df.schema[id_col].dataType),
-            StructField("centroid_id", LongType()),
-            StructField("centroid_cos", DoubleType()),
-        ]
-    )
+    fields = [StructField(id_col, df.schema[id_col].dataType)]
+    if carry_emb:
+        # pass the embedding THROUGH the kernel (guide §8.4's "attach"
+        # rule): callers that need (id, emb, centroid_id) downstream —
+        # the Lloyd fit, SemDeDup's blocked pairing — would otherwise
+        # re-join the corpus by id, i.e. a full embedding shuffle whose
+        # only purpose is re-attaching a column the kernel already held
+        fields.append(StructField(emb_col, df.schema[emb_col].dataType))
+    fields += [
+        StructField("centroid_id", LongType()),
+        StructField("centroid_cos", DoubleType()),
+    ]
+    out_schema = StructType(fields)
 
     def assign(batches):
         import pandas as pd
@@ -331,15 +358,87 @@ def ivf_assign_matmul(
             sims = (X / xn) @ cn.T  # (rows, K), one BLAS call
             # cids ascending + argmax-first-occurrence == min-id tiebreak
             j = np.argmax(sims, axis=1)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "centroid_id": cids[j],
-                    "centroid_cos": np.round(sims[np.arange(len(j)), j], 6),
-                }
-            )
+            out = {id_col: pdf[id_col]}
+            if carry_emb:
+                out[emb_col] = pdf[emb_col]
+            out["centroid_id"] = cids[j]
+            out["centroid_cos"] = np.round(sims[np.arange(len(j)), j], 6)
+            yield pd.DataFrame(out)
 
     return df.select(id_col, emb_col).mapInPandas(assign, out_schema)
+
+
+def _lloyd_matmul_partials(
+    staged: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd iteration's member-sum aggregate, fused into the matmul
+    assignment kernel: per Arrow batch, assign rows to centroids (the
+    exact ``ivf_assign_matmul`` argmax, min-id tiebreak) and accumulate
+    per-centroid per-dimension partial sums + counts with ``np.add.at``.
+    Emits ≤ K x dim tiny rows PER BATCH instead of shuffling every
+    (row, dim) cell — map-side aggregation per guide §2.3, and the
+    (id, centroid) -> (id, emb) re-join of the unfused form disappears
+    (the kernel already holds the embedding).  Downstream:
+    ``groupBy(centroid_id, pos).agg(sum(s), sum(c))`` — identical final
+    sums up to float64 association (means are rounded to 6 decimals
+    before use, same tolerance class as the documented matmul-vs-fold
+    1-ulp note)."""
+    import numpy as np
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    order = sorted(range(len(cents)), key=lambda i: cents[i][0])
+    cids = np.asarray([int(cents[i][0]) for i in order], dtype=np.int64)
+    cm = np.asarray([cents[i][1] for i in order], dtype=np.float64)
+    norms = np.linalg.norm(cm, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    cn = cm / norms
+    k, dim = cm.shape
+    out_schema = StructType(
+        [
+            StructField("centroid_id", LongType()),
+            StructField("pos", IntegerType()),
+            StructField("s", DoubleType()),
+            StructField("c", LongType()),
+        ]
+    )
+
+    def partials(batches):
+        import pandas as pd
+
+        sums = np.zeros((k, dim), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            seen = True
+            X = np.vstack(pdf[emb_col].to_numpy()).astype(np.float64)
+            xn = np.linalg.norm(X, axis=1, keepdims=True)
+            xn[xn == 0.0] = 1.0
+            j = np.argmax((X / xn) @ cn.T, axis=1)
+            np.add.at(sums, j, X)
+            counts += np.bincount(j, minlength=k)
+        if not seen:
+            return
+        nz = np.flatnonzero(counts)
+        yield pd.DataFrame(
+            {
+                "centroid_id": np.repeat(cids[nz], dim),
+                "pos": np.tile(np.arange(dim, dtype=np.int32), len(nz)),
+                "s": sums[nz].ravel(),
+                "c": np.repeat(counts[nz], dim),
+            }
+        )
+
+    return staged.select(emb_col).mapInPandas(partials, out_schema)
 
 
 def ivf_assign_join(

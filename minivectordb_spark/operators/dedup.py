@@ -1447,6 +1447,7 @@ def semantic_blocks(
     assigned: DataFrame,
     id_col: str,
     max_cluster_size: int | None,
+    keep: tuple[str, ...] = (),
 ) -> tuple[DataFrame, str]:
     """The deterministic over-cap cluster split ``semantic_dedup`` pairs
     within: clusters above ``max_cluster_size`` split into ceil(size/cap)
@@ -1473,7 +1474,7 @@ def semantic_blocks(
                 F.pmod(md5i32(F.col(id_col).cast("string")), n_sub).cast("string"),
             ),
         )
-        .select(id_col, "centroid_id", "__sem_block")
+        .select(id_col, *keep, "centroid_id", "__sem_block")
     )
     return out, "__sem_block"
 
@@ -1540,9 +1541,19 @@ def semantic_dedup(
     src = assign_df if assign_df is not None else df
     cent_rows = _collect_centroids(centroids)
     if len(cent_rows) >= MATMUL_MIN_K:
+        # carry the embedding THROUGH the assignment kernel (guide §8.4):
+        # the blocked pairing input used to be re-built by joining the
+        # corpus back on id — a full embedding shuffle whose only purpose
+        # was re-attaching a column the kernel already held.  semantic_
+        # blocks' broadcast split passes it along; no corpus-keyed
+        # exchange remains before the banded pairing.
         assigned = ivf_assign_matmul(
-            src, cent_rows, id_col=id_col, emb_col=emb_col
-        ).select(id_col, "centroid_id")
+            src, cent_rows, id_col=id_col, emb_col=emb_col, carry_emb=True
+        ).select(id_col, emb_col, "centroid_id")
+        assigned, block_col = semantic_blocks(
+            assigned, id_col, max_cluster_size, keep=(emb_col,)
+        )
+        blocked = assigned
     else:
         assigned = ivf_assign_join(
             src,
@@ -1551,8 +1562,8 @@ def semantic_dedup(
             emb_col=emb_col,
             prestaged=assign_df is not None,
         ).select(id_col, "centroid_id")
-    assigned, block_col = semantic_blocks(assigned, id_col, max_cluster_size)
-    blocked = df.select(id_col, emb_col).join(assigned, id_col)
+        assigned, block_col = semantic_blocks(assigned, id_col, max_cluster_size)
+        blocked = df.select(id_col, emb_col).join(assigned, id_col)
     pairs = embedding_neardup_pairs(
         blocked,
         emb_col=emb_col,

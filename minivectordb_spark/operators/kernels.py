@@ -192,6 +192,81 @@ def minhash_mapper(
     return fn
 
 
+def dsir_bucket_mapper(
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+    extra_cols: tuple[str, ...] = (),
+) -> Callable[[Iterator[pa.RecordBatch]], Iterator[pa.RecordBatch]]:
+    """mapInArrow fn: (id[, extras], text) batches -> (id[, extras], __b)
+    batches — the hashed unigram+bigram DSIR feature multiset
+    (``prep._dsir_feature_buckets`` over ``text.tokens``), vectorized.
+
+    Exact twin of the Catalyst chain (pinned by tests/test_kernels.py):
+
+    - tokens: empty text -> no features; NULL text -> NULL bucket array
+      (``size(NULL)`` is NULL, so the ``concat`` of the expression chain
+      null-propagates — downstream ``explode`` drops the row either way,
+      but the staged column must match for the retained twin).
+    - features: every token, then every " "-joined adjacent pair (bag
+      semantics — duplicates kept).
+    - bucket: md5i32 (first 4 md5 bytes big-endian) mod ``n_buckets``
+      (non-negative dividend, so ``%`` == Java's ``%`` here).
+
+    A per-task memo caches token/bigram buckets (natural-language token
+    frequencies are zipfian, so the md5 count collapses to near the
+    vocabulary size instead of the occurrence count)."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        md5 = hashlib.md5
+        memo: dict[str, int] = {}
+
+        def bucket(s: str) -> int:
+            got = memo.get(s)
+            if got is None:
+                got = memo[s] = (
+                    int.from_bytes(md5(s.encode("utf-8")).digest()[:4], "big")
+                    % n_buckets
+                )
+            return got
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            names = batch.schema.names
+            texts = batch.column(names.index(text_col)).to_pylist()
+            flat: list[int] = []
+            # a null START offset marks that row's list null (verified
+            # pyarrow semantics); a null row contributes no values, so its
+            # neighbours' extents are unaffected by the overwrite below
+            offsets: list[int | None] = [0]
+            for t in texts:
+                if t is None:
+                    offsets[-1] = None
+                    offsets.append(len(flat))
+                    continue
+                toks = t.split(" ") if t else []
+                for tok in toks:
+                    flat.append(bucket(tok))
+                for j in range(len(toks) - 1):
+                    flat.append(bucket(toks[j] + " " + toks[j + 1]))
+                offsets.append(len(flat))
+            b_arr = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                pa.array(flat, type=pa.int64()),
+            )
+            out_cols = [batch.column(names.index(id_col))]
+            out_names = [id_col]
+            for c in extra_cols:
+                out_cols.append(batch.column(names.index(c)))
+                out_names.append(c)
+            out_cols.append(b_arr)
+            out_names.append("__b")
+            yield pa.RecordBatch.from_arrays(out_cols, out_names)
+
+    return fn
+
+
 def band_mapper(
     id_col: str, n_hashes: int, band_size: int, seed: int
 ) -> Callable[[Iterator[pa.RecordBatch]], Iterator[pa.RecordBatch]]:

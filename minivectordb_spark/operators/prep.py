@@ -400,26 +400,36 @@ def dsir_logweights(
     checkpointed bucket frame, instead of tokenizing the target subset a
     second time.  Identical results (same hashes, same counts) — only
     the redundant pass is removed."""
+    from pyspark.sql import types as T
+
+    from minivectordb_spark.operators import kernels
     from minivectordb_spark.operators.util import ensure_parallelism
 
-    # The per-token md5 bucket hash is an interpreted fold: parallelism-
-    # gate it against narrow (single-row-group) inputs and stage the
-    # bucket ARRAY behind a Generate barrier so the fold runs once per
-    # row per pass.  The CORPUS side is read twice (bucket counts, then
-    # the scoring probe) — a lazy checkpoint of its compact (id, buckets)
-    # frame prices the md5 fold once and is measurably cheaper than
-    # recomputing it (re-measured r5; blocks freed by the ContextCleaner
-    # when the caller drops the plan).  The target side is read once and
-    # stays recompute-only.
+    # The per-token md5 bucket hash runs as an Arrow-batched kernel
+    # (kernels.dsir_bucket_mapper, guide §4.2) — the interpreted
+    # Catalyst HOF chain it replaces is retained as
+    # ``_dsir_feature_buckets`` and the kernel is pinned bit-identical
+    # against it by tests/test_kernels.py.  The parallelism gate keeps a
+    # single-row-group source from running the kernel on one core.  The
+    # CORPUS side is read twice (bucket counts, then the scoring probe)
+    # — a lazy checkpoint of its compact (id, buckets) frame prices the
+    # hashing once and is measurably cheaper than recomputing it
+    # (re-measured r5; blocks freed by the ContextCleaner when the
+    # caller drops the plan).  The target side is read once and stays
+    # recompute-only.
     def _bucket_frame(
         side: DataFrame, reused: bool = False, extra: list[str] | None = None
     ) -> DataFrame:
         keep = [id_col] + (extra or [])
-        staged = materialize(
-            ensure_parallelism(side), tokens(F.col(text_col)), "__toks", keep
+        schema = T.StructType(
+            [side.schema[c] for c in keep]
+            + [T.StructField("__b", T.ArrayType(T.LongType()), True)]
         )
-        out = materialize(
-            staged, _dsir_feature_buckets(F.col("__toks"), n_buckets), "__b", keep
+        out = ensure_parallelism(side.select(*keep, text_col)).mapInArrow(
+            kernels.dsir_bucket_mapper(
+                text_col, id_col, n_buckets, extra_cols=tuple(extra or ())
+            ),
+            schema,
         )
         return out.localCheckpoint(eager=False) if reused else out
 

@@ -606,18 +606,25 @@ def hash_classifier_score(
     vector is an expression literal, bounded by construction).  At
     100 TB this is a pure scan: the cheapest possible model-based
     filter."""
-    from minivectordb_spark.operators.prep import _dsir_feature_buckets
-    from minivectordb_spark.operators.util import ensure_parallelism, materialize
+    from pyspark.sql import types as T
+
+    from minivectordb_spark.operators import kernels
+    from minivectordb_spark.operators.util import ensure_parallelism
 
     n_buckets = len(weights)
     wi = [int(round(float(w) * 1_000_000)) for w in weights]
     W = F.array(*[F.lit(x).cast("long") for x in wi])
 
-    staged = materialize(
-        ensure_parallelism(df), tokens(F.col(text_col)), "__toks", [id_col]
-    )
-    bst = materialize(
-        staged, _dsir_feature_buckets(F.col("__toks"), n_buckets), "__b", [id_col]
+    # bucket arrays via the Arrow-batched kernel (kernels.dsir_bucket_
+    # mapper — bit-identical twin of the retained _dsir_feature_buckets
+    # chain, pinned by tests/test_kernels.py); the weight fold below
+    # stays a Catalyst expression over the staged column
+    bst = ensure_parallelism(df.select(id_col, text_col)).mapInArrow(
+        kernels.dsir_bucket_mapper(text_col, id_col, n_buckets),
+        T.StructType(
+            [df.schema[id_col]]
+            + [T.StructField("__b", T.ArrayType(T.LongType()), True)]
+        ),
     )
     s = F.aggregate(
         F.col("__b"),

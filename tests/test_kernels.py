@@ -170,3 +170,74 @@ def test_schemas_unchanged(spark):
         "doc_id:bigint",
         "minhash:array<bigint>",
     ]
+
+
+# ---------------------------------------------------------------------------
+# DSIR feature-bucket kernel (kernels.dsir_bucket_mapper)
+
+
+def _expr_bucket_frame(df, text_col, id_col, n_buckets, extra=()):
+    """The pre-r14 Catalyst implementation of the DSIR bucket frame,
+    kept verbatim as the kernel's reference (barrier-staged token split
+    + interpreted md5 transform)."""
+    from minivectordb_spark.operators.prep import _dsir_feature_buckets
+
+    keep = [id_col] + list(extra)
+    staged = _barrier(_parallel(df), tokens(F.col(text_col)), "__toks", keep)
+    return _barrier(
+        staged, _dsir_feature_buckets(F.col("__toks"), n_buckets), "__b", keep
+    )
+
+
+def _kernel_bucket_frame(df, text_col, id_col, n_buckets, extra=()):
+    from pyspark.sql import types as T
+
+    from minivectordb_spark.operators import kernels
+
+    keep = [id_col] + list(extra)
+    schema = T.StructType(
+        [df.schema[c] for c in keep]
+        + [T.StructField("__b", T.ArrayType(T.LongType()), True)]
+    )
+    return _parallel(df.select(*keep, text_col)).mapInArrow(
+        kernels.dsir_bucket_mapper(
+            text_col, id_col, n_buckets, extra_cols=tuple(extra)
+        ),
+        schema,
+    )
+
+
+@pytest.mark.parametrize("n_buckets", [64, 4096])
+def test_dsir_buckets_exact(spark, corpus, n_buckets):
+    want = {
+        r["doc_id"]: (None if r["__b"] is None else list(r["__b"]))
+        for r in _expr_bucket_frame(corpus, "text", "doc_id", n_buckets).collect()
+    }
+    got = {
+        r["doc_id"]: (None if r["__b"] is None else list(r["__b"]))
+        for r in _kernel_bucket_frame(corpus, "text", "doc_id", n_buckets).collect()
+    }
+    assert got == want
+    # NULL text must stage a NULL array (not empty) for the twin to hold
+    assert want[1_000_003] is None and got[1_000_003] is None
+    assert want[1_000_002] == [] and got[1_000_002] == []
+
+
+def test_dsir_buckets_extra_passthrough(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c", True), (2, None, False), (3, "", None), (4, "x", True)],
+        ["doc_id", "text", "flag"],
+    )
+    want = {
+        (r["doc_id"], r["flag"]): (None if r["__b"] is None else list(r["__b"]))
+        for r in _expr_bucket_frame(
+            df, "text", "doc_id", 128, extra=("flag",)
+        ).collect()
+    }
+    got = {
+        (r["doc_id"], r["flag"]): (None if r["__b"] is None else list(r["__b"]))
+        for r in _kernel_bucket_frame(
+            df, "text", "doc_id", 128, extra=("flag",)
+        ).collect()
+    }
+    assert got == want

@@ -1441,6 +1441,49 @@ def test_semantic_dedup_within_cluster_only(spark):
     assert kept2 == [0, 1, 5, 6]
 
 
+def test_semantic_dedup_matmul_branch_matches_fold_branch(spark):
+    """The matmul assignment branch of semantic_dedup (r14: carries the
+    embedding through the kernel instead of re-joining the corpus by id)
+    must keep the exact survivor set of the fold branch, with and
+    without the cluster cap."""
+    import minivectordb_spark.operators.ann as ann
+    from minivectordb_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [1.0, 0.001, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.001, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (5, [0.9999, 0.0001, 0.0, 0.0]),
+        (6, [0.0, 0.0, 0.999, 0.001]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        ["centroid_id", "centroid_emb"],
+    )
+    for cap in (None, 2):
+        fold = sorted(
+            r["vec_id"]
+            for r in semantic_dedup(
+                df, cents, threshold=0.99, max_cluster_size=cap
+            ).collect()
+        )
+        orig = ann.MATMUL_MIN_K
+        ann.MATMUL_MIN_K = 1
+        try:
+            mm = sorted(
+                r["vec_id"]
+                for r in semantic_dedup(
+                    df, cents, threshold=0.99, max_cluster_size=cap
+                ).collect()
+            )
+        finally:
+            ann.MATMUL_MIN_K = orig
+        assert mm == fold
+
+
 def test_semantic_dedup_cluster_cap_bounds_blocks(spark):
     """max_cluster_size bounds the quadratic pairing term BY CONSTRUCTION:
     one mega-cluster splits into deterministic md5 sub-blocks whose max
