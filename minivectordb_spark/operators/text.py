@@ -729,7 +729,17 @@ def quality_mix(
         .when(F.col("score") >= bands[0], F.lit("mid"))
         .otherwise(F.lit("low"))
     )
-    banded = scored.select(F.col(id_col), F.col("score"), band.alias("band"))
+    # The banded frame is read THREE times below (the band-count
+    # aggregate, its total-normalization subtree, and the gated main
+    # branch); without a materialization boundary each copy replays the
+    # whole classifier map pass — tokenize + bucket-hash + weight fold —
+    # over the corpus text.  The lazy checkpoint (the dsir_logweights
+    # idiom) prices the scan once and hands every consumer a narrow
+    # (id, score, band) row per doc — far smaller than the text it
+    # replaces at any scale.
+    banded = scored.select(
+        F.col(id_col), F.col("score"), band.alias("band")
+    ).localCheckpoint(eager=False)
     fracs = temperature_fractions(banded, strata_col="band", tau=tau).select(
         F.col("stratum").alias("band"),
         F.floor(F.round(F.col("mix_frac") * SAMPLE_BUCKETS, 6))

@@ -213,6 +213,18 @@ def test_quality_mix_one_plan_no_sort_merge(spark, sf):
     assert all("band" in l for l in keyed), plan
 
 
+def test_quality_mix_classifier_priced_once(spark, sf):
+    """quality_mix's banded frame feeds three consumers (band counts,
+    total normalization, gated main branch); the lazy checkpoint must
+    price the classifier map pass ONCE — the final plan reads the
+    checkpointed (id, score, band) rows (Scan ExistingRDD) and contains
+    no MapInArrow copy of the kernel."""
+    df = _q("quality_mix", spark, sf)
+    plan = physical_plan(df)
+    assert "MapInArrow" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+
+
 def test_source_report_two_phase_distinct(spark, sf):
     """source_report's distinct-text count must plan as the two-phase
     (source, md5) -> (source) hash aggregate — partial aggregation before
