@@ -134,6 +134,74 @@ def test_linkage_pairs_blocking_and_threshold(spark):
     assert got[(1, 10)] == 0 and got[(1, 11)] == 1 and (1, 12) not in got
 
 
+def test_linkage_thresholded_levenshtein_boundary(spark):
+    """The thresholded-levenshtein verify (banded DP, -1 past the
+    threshold) must keep/drop exactly at the boundary and report the
+    same distances the full matrix would: dist == max_dist kept with
+    the exact value, dist == max_dist + 1 dropped, length-gap > max_dist
+    dropped, equal strings dist 0 — across both blocked_link_pairs and
+    the qgram verify."""
+    from minivectordb_spark.operators.linkage import _qgram_verify
+
+    left = spark.createDataFrame(
+        [(1, "abcde-xx"), (2, "abcde-yyyy"), (3, "abcde-zz")],
+        "lid long, name string",
+    )
+    right = spark.createDataFrame(
+        # vs lid=1 "abcde-xx": dist 2 (boundary keep), vs lid=3
+        # "abcde-zz": dist 2; "abcde-yyyy" vs "abcde-qqq": dist 4 (drop);
+        # length gap 4 vs "abcde-xx" pruned before any DP.
+        [(10, "abcde-x"), (11, "abcde-qqq"), (12, "abcde-xx")],
+        "rid long, name string",
+    )
+    got = {
+        (r["lid"], r["rid"]): r["dist"]
+        for r in blocked_link_pairs(
+            left, right, "lid", "rid", "name", "name", block_len=6, max_dist=2
+        ).collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    import itertools
+
+    want = {
+        (l, r): lev(a, b)
+        for (l, a), (r, b) in itertools.product(
+            [(1, "abcde-xx"), (2, "abcde-yyyy"), (3, "abcde-zz")],
+            [(10, "abcde-x"), (11, "abcde-qqq"), (12, "abcde-xx")],
+        )
+        if lev(a, b) <= 2
+    }
+    assert got == want
+    assert got[(1, 12)] == 0 and got[(3, 12)] == 2  # boundary keep, exact value
+
+    # the qgram verify path: same boundary law on a candidate frame
+    cand = spark.createDataFrame(
+        [
+            (1, 10, "banana", "bananna"),   # dist 1 keep
+            (2, 11, "banana", "bonanzas"),  # dist 3 drop
+            (3, 12, "kwyjibo", "kwyjibo"),  # dist 0 keep
+            (4, 13, "aaaa", "aaaaaa"),      # dist 2 boundary keep
+            (5, 14, "aa", "aaaaaaa"),       # length gap 5 drop
+        ],
+        "__lid long, __rid long, __ls string, __rs string",
+    )
+    out = {
+        (r["lid"], r["rid"]): r["dist"]
+        for r in _qgram_verify(cand, "lid", "rid", max_dist=2).collect()
+    }
+    assert out == {(1, 10): 1, (3, 12): 0, (4, 13): 2}
+
+
 def test_linkage_best_match_tiebreak(spark):
     left, right = _frames(spark)
     best = {
