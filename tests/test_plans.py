@@ -299,6 +299,18 @@ def test_setsim_prefix_equi_join_no_cartesian(spark, sf):
     assert "__k" in plan, plan
 
 
+def test_setsim_against_verify_parallelism_pinned(spark, sf):
+    """The cross-side verify (array_intersect per candidate pair) is
+    CPU-bound on rows two longs wide; AQE's size-based coalescing would
+    serialize it to one task.  The explicit candidate repartition must
+    survive in the plan as a REPARTITION_BY_NUM exchange on the group
+    key — the pin that keeps the verify spread across the cluster."""
+    df = _q("setsim_against", spark, sf)
+    plan = physical_plan(df)
+    assert "REPARTITION_BY_NUM" in plan, plan
+    assert "hashpartitioning(gn" in plan, plan
+
+
 def test_triangle_counts_all_equi_joins(spark, sf):
     """Wedge generation, closure, and the two degree joins must all plan
     as hash equi-joins — no cartesian/nested-loop anywhere in the
