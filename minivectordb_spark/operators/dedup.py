@@ -1324,8 +1324,23 @@ def embedding_neardup_pairs(
             base.select(*a_cols), "id_a"
         ).join(base.select(*b_cols), "id_b")
     elif block_col:
-        a = base.select(*a_cols, F.col(block_col).alias("blk"))
-        b = base.select(*b_cols, F.col(block_col).alias("blk"))
+        # same verify-parallelism pin as the LSH branch above: the
+        # within-block self-join explodes up to |block|^2 cosine rows out
+        # of byte-small inputs, so AQE's size-based coalescing folds the
+        # post-shuffle partitions down to one or two tasks and serializes
+        # the pairing (measured inside semantic_dedup at sf0.1: the whole
+        # block join ran as a 2-task stage).  Explicit counts on both
+        # sides pin the join's width; the blocks are cap-bounded, so no
+        # single blk partition can exceed cap^2 pairs.
+        n_part = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        a = base.select(*a_cols, F.col(block_col).alias("blk")).repartition(
+            n_part, F.col("blk")
+        )
+        b = base.select(*b_cols, F.col(block_col).alias("blk")).repartition(
+            n_part, F.col("blk")
+        )
         joined = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
     else:
         a = base.select(*a_cols)

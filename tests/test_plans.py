@@ -299,6 +299,27 @@ def test_setsim_prefix_equi_join_no_cartesian(spark, sf):
     assert "__k" in plan, plan
 
 
+def test_blocked_neardup_pairing_parallelism_pinned(spark):
+    """The block_col self-join of embedding_neardup_pairs explodes up to
+    |block|^2 cosine rows out of byte-small inputs; AQE's size-based
+    coalescing would fold it to 1-2 tasks (measured inside
+    semantic_dedup).  Both join sides must carry the explicit
+    REPARTITION_BY_NUM pin.  Tested at operator level: inside
+    semantic_dedup the pairing runs upstream of a checkpoint boundary,
+    so the final frame's plan cannot show it."""
+    from minivectordb_spark.operators.dedup import embedding_neardup_pairs
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0], i % 2) for i in range(8)],
+        "vec_id long, embedding array<double>, blk int",
+    )
+    pairs = embedding_neardup_pairs(
+        df, id_col="vec_id", block_col="blk", threshold=0.5
+    )
+    plan = physical_plan(pairs)
+    assert plan.count("REPARTITION_BY_NUM") >= 2, plan
+
+
 def test_setsim_against_verify_parallelism_pinned(spark, sf):
     """The cross-side verify (array_intersect per candidate pair) is
     CPU-bound on rows two longs wide; AQE's size-based coalescing would
