@@ -1984,8 +1984,16 @@ def dedup_against(
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
     jac = inter.cast("double") / union.cast("double")
+    # verify-parallelism pin (the neardup_against / setsim idiom):
+    # candidates are two longs per row, so AQE's size-based coalescing
+    # would serialize the jaccard verify — an array_intersect over two
+    # full shingle sets per row — onto one task
+    n_part = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
     hits = (
-        cand.join(a, "id_new")
+        cand.repartition(n_part, F.col("id_new"))
+        .join(a, "id_new")
         .join(b, "id_ref")
         .filter(F.round(jac, 6) >= threshold)
         .select(F.col("id_new").alias(id_col))
@@ -2229,8 +2237,15 @@ def dedup_against_indexed(
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
     jac = inter.cast("double") / union.cast("double")
+    # verify-parallelism pin (the embedding_neardup_pairs / setsim
+    # idiom): candidates are two longs per row, so AQE's size-based
+    # coalescing would serialize the jaccard verify — each row an
+    # array_intersect over two full shingle sets — onto one task; the
+    # explicit count spreads it, and the exchange moves only id pairs
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     hits = (
-        cand.join(a, "id_new")
+        cand.repartition(n_part, F.col("id_new"))
+        .join(a, "id_new")
         .join(b, "id_ref")
         .filter(F.round(jac, 6) >= threshold)
         .select(F.col("id_new").alias(id_col))
@@ -2654,8 +2669,14 @@ def neardup_against_indexed(
     sim = cosine_sim_cols(
         F.col("emb_a"), F.col("emb_b"), norm_a=F.col("n_a"), norm_b=F.col("n_b")
     )
+    # verify-parallelism pin (the neardup_against / setsim idiom):
+    # candidates are two longs per row, so AQE's size-based coalescing
+    # would serialize the cosine verify onto one task; the explicit
+    # count spreads it, and the exchange moves only id pairs
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     hits = (
-        cand.join(a, "id_new")
+        cand.repartition(n_part, F.col("id_new"))
+        .join(a, "id_new")
         .join(b, "id_ref")
         .withColumn("cosine", F.round(sim, 6))
         .filter(F.col("cosine") >= threshold)

@@ -545,6 +545,32 @@ def test_dedup_index_probe_broadcasts_never_shuffles_index(spark, tmp_path):
     assert "PartitionFilters: [bp" in plan and "IN (" in plan
 
 
+def test_indexed_probe_verify_parallelism_pinned(spark, tmp_path):
+    """dedup_against_indexed's jaccard verify runs over byte-small
+    candidate rows whose per-row cost is an array_intersect of two full
+    shingle sets; AQE's size-based coalescing would serialize it.  The
+    final probe plan must carry the explicit REPARTITION_BY_NUM pin on
+    the candidate frame."""
+    from minivectordb_spark.operators.dedup import (
+        dedup_against_indexed,
+        save_dedup_index,
+    )
+
+    ref = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "idx")
+    save_dedup_index(ref, idx)
+    out = dedup_against_indexed(new, idx, threshold=0.7)
+    plan = physical_plan(out)
+    assert "REPARTITION_BY_NUM" in plan, plan
+
+
 def test_neardup_index_probe_broadcasts_never_shuffles_index(spark, tmp_path):
     """neardup_index_candidates: the stored RP-bucket table streams
     through a BroadcastHashJoin built from the batch's probe keys — no
