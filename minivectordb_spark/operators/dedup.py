@@ -99,19 +99,36 @@ def _shingle_frame(
     df: DataFrame, text_col: str, id_col: str, k: int
 ) -> DataFrame:
     """(id, sh) with the shingle-hash array materialized — the shared
-    entry of every MinHash-family operator, now an Arrow-batched kernel
-    (operators/kernels.py, guide §4.2): the shingle/md5 inner loop runs
-    in native code per batch instead of interpreted Catalyst HOFs,
-    bit-identical by tests/test_kernels.py.  Only (id, text) crosses
-    the Python boundary (explicit select — guide §4.1's column-pruning
-    caveat for opaque maps).  The input passes the parallelism gate
-    first: a single-row-group source would otherwise run the kernel on
-    one core (see operators/util.ensure_parallelism — identity at real
-    split counts).  Still MAP-ONLY: no shuffle added at any scale."""
+    entry of every MinHash-family operator.  SIZE-GATED between two
+    bit-identical implementations (r15 item 1, guide §4):
+
+    - At scale (estimated input >= util.KERNEL_MIN_BYTES) an
+      Arrow-batched kernel (operators/kernels.py, guide §4.2) runs the
+      shingle/md5 inner loop in native code per batch.  Only (id, text)
+      crosses the Python boundary (explicit select — guide §4.1's
+      column-pruning caveat); the map stays MAP-ONLY.
+    - Below the floor the retained Catalyst expression chain runs
+      instead: each mapInArrow pass costs a ~0.3-0.6 s wall floor in
+      JVM<->Python crossings that tiny corpora never amortize — the
+      r14 driver bench measured exactly this as a regression on every
+      sub-MB consumer (VERDICT r14 item 1).
+
+    Both produce the same rows bit-for-bit (pinned by
+    tests/test_kernels.py); the input passes the parallelism gate first
+    either way (a single-row-group source would otherwise run the
+    per-row work on one core; identity at real split counts)."""
     from pyspark.sql import types as T
 
     from minivectordb_spark.operators import kernels
+    from minivectordb_spark.operators.util import use_arrow_kernel
 
+    if not use_arrow_kernel(df):
+        toks_df = _barrier(
+            _parallel(df), tokens(F.col(text_col)), "__toks", [id_col]
+        )
+        return _barrier(
+            toks_df, shingle_hashes_from_tokens(F.col("__toks"), k), "sh", [id_col]
+        )
     id_field = df.schema[id_col]
     schema = T.StructType(
         [id_field, T.StructField("sh", T.ArrayType(T.LongType()), True)]
@@ -185,11 +202,19 @@ def _minhash_frame(
 ) -> DataFrame:
     """(id, <out_col>) MinHash signatures from a shingle frame — one
     NumPy pass per Arrow batch (kernels.minhash_mapper) instead of the
-    interpreted array-fold; exact per tests/test_kernels.py."""
+    interpreted array-fold; exact per tests/test_kernels.py.  Size-gated
+    like ``_shingle_frame``: below util.KERNEL_MIN_BYTES the retained
+    expression fold runs instead (no JVM<->Python crossing to amortize
+    at tiny input — VERDICT r14 item 1)."""
     from pyspark.sql import types as T
 
     from minivectordb_spark.operators import kernels
+    from minivectordb_spark.operators.util import use_arrow_kernel
 
+    if not use_arrow_kernel(sh):
+        return _barrier(
+            sh, minhash_from_hashes(F.col("sh"), n_hashes, seed), out_col, [id_col]
+        ).select(id_col, out_col)
     schema = T.StructType(
         [
             sh.schema[id_col],
@@ -211,11 +236,41 @@ def _band_buckets(
     from two different frames are join-compatible.  Signature + band
     digests run in one Arrow-batched kernel (kernels.band_mapper —
     fan-out is n_bands per doc, done in the batch, no posexplode node);
-    exact twin of the expression chain per tests/test_kernels.py."""
+    exact twin of the expression chain per tests/test_kernels.py.
+    Size-gated like ``_shingle_frame``: below util.KERNEL_MIN_BYTES the
+    retained expression chain (staged minhash + posexplode of md5 band
+    digests) runs instead — no JVM<->Python crossing to amortize at tiny
+    input (VERDICT r14 item 1)."""
     from pyspark.sql import types as T
 
     from minivectordb_spark.operators import kernels
+    from minivectordb_spark.operators.util import use_arrow_kernel
 
+    if not use_arrow_kernel(sh):
+        n_bands = n_hashes // band_size
+        sig_df = _barrier(
+            sh, minhash_from_hashes(F.col("sh"), n_hashes, seed), "__sig", [id_col]
+        )
+        bands = F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        F.lit(b),
+                        *[
+                            F.element_at(
+                                F.col("__sig"), b * band_size + j + 1
+                            ).cast("string")
+                            for j in range(band_size)
+                        ],
+                    )
+                )
+                for b in range(n_bands)
+            ]
+        )
+        return sig_df.select(
+            F.col(id_col), F.posexplode(bands).alias("band_idx", "band_hash")
+        )
     schema = T.StructType(
         [
             sh.schema[id_col],

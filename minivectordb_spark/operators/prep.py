@@ -403,7 +403,7 @@ def dsir_logweights(
     from pyspark.sql import types as T
 
     from minivectordb_spark.operators import kernels
-    from minivectordb_spark.operators.util import ensure_parallelism
+    from minivectordb_spark.operators.util import ensure_parallelism, use_arrow_kernel
 
     # The per-token md5 bucket hash runs as an Arrow-batched kernel
     # (kernels.dsir_bucket_mapper, guide §4.2) — the interpreted
@@ -421,6 +421,20 @@ def dsir_logweights(
         side: DataFrame, reused: bool = False, extra: list[str] | None = None
     ) -> DataFrame:
         keep = [id_col] + (extra or [])
+        if not use_arrow_kernel(side):
+            # size-gated twin (r15 item 1): below util.KERNEL_MIN_BYTES
+            # the retained expression chain avoids the kernel's
+            # JVM<->Python crossing floor (VERDICT r14 item 1)
+            staged = materialize(
+                ensure_parallelism(side), tokens(F.col(text_col)), "__toks", keep
+            )
+            out = materialize(
+                staged,
+                _dsir_feature_buckets(F.col("__toks"), n_buckets),
+                "__b",
+                keep,
+            )
+            return out.localCheckpoint(eager=False) if reused else out
         schema = T.StructType(
             [side.schema[c] for c in keep]
             + [T.StructField("__b", T.ArrayType(T.LongType()), True)]

@@ -609,7 +609,11 @@ def hash_classifier_score(
     from pyspark.sql import types as T
 
     from minivectordb_spark.operators import kernels
-    from minivectordb_spark.operators.util import ensure_parallelism
+    from minivectordb_spark.operators.util import (
+        ensure_parallelism,
+        materialize,
+        use_arrow_kernel,
+    )
 
     n_buckets = len(weights)
     wi = [int(round(float(w) * 1_000_000)) for w in weights]
@@ -618,14 +622,26 @@ def hash_classifier_score(
     # bucket arrays via the Arrow-batched kernel (kernels.dsir_bucket_
     # mapper — bit-identical twin of the retained _dsir_feature_buckets
     # chain, pinned by tests/test_kernels.py); the weight fold below
-    # stays a Catalyst expression over the staged column
-    bst = ensure_parallelism(df.select(id_col, text_col)).mapInArrow(
-        kernels.dsir_bucket_mapper(text_col, id_col, n_buckets),
-        T.StructType(
-            [df.schema[id_col]]
-            + [T.StructField("__b", T.ArrayType(T.LongType()), True)]
-        ),
-    )
+    # stays a Catalyst expression over the staged column.  Size-gated
+    # (r15 item 1): below util.KERNEL_MIN_BYTES the expression chain
+    # avoids the kernel's JVM<->Python crossing floor (VERDICT r14).
+    if not use_arrow_kernel(df):
+        from minivectordb_spark.operators.prep import _dsir_feature_buckets
+
+        staged = materialize(
+            ensure_parallelism(df), tokens(F.col(text_col)), "__toks", [id_col]
+        )
+        bst = materialize(
+            staged, _dsir_feature_buckets(F.col("__toks"), n_buckets), "__b", [id_col]
+        )
+    else:
+        bst = ensure_parallelism(df.select(id_col, text_col)).mapInArrow(
+            kernels.dsir_bucket_mapper(text_col, id_col, n_buckets),
+            T.StructType(
+                [df.schema[id_col]]
+                + [T.StructField("__b", T.ArrayType(T.LongType()), True)]
+            ),
+        )
     s = F.aggregate(
         F.col("__b"),
         F.lit(0).cast("long"),

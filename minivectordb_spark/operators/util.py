@@ -48,6 +48,55 @@ def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
     return df
 
 
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's estimated size of ``df`` in bytes (optimizedPlan stats)
+    — no job is run.  For file scans this is the at-rest file size;
+    projections scale it by column width; lazy ``localCheckpoint`` frames
+    and ``mapInArrow`` outputs propagate their child's estimate (verified
+    r15).  ``None`` when the plan has no usable estimate (streaming, or
+    stats unavailable)."""
+    if df.isStreaming:
+        return None
+    try:
+        b = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+    # defaultSizeInBytes (Long.MaxValue-ish) marks "unknown", not "huge"
+    return b if 0 <= b < (1 << 60) else None
+
+
+#: Input-size floor (estimated bytes) below which an Arrow kernel's
+#: JVM<->Python crossings cost more than they save (r15 item 1).  Each
+#: mapInArrow pass pays a ~0.3-0.6 s wall floor (worker round-trips,
+#: Arrow stream setup) REGARDLESS of data size; the retained Catalyst
+#: expression twins pay none.  Measured crossover on the bench host
+#: (tools/crossover_probe.py): at 0.6 MB the chains tie, at 2.4 MB the
+#: kernel is ~5x faster — so below ~1 MB of (projected) input the
+#: expression chain wins, above it the kernel does.  At 100 TB every
+#: corpus is far above the floor and the kernels always run; this gate
+#: only exists because tiny inputs invert the trade.  Override with
+#: $SPARK_GRAFT_KERNEL_MIN_BYTES (0 = always kernel, huge = never).
+KERNEL_MIN_BYTES = 1 << 20
+
+
+def use_arrow_kernel(df: DataFrame) -> bool:
+    """Dispatch between an Arrow-batched kernel and its bit-identical
+    Catalyst expression twin by estimated input size (guide §4: the UDF
+    boundary is only a win when batch compute amortizes the crossing).
+    Unknown size -> kernel (the conservative choice at scale: anything
+    big enough to matter has file-scan stats)."""
+    import os
+
+    try:
+        thr = int(os.environ.get("SPARK_GRAFT_KERNEL_MIN_BYTES", KERNEL_MIN_BYTES))
+    except ValueError:
+        thr = KERNEL_MIN_BYTES
+    if thr <= 0:
+        return True
+    b = plan_size_bytes(df)
+    return b is None or b >= thr
+
+
 def source_fingerprint(df: DataFrame, extras: list) -> str | None:
     """Freshness fingerprint of a persisted index's inputs (shared by the
     IVF / dedup / near-dup ``skip_if_fresh`` checks): the source's file
