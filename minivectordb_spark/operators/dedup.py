@@ -140,6 +140,7 @@ def _shingle_frame(
 
 from minivectordb_spark.operators.util import ensure_parallelism as _parallel
 from minivectordb_spark.operators.util import materialize as _barrier
+from minivectordb_spark.operators.util import run_concurrent
 
 
 def _reused(df: DataFrame) -> DataFrame:
@@ -2168,14 +2169,21 @@ def save_dedup_index(
     buckets = _band_buckets(sh_ref, id_col, n_hashes, band_size, seed).withColumn(
         "bp", F.substring(F.col("band_hash"), 1, prefix_len)
     )
-    (
-        buckets.repartition("bp")
-        .write.partitionBy("bp")
-        .mode("overwrite")
-        .parquet(f"{path}/{gen_dir}/buckets")
-    )
-    sh_ref.select(F.col(id_col), F.col("sh")).write.mode("overwrite").parquet(
-        f"{path}/{gen_dir}/shingles"
+    # the two table writes are independent once sh_ref exists — overlap
+    # them (util.run_concurrent, guide §2.6): each write's driver fixed
+    # cost (plan/commit) and task tail back-fill the other's
+    run_concurrent(
+        lambda: (
+            buckets.repartition("bp")
+            .write.partitionBy("bp")
+            .mode("overwrite")
+            .parquet(f"{path}/{gen_dir}/buckets")
+        ),
+        lambda: (
+            sh_ref.select(F.col(id_col), F.col("sh"))
+            .write.mode("overwrite")
+            .parquet(f"{path}/{gen_dir}/shingles")
+        ),
     )
     m = dict(params)
     m["generation"], m["gen_dir"] = gen, gen_dir
@@ -2342,14 +2350,20 @@ def update_dedup_index(
     buckets = _band_buckets(
         sh_new, id_col, m["n_hashes"], m["band_size"], m["seed"]
     ).withColumn("bp", F.substring(F.col("band_hash"), 1, m.get("prefix_len", 2)))
-    (
-        buckets.repartition("bp")
-        .write.partitionBy("bp")
-        .mode("append")
-        .parquet(_gen_data(path, m, "buckets"))
-    )
-    sh_new.select(F.col(id_col), F.col("sh")).write.mode("append").parquet(
-        _gen_data(path, m, "shingles")
+    # independent appends into the same generation dir — overlapped like
+    # save_dedup_index's writes (util.run_concurrent, guide §2.6)
+    run_concurrent(
+        lambda: (
+            buckets.repartition("bp")
+            .write.partitionBy("bp")
+            .mode("append")
+            .parquet(_gen_data(path, m, "buckets"))
+        ),
+        lambda: (
+            sh_new.select(F.col(id_col), F.col("sh"))
+            .write.mode("append")
+            .parquet(_gen_data(path, m, "shingles"))
+        ),
     )
     _end_index_append(path, _DEDUP_MANIFEST, m)
 
@@ -2444,12 +2458,6 @@ def save_neardup_index(
     buckets = random_projection_buckets(
         reference, planes, id_col=id_col, emb_col=emb_col
     ).withColumn("bp", F.pmod(F.col("bucket"), F.lit(n_dirs)))
-    (
-        buckets.repartition("bp")
-        .write.partitionBy("bp")
-        .mode("overwrite")
-        .parquet(f"{path}/{gen_dir}/buckets")
-    )
     # canonical element type = the SOURCE's element type, pinned in the
     # manifest (ADVICE r11): storing at source precision keeps the exact
     # verify cosine identical to neardup_against / the oracle (a float32
@@ -2459,9 +2467,24 @@ def save_neardup_index(
     # PARQUET_COLUMN_DATA_TYPE_MISMATCH — found by the streaming-gate
     # test)
     emb_type = _emb_element_type(reference, emb_col)
-    reference.select(
-        F.col(id_col), F.col(emb_col).cast(f"array<{emb_type}>").alias(emb_col)
-    ).write.mode("overwrite").parquet(f"{path}/{gen_dir}/embeddings")
+    # the bucket and embedding writes are independent — overlapped like
+    # save_dedup_index's pair (util.run_concurrent, guide §2.6)
+    run_concurrent(
+        lambda: (
+            buckets.repartition("bp")
+            .write.partitionBy("bp")
+            .mode("overwrite")
+            .parquet(f"{path}/{gen_dir}/buckets")
+        ),
+        lambda: (
+            reference.select(
+                F.col(id_col),
+                F.col(emb_col).cast(f"array<{emb_type}>").alias(emb_col),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{path}/{gen_dir}/embeddings")
+        ),
+    )
     m = {
         "id_col": id_col,
         "emb_col": emb_col,
@@ -2764,17 +2787,25 @@ def update_neardup_index(
     buckets = random_projection_buckets(
         df_new, m["planes"], id_col=id_col, emb_col=emb_col
     ).withColumn("bp", F.pmod(F.col("bucket"), F.lit(m["n_dirs"])))
-    (
-        buckets.repartition("bp")
-        .write.partitionBy("bp")
-        .mode("append")
-        .parquet(_gen_data(path, m, "buckets"))
-    )
     # cast to the manifest-pinned element type (source precision at build
     # time; "float" fallback for pre-emb_type manifests) so appends never
     # mix parquet element types in the embeddings directory
     emb_type = m.get("emb_type", "float")
-    df_new.select(
-        F.col(id_col), F.col(emb_col).cast(f"array<{emb_type}>").alias(emb_col)
-    ).write.mode("append").parquet(_gen_data(path, m, "embeddings"))
+    # independent appends, overlapped (util.run_concurrent, guide §2.6)
+    run_concurrent(
+        lambda: (
+            buckets.repartition("bp")
+            .write.partitionBy("bp")
+            .mode("append")
+            .parquet(_gen_data(path, m, "buckets"))
+        ),
+        lambda: (
+            df_new.select(
+                F.col(id_col),
+                F.col(emb_col).cast(f"array<{emb_type}>").alias(emb_col),
+            )
+            .write.mode("append")
+            .parquet(_gen_data(path, m, "embeddings"))
+        ),
+    )
     _end_index_append(path, _NEARDUP_MANIFEST, m)

@@ -97,6 +97,26 @@ def use_arrow_kernel(df: DataFrame) -> bool:
     return b is None or b >= thr
 
 
+def run_concurrent(*thunks):
+    """Run independent Spark actions from a small thread pool (guide
+    §2.6): actions are only sequential because driver code calls them
+    sequentially.  Overlapping independent jobs both back-fills executor
+    slots freed by one job's tail with the other's tasks AND overlaps
+    the per-action driver fixed cost (plan/analyze/commit/py4j) that
+    dominates small-batch lifecycle operators — the dedup_index_loop
+    profile shows ~40 sub-second jobs whose between-job driver gaps are
+    about half the wall.  Results in thunk order; the first exception
+    propagates (the pool context manager joins every thread first, so
+    no write is abandoned mid-flight)."""
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futs = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futs]
+
+
 def source_fingerprint(df: DataFrame, extras: list) -> str | None:
     """Freshness fingerprint of a persisted index's inputs (shared by the
     IVF / dedup / near-dup ``skip_if_fresh`` checks): the source's file
