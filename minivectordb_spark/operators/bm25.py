@@ -199,14 +199,60 @@ def bm25_search_batch(
     """
     from pyspark.sql import Window
 
-    n, avgdl = corpus_stats(df, text_col)
     all_toks = sorted({t for toks in queries.values() for t in toks})
-    dfs = doc_frequencies(df, all_toks, text_col)
-    idf = {t: _idf(n, dfs[t]) for t in all_toks}
     if not all_toks:
         schema = f"query_id bigint, {id_col} " \
             f"{dict(df.dtypes)[id_col]}, bm25 double"
         return df.sparkSession.createDataFrame([], schema)
+
+    # ONE tokenize pass for stats + df_t + postings (r15): the corpus was
+    # previously tokenized three times (corpus_stats collect,
+    # doc_frequencies collect, the postings explode) — three full corpus
+    # scans per call for values derivable from one staged frame.  Stage
+    # (id, dl, matched-occurrences) once behind a lazy checkpoint: dl is
+    # the full token count, __m keeps ONLY occurrences of union-set
+    # tokens (short arrays — the checkpoint is posting-sized, not
+    # corpus-sized).  Every downstream count is bit-identical: sum(dl)
+    # and N for avgdl, per-token distinct-doc counts for df_t, and tf =
+    # occurrence count within __m (F.filter keeps duplicates).
+    toks_col = tokens(F.col(text_col))
+    staged = (
+        df.select(
+            F.col(id_col),
+            F.size(toks_col).cast("double").alias("__dl"),
+            F.filter(toks_col, lambda x: x.isin(all_toks)).alias("__m"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # (N, sum dl) and the per-token distinct-doc counts in ONE collect: a
+    # union of the two aggregates shares the staged scan inside a single
+    # job instead of paying two driver round-trips (the NULL-token row is
+    # the corpus-level aggregate)
+    stats_rows = (
+        staged.agg(
+            F.count(F.lit(1)).cast("double").alias("a"),
+            F.sum("__dl").alias("b"),
+        )
+        .select(F.lit(None).cast("string").alias("t"), "a", "b")
+        .unionByName(
+            staged.select(F.explode(F.array_distinct("__m")).alias("t"))
+            .groupBy("t")
+            .agg(
+                F.count(F.lit(1)).cast("double").alias("a"),
+                F.lit(None).cast("double").alias("b"),
+            )
+        )
+        .collect()
+    )
+    n, avgdl, found = 0, 0.0, {}
+    for r in stats_rows:
+        if r["t"] is None:
+            n = int(r["a"])
+            avgdl = float(r["b"]) / n if n else 0.0
+        else:
+            found[r["t"]] = int(r["a"])
+    dfs = {t: found.get(t, 0) for t in all_toks}
+    idf = {t: _idf(n, dfs[t]) for t in all_toks}
 
     qrows = [
         (int(qid), t, float(idf[t]))
@@ -218,12 +264,11 @@ def bm25_search_batch(
     )
 
     postings = (
-        df.select(
+        staged.select(
             F.col(id_col),
-            F.size(tokens(F.col(text_col))).cast("double").alias("__dl"),
-            F.explode(tokens(F.col(text_col))).alias("__tok"),
+            F.col("__dl"),
+            F.explode("__m").alias("__tok"),
         )
-        .filter(F.col("__tok").isin(all_toks))
         .groupBy(id_col, "__dl", "__tok")
         .agg(F.count(F.lit(1)).cast("double").alias("__tf"))
     )

@@ -107,7 +107,20 @@ def rrf_fuse_batch(
         F.col(id_b).alias("id"),
         F.row_number().over(wb).alias("__rb"),
     )
-    joined = a.join(b, [query_col, "id"], "full_outer")
+    # union + min-agg instead of a full-outer join (r15): both legs carry
+    # at most ONE row per (query, id) (row_number ranks), so
+    # FULL OUTER JOIN on (query, id) == union the legs and take min() of
+    # each rank column per (query, id) — min over one non-null value is
+    # that value, both-absent cannot occur.  Same rows, one
+    # hash-aggregate exchange instead of two join exchanges plus their
+    # sort-merge sorts; rank-null semantics unchanged (_rrf_term treats
+    # the absent leg as rank NULL either way).
+    joined = (
+        a.withColumn("__rb", F.lit(None).cast("int"))
+        .unionByName(b.withColumn("__ra", F.lit(None).cast("int")))
+        .groupBy(query_col, "id")
+        .agg(F.min("__ra").alias("__ra"), F.min("__rb").alias("__rb"))
+    )
     rrf = _rrf_term("__ra", c) + _rrf_term("__rb", c)
     wk = Window.partitionBy(query_col).orderBy(
         F.col("rrf").desc(), F.col("id").asc()
