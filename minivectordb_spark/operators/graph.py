@@ -161,12 +161,19 @@ def pagerank(
 def _pagerank_rounds(
     ranks, nodes, ew, outdeg, iterations, n, teleport, damping_pct
 ):
-    for _ in range(iterations):
-        # checkpoint per round: the LOGICAL plan is truncated to a
-        # LogicalRDD (so round N never embeds rounds 0..N-1 at analysis
-        # time); eager=True so every round but the last EXECUTES inside
-        # the caller's iteration_shuffle_scope (see contract there).
-        ranks = ranks.localCheckpoint(eager=True)
+    for i in range(iterations):
+        # checkpoint every SECOND round (r15, VERDICT r14 item 6): the
+        # eager checkpoint is a synchronization barrier — one driver
+        # round-trip plus a materialization job per round — and at
+        # dimension-scale graphs those fixed costs, not the shuffles,
+        # are the wall.  Cadence 2 halves the barrier count while the
+        # LOGICAL plan still never embeds more than two rounds (lineage
+        # growth stays bounded; values are identical — a checkpoint only
+        # materializes, it computes nothing different).  eager=True so
+        # every materialized round EXECUTES inside the caller's
+        # iteration_shuffle_scope (see contract there).
+        if i % 2 == 0:
+            ranks = ranks.localCheckpoint(eager=True)
         # dangling mass: nodes with no outgoing edge (pure sinks).  A
         # one-row aggregate broadcast-crossed into the update keeps the
         # whole round inside the plan — no driver round-trip per round.
@@ -233,6 +240,10 @@ def _oriented_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
+        # read three times (degree agg + both key joins): without the
+        # checkpoint each reader replays the distinct's shuffle —
+        # profiled as three identical 846 KB exchanges (r15)
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("u").alias("node"))
@@ -271,19 +282,37 @@ def triangle_counts(
     (lo, hi) -> union of the three corner projections + one count
     groupBy.  All equi-joins; no cartesian anywhere."""
     o = _reused(_oriented_edges(edges, src, dst))
+    # wedge-join parallelism pin (the setsim/linkage idiom, r15): the
+    # pivot frame is a few bytes per row, so AQE's size-based coalescing
+    # folded the wedge enumeration — sum-of-out-degree-squared COMPUTE,
+    # profiled 6.4 s of task time — onto 3 tasks.  The explicit count
+    # replaces the join's ENSURE_REQUIREMENTS exchange (same shuffle,
+    # AQE-immune); at 100 TB the sides exceed the advisory size anyway
+    # and the pin changes nothing.
+    n_part = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
     e1 = o.select(
         F.col("lo").alias("a"), F.col("hi").alias("b"), F.col("hi_key").alias("kb")
-    )
+    ).repartition(n_part, F.col("a"))
+    # the STREAM side alone carries the pin: the planner still builds the
+    # (size-estimated-small) other side as a broadcast hash table locally
+    # — pinning BOTH sides forced a sort-merge join whose sorts cost 8x
+    # the wedge CPU — while at scale, where neither side fits a
+    # broadcast, the join plans SMJ over full-width partitions as before.
     e2 = o.select(
         F.col("lo").alias("a"), F.col("hi").alias("c"), F.col("hi_key").alias("kc")
     )
     wedges = e1.join(e2, "a").where(F.col("kb") < F.col("kc"))
     closer = o.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
     tri = wedges.join(closer, ["b", "c"]).select("a", "b", "c")
-    corners = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
+    # ONE corner fan-out instead of a 3-way union of projections (r15):
+    # the union re-executed the whole wedge+closure subtree once per
+    # corner (profiled: three identical 32-task broadcast-join stages);
+    # exploding array(a,b,c) emits the same (node) multiset — three rows
+    # per triangle — from a single enumeration pass.
+    corners = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
 
